@@ -1,0 +1,148 @@
+"""Loss functions, fully vectorized for TPU.
+
+* `cross_entropy_ignore` — per-patch CE with void masking (reference
+  segmentation/module.py:156-165 drops void pixels before CE).
+* `kld_prototype_loss` — the prototype-diversity loss.  The reference
+  computes this with a Python triple loop over images × classes ×
+  prototype pairs (reference segmentation/module.py:167-208, the #1 CPU
+  hot spot); here it is a single masked-softmax + einsum program.
+* `masked_l1` — L1 on off-class last-layer weights (module.py:213-218).
+* `bce_with_logits` / `dice_coeff` — U-Noise utility losses (reference
+  src/train_util.py:17, src/utils.py:2-12).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def cross_entropy_ignore(logits: jnp.ndarray,
+                         labels: jnp.ndarray,
+                         valid: jnp.ndarray | None = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean softmax cross-entropy over valid positions.
+
+    Args:
+      logits: (N, C) float.
+      labels: (N,) int in [0, C); ignored where ``valid`` is False.
+      valid: (N,) bool, or None for all-valid.
+
+    Returns:
+      (scalar loss, scalar n_correct) — n_correct counts valid argmax hits
+      (reference tracks patch accuracy at module.py:210-227).
+    """
+    logits = logits.astype(jnp.float32)
+    n = logits.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    safe_labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    ll = jnp.take_along_axis(logits, safe_labels[:, None], axis=-1)[:, 0]
+    ce = logz - ll
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(jnp.where(valid, ce, 0.0)) / denom
+    pred = jnp.argmax(logits, axis=-1)
+    n_correct = jnp.sum(jnp.where(valid, pred == safe_labels, False))
+    return loss, n_correct
+
+
+def kld_prototype_loss(activations: jnp.ndarray,
+                       labels: jnp.ndarray,
+                       num_classes: int) -> jnp.ndarray:
+    """Symmetric-KLD prototype-diversity loss, vectorized.
+
+    For each image and each class present in it, the activations of that
+    class's prototypes over the class's pixels are treated as
+    distributions (log-softmax over pixels); for every same-class
+    prototype pair the symmetric KL divergence is computed and the loss
+    is ``mean(exp(−KLD))`` over all valid (image, class, pair) triples
+    (reference segmentation/module.py:167-208).  A pair is valid when the
+    class has ≥2 prototypes and ≥2 pixels in the image
+    (module.py:185-189).
+
+    Args:
+      activations: (B, N, P) patch activations; prototype ``p`` belongs
+        to class ``p // (P // num_classes)`` (contiguous identity,
+        reference model.py:66-73).
+      labels: (B, N) int class indices in [0, num_classes); anything
+        outside that range (e.g. void) matches no class.
+      num_classes: C.
+
+    Returns:
+      scalar loss (0.0 when no valid pairs exist — the reference would
+      crash on ``.item()`` in that case, module.py:232; we don't).
+    """
+    B, N, P = activations.shape
+    C = num_classes
+    assert P % C == 0, (P, C)
+    K = P // C
+    acts = activations.astype(jnp.float32)
+    # (B, N, C, K) -> (B, C, K, N)
+    acts = acts.reshape(B, N, C, K).transpose(0, 2, 3, 1)
+
+    # class-presence mask per pixel: (B, C, N)
+    mask = (labels[:, None, :] == jnp.arange(C)[None, :, None])
+    maskf = mask.astype(jnp.float32)
+    pix_count = jnp.sum(maskf, axis=-1)  # (B, C)
+
+    z = jnp.where(mask[:, :, None, :], acts, _NEG_INF)
+    ls = jax.nn.log_softmax(z, axis=-1)  # (B, C, K, N)
+    ls_safe = jnp.where(mask[:, :, None, :], ls, 0.0)
+    p = jnp.where(mask[:, :, None, :], jnp.exp(ls), 0.0)
+
+    # H[b,c,j]       = Σ_h p_j·ls_j
+    # cross[b,c,j,i] = Σ_h p_j·ls_i
+    ent = jnp.sum(p * ls_safe, axis=-1)                      # (B, C, K)
+    cross = jnp.einsum("bcjn,bcin->bcji", p, ls_safe)        # (B, C, K, K)
+    # KL(ls_i ‖ ls_j) with log inputs = Σ p_j (ls_j − ls_i) = H_j − cross[j,i]
+    kld1 = ent[:, :, :, None] - cross                        # [j, i]
+    sym = 0.5 * (kld1 + jnp.swapaxes(kld1, -1, -2))          # (B, C, K, K)
+
+    iu, ju = jnp.triu_indices(K, k=1)
+    pair_vals = jnp.exp(-sym[:, :, iu, ju])                  # (B, C, n_pairs)
+    valid_bc = (pix_count >= 2.0) & (K >= 2)                 # (B, C)
+    valid = valid_bc[:, :, None] & jnp.ones_like(pair_vals, dtype=bool)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    pair_vals = jnp.where(valid, pair_vals, 0.0)
+    total = jnp.sum(pair_vals)
+    return jnp.where(jnp.sum(valid) > 0, total / count, 0.0)
+
+
+def masked_l1(last_layer_weight: jnp.ndarray,
+              num_classes: int) -> jnp.ndarray:
+    """L1 norm of last-layer weights outside each prototype's own class.
+
+    ``l1_mask = 1 − identityᵀ`` in the reference (module.py:213-218); our
+    weight is stored (P, C) so the mask is ``1 − identity``.
+    """
+    P, C = last_layer_weight.shape
+    assert C == num_classes
+    K = P // C
+    proto_class = jnp.arange(P) // K
+    identity = (proto_class[:, None] == jnp.arange(C)[None, :])
+    mask = 1.0 - identity.astype(jnp.float32)
+    return jnp.sum(jnp.abs(last_layer_weight.astype(jnp.float32) * mask))
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy with logits (torch BCEWithLogitsLoss)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    # log(1+exp(-|x|)) + max(x,0) - x*t  — numerically stable form
+    loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(loss)
+
+
+def dice_coeff(pred: jnp.ndarray, target: jnp.ndarray,
+               eps: float = 1e-10) -> jnp.ndarray:
+    """Global (batch-flattened) dice coefficient (reference src/utils.py:2-12)."""
+    m1 = pred.astype(jnp.float32).reshape(-1)
+    m2 = target.astype(jnp.float32).reshape(-1)
+    inter = jnp.sum(m1 * m2)
+    return 2.0 * inter / (jnp.sum(m1) + jnp.sum(m2) + eps)

@@ -1,0 +1,67 @@
+"""Tests for config registry, mesh, and checkpoint store."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.core import (
+    CheckpointStore,
+    ExperimentConfig,
+    MeshSpec,
+    get_experiment,
+    list_experiments,
+    make_mesh,
+)
+
+
+def test_all_reference_experiments_registered():
+    # one preset per reference gin file (segmentation/configs/*.gin)
+    expected = {
+        "cells", "cityscapes_kld_coco", "cityscapes_kld_imnet",
+        "cityscapes_no_kld_imnet", "mds_new", "pascal_kld_coco",
+        "pascal_kld_imnet", "pascal_no_kld_imnet",
+    }
+    assert expected <= set(list_experiments())
+
+
+def test_config_json_roundtrip():
+    cfg = get_experiment("cityscapes_kld_imnet")
+    again = ExperimentConfig.from_json(cfg.to_json())
+    assert again == cfg
+    assert again.model.prototype_shape == (190, 64, 1, 1)
+    assert again.model.num_prototypes_per_class == 10
+
+
+def test_mds_preset_matches_reference_gin():
+    cfg = get_experiment("mds_new")
+    assert cfg.model.num_prototypes == 30
+    assert cfg.model.num_classes == 3
+    assert cfg.train.loss_weight_kld == 0.0
+    assert cfg.train.iter_size == 5
+    assert cfg.train.poly_lr_power == 0.9
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(MeshSpec())  # all devices on data
+    assert mesh.shape["data"] == len(jax.devices())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    store = CheckpointStore(str(tmp_path / "run"))
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    store.save("warmup", "last", state)
+    assert store.exists("warmup", "last")
+    assert not store.exists("push", "best")
+    restored = store.restore("warmup", "last", target=state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    assert int(restored["step"]) == 7
+
+    cfg = get_experiment("mds_new")
+    store.save_config(cfg.to_json())
+    assert ExperimentConfig.from_json(store.load_config_json()) == cfg
