@@ -1,0 +1,103 @@
+"""Shared NN building blocks (NHWC, flax.linen).
+
+Notable TPU-first choices:
+
+* **FrozenBatchNorm** — the reference calls ``freeze_bn()`` on the
+  backbone every step (reference segmentation/module.py:127,278) and its
+  optimizer groups never include BN affine params (reference
+  segmentation/utils.py:42-61 yields only Conv2d params), so backbone BN
+  is *fully* frozen: running stats and affine.  We therefore store BN as
+  constants in a separate ``constants`` variable collection — they never
+  appear in the params pytree, can't be trained by accident, and XLA
+  folds the affine transform into the adjacent conv at compile time.
+* **ceil-mode max pooling** — the DeepLab stem pool uses
+  ``nn.MaxPool2d(3, 2, 1, ceil_mode=True)``; we emulate ceil mode with
+  explicit asymmetric -inf padding so output sizes match the reference
+  exactly (1024×2048 → 129×257 feature grid).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics *and* frozen affine params.
+
+    Variables live in the ``constants`` collection: gamma, beta, mean,
+    var.  Initialized to identity (gamma=1, beta=0, mean=0, var=1);
+    pretrained imports overwrite them.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        gamma = self.variable("constants", "gamma",
+                              lambda: jnp.ones((c,), jnp.float32)).value
+        beta = self.variable("constants", "beta",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        mean = self.variable("constants", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("constants", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        scale = gamma * jax.lax.rsqrt(var + self.eps)
+        bias = beta - mean * scale
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def max_pool_ceil(x: jnp.ndarray, window: int, stride: int,
+                  padding: int) -> jnp.ndarray:
+    """2-D max pool with torch ``ceil_mode=True`` semantics (NHWC)."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def pads(size: int) -> Tuple[int, int]:
+        out = -(-(size + 2 * padding - window) // stride) + 1  # ceil
+        # torch clips windows that start entirely in the padding
+        if (out - 1) * stride >= size + padding:
+            out -= 1
+        total = (out - 1) * stride + window - size
+        return padding, max(total - padding, 0)
+
+    ph, pw = pads(h), pads(w)
+    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), ph, pw, (0, 0)),
+    )
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """Plain floor-mode max pool (UNet downsampling)."""
+    return nn.max_pool(x, (window, window), (stride, stride))
+
+
+class ConvBN(nn.Module):
+    """conv → frozen BN → optional relu (DeepLab body unit)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, name="conv")(x)
+        x = FrozenBatchNorm(name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x

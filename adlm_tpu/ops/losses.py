@@ -53,7 +53,7 @@ def cross_entropy_ignore(logits: jnp.ndarray,
 
 def kld_prototype_loss(activations: jnp.ndarray,
                        labels: jnp.ndarray,
-                       num_classes: int) -> jnp.ndarray:
+                       proto_class: jnp.ndarray) -> jnp.ndarray:
     """Symmetric-KLD prototype-diversity loss, vectorized.
 
     For each image and each class present in it, the activations of that
@@ -62,68 +62,64 @@ def kld_prototype_loss(activations: jnp.ndarray,
     prototype pair the symmetric KL divergence is computed and the loss
     is ``mean(exp(−KLD))`` over all valid (image, class, pair) triples
     (reference segmentation/module.py:167-208).  A pair is valid when the
-    class has ≥2 prototypes and ≥2 pixels in the image
+    class has ≥2 prototypes and the image has ≥2 pixels of the class
     (module.py:185-189).
 
+    Class identity is an explicit per-prototype array (not contiguous
+    blocks) so the same code covers pruned models, whose identity is
+    ragged (reference model.py:311-336 slices it arbitrarily).
+
     Args:
-      activations: (B, N, P) patch activations; prototype ``p`` belongs
-        to class ``p // (P // num_classes)`` (contiguous identity,
-        reference model.py:66-73).
-      labels: (B, N) int class indices in [0, num_classes); anything
-        outside that range (e.g. void) matches no class.
-      num_classes: C.
+      activations: (B, N, P) patch activations over flattened patches.
+      labels: (B, N) int class indices; anything not matching a
+        prototype class (e.g. void = -1) contributes to no distribution.
+      proto_class: (P,) int class id per prototype.
 
     Returns:
       scalar loss (0.0 when no valid pairs exist — the reference would
       crash on ``.item()`` in that case, module.py:232; we don't).
     """
     B, N, P = activations.shape
-    C = num_classes
-    assert P % C == 0, (P, C)
-    K = P // C
-    acts = activations.astype(jnp.float32)
-    # (B, N, C, K) -> (B, C, K, N)
-    acts = acts.reshape(B, N, C, K).transpose(0, 2, 3, 1)
+    acts = activations.astype(jnp.float32).transpose(0, 2, 1)  # (B, P, N)
 
-    # class-presence mask per pixel: (B, C, N)
-    mask = (labels[:, None, :] == jnp.arange(C)[None, :, None])
-    maskf = mask.astype(jnp.float32)
-    pix_count = jnp.sum(maskf, axis=-1)  # (B, C)
+    # per-prototype pixel mask: pixels of the prototype's own class
+    mask = (labels[:, None, :] == proto_class[None, :, None])  # (B, P, N)
+    pix_count = jnp.sum(mask, axis=-1)                         # (B, P)
 
-    z = jnp.where(mask[:, :, None, :], acts, _NEG_INF)
-    ls = jax.nn.log_softmax(z, axis=-1)  # (B, C, K, N)
-    ls_safe = jnp.where(mask[:, :, None, :], ls, 0.0)
-    p = jnp.where(mask[:, :, None, :], jnp.exp(ls), 0.0)
+    z = jnp.where(mask, acts, _NEG_INF)
+    ls = jax.nn.log_softmax(z, axis=-1)                        # (B, P, N)
+    ls_safe = jnp.where(mask, ls, 0.0)
+    p = jnp.where(mask, jnp.exp(ls), 0.0)
 
-    # H[b,c,j]       = Σ_h p_j·ls_j
-    # cross[b,c,j,i] = Σ_h p_j·ls_i
-    ent = jnp.sum(p * ls_safe, axis=-1)                      # (B, C, K)
-    cross = jnp.einsum("bcjn,bcin->bcji", p, ls_safe)        # (B, C, K, K)
+    # H[b,j]       = Σ_h p_j·ls_j
+    # cross[b,j,i] = Σ_h p_j·ls_i
+    ent = jnp.sum(p * ls_safe, axis=-1)                        # (B, P)
+    cross = jnp.einsum("bjn,bin->bji", p, ls_safe)             # (B, P, P)
     # KL(ls_i ‖ ls_j) with log inputs = Σ p_j (ls_j − ls_i) = H_j − cross[j,i]
-    kld1 = ent[:, :, :, None] - cross                        # [j, i]
-    sym = 0.5 * (kld1 + jnp.swapaxes(kld1, -1, -2))          # (B, C, K, K)
+    kld1 = ent[:, :, None] - cross                             # [j, i]
+    sym = 0.5 * (kld1 + jnp.swapaxes(kld1, -1, -2))            # (B, P, P)
 
-    iu, ju = jnp.triu_indices(K, k=1)
-    pair_vals = jnp.exp(-sym[:, :, iu, ju])                  # (B, C, n_pairs)
-    valid_bc = (pix_count >= 2.0) & (K >= 2)                 # (B, C)
-    valid = valid_bc[:, :, None] & jnp.ones_like(pair_vals, dtype=bool)
-    count = jnp.maximum(jnp.sum(valid), 1)
-    pair_vals = jnp.where(valid, pair_vals, 0.0)
-    total = jnp.sum(pair_vals)
-    return jnp.where(jnp.sum(valid) > 0, total / count, 0.0)
+    same_class = proto_class[:, None] == proto_class[None, :]
+    upper = jnp.triu(jnp.ones((P, P), dtype=bool), k=1)
+    class_n_protos = jnp.sum(same_class, axis=-1)              # (P,)
+    # pair (i, j) valid: same class, i<j, class has ≥2 protos (implied
+    # by the pair existing) and the image has ≥2 pixels of the class
+    valid = (same_class & upper)[None] & (pix_count[:, :, None] >= 2)
+    del class_n_protos
+    pair_vals = jnp.where(valid, jnp.exp(-sym), 0.0)
+    count = jnp.sum(valid)
+    return jnp.where(count > 0,
+                     jnp.sum(pair_vals) / jnp.maximum(count, 1), 0.0)
 
 
 def masked_l1(last_layer_weight: jnp.ndarray,
-              num_classes: int) -> jnp.ndarray:
+              proto_class: jnp.ndarray) -> jnp.ndarray:
     """L1 norm of last-layer weights outside each prototype's own class.
 
     ``l1_mask = 1 − identityᵀ`` in the reference (module.py:213-218); our
     weight is stored (P, C) so the mask is ``1 − identity``.
     """
     P, C = last_layer_weight.shape
-    assert C == num_classes
-    K = P // C
-    proto_class = jnp.arange(P) // K
     identity = (proto_class[:, None] == jnp.arange(C)[None, :])
     mask = 1.0 - identity.astype(jnp.float32)
     return jnp.sum(jnp.abs(last_layer_weight.astype(jnp.float32) * mask))

@@ -139,14 +139,16 @@ def test_kld_prototype_loss_matches_reference_loop():
     acts = rng.randn(B, N, C * K).astype(np.float32)
     labels = rng.randint(-1, C, size=(B, N))
     expected = _torch_kld_reference(acts, labels, C)
-    got = float(kld_prototype_loss(jnp.asarray(acts), jnp.asarray(labels), C))
+    proto_class = jnp.arange(C * K) // K
+    got = float(kld_prototype_loss(jnp.asarray(acts), jnp.asarray(labels),
+                                   proto_class))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
 def test_kld_prototype_loss_no_valid_pairs_is_zero():
     acts = jnp.zeros((1, 10, 6))
     labels = jnp.full((1, 10), -1)
-    assert float(kld_prototype_loss(acts, labels, 3)) == 0.0
+    assert float(kld_prototype_loss(acts, labels, jnp.arange(6) // 2)) == 0.0
 
 
 def test_kld_prototype_loss_single_pixel_class_skipped():
@@ -154,8 +156,20 @@ def test_kld_prototype_loss_single_pixel_class_skipped():
     acts = rng.randn(1, 10, 6).astype(np.float32)
     labels = np.full((1, 10), -1)
     labels[0, 3] = 1  # single pixel of class 1 -> skipped (<2 pixels)
-    got = float(kld_prototype_loss(jnp.asarray(acts), jnp.asarray(labels), 3))
+    got = float(kld_prototype_loss(jnp.asarray(acts), jnp.asarray(labels),
+                                   jnp.arange(6) // 2))
     assert got == 0.0
+
+
+def test_kld_prototype_loss_ragged_identity():
+    # pruned model: classes with 1 proto contribute no pairs
+    rng = np.random.RandomState(9)
+    acts = rng.randn(1, 20, 5).astype(np.float32)
+    labels = rng.randint(0, 3, size=(1, 20))
+    proto_class = jnp.asarray([0, 0, 1, 2, 2])
+    got = float(kld_prototype_loss(jnp.asarray(acts), jnp.asarray(labels),
+                                   proto_class))
+    assert np.isfinite(got) and 0.0 < got <= 1.0
 
 
 def test_masked_l1_matches_torch():
@@ -163,7 +177,7 @@ def test_masked_l1_matches_torch():
     rng = np.random.RandomState(7)
     P, C = 12, 3
     w = rng.randn(P, C).astype(np.float32)
-    got = float(masked_l1(jnp.asarray(w), C))
+    got = float(masked_l1(jnp.asarray(w), jnp.arange(P) // (P // C)))
     ident = torch.zeros(P, C)
     K = P // C
     for c in range(C):
