@@ -49,6 +49,7 @@ class PPNetConfig:
     epsilon: float = 1e-4
     # DeepLab specifics (reference deeplab_features.py:52-60)
     deeplab_n_features: int = 64
+    deeplab_n_blocks: Tuple[int, ...] = (3, 4, 23, 3)
     atrous_rates: Tuple[int, ...] = (6, 12, 18, 24)
     # MSC scales beyond 1.0 (reference segmentation/utils.py:64-101).
     # Empty = single-scale (all shipped deeplab configs).

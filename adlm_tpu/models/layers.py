@@ -65,14 +65,8 @@ def max_pool_ceil(x: jnp.ndarray, window: int, stride: int,
         return padding, max(total - padding, 0)
 
     ph, pw = pads(h), pads(w)
-    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
-           else jnp.iinfo(x.dtype).min)
-    return jax.lax.reduce_window(
-        x, neg, jax.lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), ph, pw, (0, 0)),
-    )
+    return nn.max_pool(x, (window, window), (stride, stride),
+                       padding=(ph, pw))
 
 
 def max_pool(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:

@@ -103,6 +103,7 @@ def build_backbone(cfg: PPNetConfig) -> nn.Module:
     """Backbone registry (reference model.py:19-36)."""
     if cfg.base_architecture == "deeplabv2_resnet101":
         base = DeepLabV2(out_features=cfg.deeplab_n_features,
+                         n_blocks=tuple(cfg.deeplab_n_blocks),
                          atrous_rates=tuple(cfg.atrous_rates))
         return MSC(base=base, scales=tuple(cfg.msc_scales))
     from adlm_tpu.models.backbones import build_classification_backbone

@@ -1,0 +1,228 @@
+"""Training-engine tests: phase freezing, grad accumulation, convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adlm_tpu.core.config import (
+    ExperimentConfig,
+    PPNetConfig,
+    DataConfig,
+    TrainConfig,
+    UNoiseConfig,
+)
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.train.optimizer import (
+    ADD_ON,
+    ASPP_B,
+    ASPP_W,
+    BACKBONE,
+    LAST,
+    PROTOS,
+    label_params,
+    poly_schedule,
+)
+from adlm_tpu.train.protoseg import (
+    init_protoseg_state,
+    make_eval_step,
+    make_train_step,
+)
+from adlm_tpu.train.unoise import (
+    init_noise_state,
+    init_utility_state,
+    make_noise_eval_step,
+    make_noise_train_step,
+    make_utility_eval_step,
+    make_utility_train_step,
+)
+
+
+def tiny_experiment(**train_kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        name="tiny",
+        model=PPNetConfig(num_prototypes=6, num_classes=3,
+                          prototype_channels=8, deeplab_n_features=8,
+                          deeplab_n_blocks=(1, 1, 1, 1), img_size=33),
+        data=DataConfig(window_size=(33, 33)),
+        train=TrainConfig(iter_size=2, **train_kw),
+    )
+
+
+def make_batch(rng, cfg, n_micro=2, bs=2):
+    h, w = cfg.data.window_size
+    images = rng.rand(n_micro, bs, h, w, 3).astype(np.float32)
+    labels = rng.randint(0, cfg.model.num_classes + 1,
+                         size=(n_micro, bs, h, w)).astype(np.int32)
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def _changed(a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: bool(np.any(np.asarray(x) != np.asarray(y))), a, b)
+
+
+def test_label_params_groups():
+    cfg = tiny_experiment()
+    model = PPNet(cfg=cfg.model)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 33, 33, 3)))
+    labels = label_params(v["params"])
+    assert labels["prototype_vectors"] == PROTOS
+    assert labels["last_layer"] == LAST
+    aspp = labels["features"]["base"]["aspp"]["c0"]
+    assert aspp["kernel"] == ASPP_W
+    assert aspp["bias"] == ASPP_B
+    body = labels["features"]["base"]["layer2"]["block1"]["reduce"]["conv"]
+    assert body["kernel"] == BACKBONE
+
+
+def test_poly_schedule():
+    s = poly_schedule(1.0, 100, 0.9)
+    np.testing.assert_allclose(float(s(0)), 1.0)
+    np.testing.assert_allclose(float(s(50)), 0.5 ** 0.9, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-9)
+
+
+PHASE_EXPECTATIONS = [
+    # phase, trains backbone, trains aspp, trains protos, trains last
+    (0, False, True, True, False),
+    (1, True, True, True, False),
+    (2, False, False, False, True),
+]
+
+
+@pytest.mark.parametrize("phase,bb,aspp,protos,last", PHASE_EXPECTATIONS)
+def test_phase_freezing(phase, bb, aspp, protos, last):
+    cfg = tiny_experiment(loss_weight_kld=0.25)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(0)
+    images, labels = make_batch(rng, cfg)
+    state = init_protoseg_state(model, cfg, phase, 100,
+                                jax.random.PRNGKey(0), images[0])
+    step = make_train_step(model, cfg, phase, 100)
+    new_state, metrics = step(state, images, labels)
+
+    ch = _changed(state.params, new_state.params)
+    assert ch["prototype_vectors"] == protos
+    assert ch["last_layer"] == last
+    aspp_changed = any(jax.tree_util.tree_leaves(
+        ch["features"]["base"]["aspp"]))
+    assert aspp_changed == aspp
+    body_changed = any(jax.tree_util.tree_leaves(
+        ch["features"]["base"]["layer2"]))
+    assert body_changed == bb
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["n_patches"]) > 0
+
+
+def test_train_loss_decreases_warmup():
+    cfg = tiny_experiment(loss_weight_kld=0.0)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(1)
+    images, labels = make_batch(rng, cfg)
+    state = init_protoseg_state(model, cfg, 0, 100,
+                                jax.random.PRNGKey(1), images[0])
+    step = make_train_step(model, cfg, 0, 100)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_eval_step_runs_and_counts():
+    cfg = tiny_experiment(loss_weight_kld=0.25)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(2)
+    images, labels = make_batch(rng, cfg, n_micro=1)
+    state = init_protoseg_state(model, cfg, 0, 10,
+                                jax.random.PRNGKey(2), images[0])
+    ev = make_eval_step(model, cfg)
+    metrics = ev(state, images[0], labels[0])
+    assert 0 <= float(metrics["n_correct"]) <= float(metrics["n_patches"])
+
+
+def test_grad_accumulation_equals_mean_of_grads():
+    """One step over [b1, b2] must equal a step with mean(g1, g2)."""
+    import optax
+    from adlm_tpu.train.protoseg import loss_fn
+
+    cfg = tiny_experiment(loss_weight_kld=0.0)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(3)
+    images, labels = make_batch(rng, cfg, n_micro=2)
+    state = init_protoseg_state(model, cfg, 0, 100,
+                                jax.random.PRNGKey(3), images[0])
+
+    step = make_train_step(model, cfg, 0, 100)
+    new_state, _ = step(state, images, labels)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+    g1, _ = grad_fn(state.params, state.constants, model, state.proto_class,
+                    cfg, (images[0], labels[0]), True)
+    g2, _ = grad_fn(state.params, state.constants, model, state.proto_class,
+                    cfg, (images[1], labels[1]), True)
+    mean_g = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    from adlm_tpu.train.optimizer import make_optimizer
+    tx = make_optimizer(cfg.train, 0, 100)
+    updates, _ = tx.update(mean_g, state.opt_state, state.params)
+    manual = optax.apply_updates(state.params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["prototype_vectors"]),
+        np.asarray(manual["prototype_vectors"]), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# U-Noise
+# ---------------------------------------------------------------------------
+
+def _unoise_cfg():
+    return UNoiseConfig(depth=2, channel_factor=3, util_depth=2,
+                        util_channel_factor=3, learning_rate=3e-3)
+
+
+def test_utility_training_learns_identity_mask():
+    cfg = _unoise_cfg()
+    rng = np.random.RandomState(4)
+    images = rng.rand(4, 16, 16, 3).astype(np.float32)
+    masks = (images[..., :1] > 0.5).astype(np.float32)
+    images_j, masks_j = jnp.asarray(images), jnp.asarray(masks)
+
+    state = init_utility_state(cfg, jax.random.PRNGKey(4), images_j)
+    step = make_utility_train_step(cfg)
+    first = None
+    for i in range(30):
+        state, loss = step(state, images_j, masks_j)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+    ev = make_utility_eval_step(cfg)
+    metrics = ev(state, images_j, masks_j)
+    assert float(metrics["val_dice"]) > 0.5
+
+
+def test_noise_training_freezes_utility():
+    cfg = _unoise_cfg()
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(2, 16, 16, 1) > 0.5).astype(np.float32))
+
+    util = init_utility_state(cfg, jax.random.PRNGKey(5), images)
+    noise = init_noise_state(cfg, jax.random.PRNGKey(6), images, util)
+    step = make_noise_train_step(cfg)
+    new_noise, metrics = step(noise, images, masks, jax.random.PRNGKey(7))
+
+    # utility params untouched, noise params updated
+    same_util = jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(np.all(np.asarray(a) == np.asarray(b))),
+        noise.util_params, new_noise.util_params))
+    assert same_util
+    changed = any(jax.tree_util.tree_leaves(_changed(
+        noise.params, new_noise.params)))
+    assert changed
+    assert 0.0 < float(metrics["mean_B"]) < 1.0
+
+    ev = make_noise_eval_step(cfg)
+    m = ev(new_noise, images, masks, jax.random.PRNGKey(8))
+    assert np.isfinite(float(m["val_loss"]))
