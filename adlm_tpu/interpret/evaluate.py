@@ -1,0 +1,118 @@
+"""Segmentation evaluation: mIoU / pixel accuracy + prototype stats.
+
+Reference: ``segmentation/eval_valid.py`` — batched full-image forward,
+bilinear upsample of logits (and distances) to label size, pixel
+accuracy and per-class intersection/union ignoring void
+(eval_valid.py:158-219), plus interpretability statistics
+(nearest-prototype counts :191-198, top-K same-class purity :200-214).
+
+TPU-first: the forward, upsample, argmax, and confusion accumulation
+all run in one jit call; only a (C+1)² confusion matrix and small stat
+vectors return to the host per batch.  This is the headline-benchmark
+path: full-resolution 2048×1024 inference never round-trips logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.ops.resize import resize_bilinear
+
+
+def make_inference_fn(model: PPNet, num_classes: int,
+                      with_stats: bool = False) -> Callable:
+    """jitted: (params, constants, proto_class, images (B,H,W,3),
+    labels (B,H,W) raw) → dict with confusion (C,C), correct/total
+    pixel counts, and optional nearest-prototype stats.
+
+    ``labels`` are raw annotations: 0 = void, class c at value c+1
+    (reference eval_valid.py:178-189).
+    """
+
+    @jax.jit
+    def fn(params, constants, proto_class, images, labels):
+        variables = {"params": params, "constants": constants}
+        logits, dist = model.apply(variables, images, train=False,
+                                   return_distances=with_stats)
+        H, W = labels.shape[1], labels.shape[2]
+        logits = resize_bilinear(logits, (H, W))
+        pred = jnp.argmax(logits, axis=-1)                     # (B,H,W)
+
+        valid = labels > 0
+        gt = jnp.clip(labels.astype(jnp.int32) - 1, 0, num_classes - 1)
+
+        correct = jnp.sum(valid & (pred == gt))
+        total = jnp.sum(valid)
+
+        # per-class I and U with void-ignored union
+        # (reference eval_valid.py:182-189)
+        pred1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.int32)
+        gt1 = jax.nn.one_hot(gt, num_classes, dtype=jnp.int32) * \
+            valid[..., None].astype(jnp.int32)
+        inter = jnp.sum(pred1 * gt1, axis=(0, 1, 2))
+        union = jnp.sum(((pred1 + gt1) > 0) &
+                        valid[..., None], axis=(0, 1, 2))
+
+        out = {"intersection": inter, "union": union,
+               "correct": correct, "total": total, "pred": pred}
+
+        if with_stats:
+            # nearest prototype per pixel at the output grid, upsampled
+            # via nearest gather (the reference upsamples distances
+            # bilinearly then argmins; we argmin at the grid — same
+            # statistic family, far cheaper at 2048×1024)
+            nearest = jnp.argmin(dist, axis=-1)               # (B,h,w)
+            nearest_cls = proto_class[nearest]
+            out["nearest_proto"] = nearest
+            out["nearest_proto_class"] = nearest_cls
+        return out
+
+    return fn
+
+
+def mean_iou_from_confusion(intersection: np.ndarray, union: np.ndarray
+                            ) -> Tuple[float, Dict[int, float]]:
+    """mIoU over classes with nonzero union (reference eval_valid.py:218-219),
+    as percentages."""
+    ious = {int(c): float(intersection[c]) * 100.0 / float(union[c])
+            for c in range(len(union)) if union[c] > 0}
+    miou = float(np.mean(list(ious.values()))) if ious else 0.0
+    return miou, ious
+
+
+class SegEvaluator:
+    """Accumulates metrics over batches; mirrors eval_valid outputs."""
+
+    def __init__(self, model: PPNet, num_classes: int,
+                 with_stats: bool = False):
+        self.num_classes = num_classes
+        self.fn = make_inference_fn(model, num_classes, with_stats)
+        self.with_stats = with_stats
+        self.reset()
+
+    def reset(self):
+        self.intersection = np.zeros(self.num_classes, np.int64)
+        self.union = np.zeros(self.num_classes, np.int64)
+        self.correct = 0
+        self.total = 0
+
+    def update(self, params, constants, proto_class, images, labels
+               ) -> Dict[str, Any]:
+        out = self.fn(params, constants, proto_class,
+                      jnp.asarray(images), jnp.asarray(labels))
+        self.intersection += np.asarray(out["intersection"], np.int64)
+        self.union += np.asarray(out["union"], np.int64)
+        self.correct += int(out["correct"])
+        self.total += int(out["total"])
+        return out
+
+    def results(self) -> Dict[str, Any]:
+        miou, ious = mean_iou_from_confusion(self.intersection, self.union)
+        acc = self.correct * 100.0 / max(self.total, 1)
+        return {"mean_iou": miou, "iou_per_class": ious,
+                "pixel_accuracy": acc}

@@ -1,0 +1,225 @@
+"""Interpretability tests: push/nearest/prune/eval vs reference semantics."""
+
+import importlib.util
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adlm_tpu.core.config import DataConfig, ExperimentConfig, PPNetConfig, TrainConfig
+from adlm_tpu.models.ppnet import PPNet, default_proto_class
+from adlm_tpu.interpret.push import (
+    make_push_batch_fn,
+    patch_class_eligibility,
+    push_prototypes,
+)
+from adlm_tpu.interpret.nearest import find_k_nearest_patches
+from adlm_tpu.interpret.prune import prune_by_purity
+from adlm_tpu.interpret.evaluate import SegEvaluator, mean_iou_from_confusion
+from adlm_tpu.interpret.visualize import (
+    grow_high_activation_box,
+    high_activation_crop,
+)
+
+
+def _load_reference_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def tiny_cfg(num_classes=3, num_protos=6):
+    return PPNetConfig(num_prototypes=num_protos, num_classes=num_classes,
+                       prototype_channels=8, deeplab_n_features=8,
+                       deeplab_n_blocks=(1, 1, 1, 1), img_size=33)
+
+
+def _reference_eligibility(label, grid_hw, num_classes):
+    """Literal numpy re-implementation of the reference dict build
+    (reference segmentation/push.py:214-230)."""
+    H, W = label.shape
+    h, w = grid_hw
+    ph, pw = H / h, W / w
+    d = {c: set() for c in range(num_classes)}
+    for i in range(H):
+        pi = int(i / ph)
+        for j in range(W):
+            pj = int(j / pw)
+            c = int(label[i, j])
+            if c > 0:
+                d[c - 1].add((pi, pj))
+    elig = np.zeros((h, w, num_classes), bool)
+    for c, patches in d.items():
+        for (pi, pj) in patches:
+            elig[pi, pj, c] = True
+    return elig
+
+
+def test_patch_class_eligibility_matches_reference_loop():
+    rng = np.random.RandomState(0)
+    label = rng.randint(0, 4, size=(33, 47))
+    got = np.asarray(patch_class_eligibility(jnp.asarray(label), (5, 7), 3))
+    expected = _reference_eligibility(label, (5, 7), 3)
+    np.testing.assert_array_equal(got, expected)
+
+
+def _make_model_and_data(seed=0, n_imgs=3, num_classes=3, num_protos=6):
+    cfg = tiny_cfg(num_classes, num_protos)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(seed)
+    H = W = 33
+    images = [rng.rand(1, H, W, 3).astype(np.float32) for _ in range(n_imgs)]
+    labels = [rng.randint(0, num_classes + 1, size=(1, H, W)).astype(np.int32)
+              for _ in range(n_imgs)]
+    v = model.init(jax.random.PRNGKey(seed), images[0])
+    pc = default_proto_class(num_protos, num_classes)
+    return model, v["params"], v.get("constants", {}), pc, images, labels
+
+
+def _reference_push_simulation(model, params, constants, pc, images, labels,
+                               num_classes):
+    """Replicates the reference push scan (segmentation/push.py:101-280)
+    in numpy, using the model's own forward outputs."""
+    P = np.asarray(params["prototype_vectors"]).shape[0]
+    gmin = np.full(P, np.inf)
+    gfmap = np.zeros((P, np.asarray(params["prototype_vectors"]).shape[1]))
+    winners = np.full(P, -1)
+    for idx, (img, lab) in enumerate(zip(images, labels)):
+        f, d = model.apply({"params": params, "constants": constants},
+                           jnp.asarray(img), method=PPNet.push_forward)
+        f = np.asarray(f[0])
+        d = np.asarray(d[0])
+        h, w = d.shape[0], d.shape[1]
+        elig = _reference_eligibility(lab[0], (h, w), num_classes)
+        for j in range(P):
+            c = int(pc[j])
+            idxs = np.argwhere(elig[:, :, c])
+            if len(idxs) == 0:
+                continue
+            dists = d[idxs[:, 0], idxs[:, 1], j]
+            a = int(np.argmin(dists))
+            if dists[a] < gmin[j]:
+                gmin[j] = dists[a]
+                gfmap[j] = f[idxs[a, 0], idxs[a, 1]]
+                winners[j] = idx
+    return gmin, gfmap, winners
+
+
+def test_push_matches_reference_scan():
+    model, params, constants, pc, images, labels = _make_model_and_data()
+    ref_min, ref_fmap, ref_winners = _reference_push_simulation(
+        model, params, constants, pc, images, labels, 3)
+
+    new_params, new_pc, info = push_prototypes(
+        model, params, constants, pc, list(zip(images, labels)), 3,
+        dedup=False, log=lambda *_: None)
+
+    np.testing.assert_allclose(info["min_distances"], ref_min,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["prototype_vectors"]), ref_fmap,
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(info["proto_rf_boxes"][:, 0], ref_winners)
+
+
+def test_push_dedup_prunes_duplicates():
+    # two prototypes of the same class converge to the same patch →
+    # identical vectors → dedup keeps one (reference push.py:148-155)
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=3, n_imgs=2)
+    new_params, new_pc, info = push_prototypes(
+        model, params, constants, pc, list(zip(images, labels)), 3,
+        dedup=True, log=lambda *_: None)
+    P_new = np.asarray(new_params["prototype_vectors"]).shape[0]
+    assert P_new == len(info["unique_index"])
+    assert np.asarray(new_params["last_layer"]).shape[0] == P_new
+    # every kept vector unique
+    vecs = np.asarray(new_params["prototype_vectors"])
+    assert len(np.unique(vecs, axis=0)) == P_new
+
+
+def test_find_k_nearest_and_prune():
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=4, n_imgs=4)
+    ids = find_k_nearest_patches(model, params, constants, pc,
+                                 list(zip(images, labels)), 3, k=3)
+    assert ids.shape == (6, 3)
+    assert ids.min() >= -1 and ids.max() < 3
+
+    new_params, new_pc, prune_info = prune_by_purity(
+        model, params, constants, pc, list(zip(images, labels)), 3,
+        k=3, prune_threshold=0, log=lambda *_: None)
+    # threshold 0 prunes nothing
+    assert np.asarray(new_params["prototype_vectors"]).shape[0] == 6
+    assert prune_info.shape[1] == 2
+
+
+def test_nearest_majority_label_semantics():
+    """Patch label = target class if present else pixel majority
+    (reference find_nearest.py:199-206)."""
+    from adlm_tpu.interpret.nearest import make_nearest_batch_fn
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=5, n_imgs=1)
+    fn = make_nearest_batch_fn(model, 3)
+    mind, lab = fn(params, constants, pc, jnp.asarray(images[0]),
+                   jnp.asarray(labels[0]))
+    assert lab.shape == (6,)
+    assert int(lab.min()) >= -1 and int(lab.max()) < 3
+
+
+def test_evaluator_miou_matches_manual():
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=6, n_imgs=2)
+    ev = SegEvaluator(model, 3)
+    for img, lab in zip(images, labels):
+        out = ev.update(params, constants, pc, img, lab)
+    res = ev.results()
+
+    # manual accumulation replicating reference counters
+    # (eval_valid.py:178-189)
+    from adlm_tpu.ops.resize import resize_bilinear
+    I = np.zeros(3, np.int64)
+    U = np.zeros(3, np.int64)
+    correct = total = 0
+    for img, lab in zip(images, labels):
+        logits, _ = model.apply({"params": params, "constants": constants},
+                                jnp.asarray(img), train=False)
+        up = np.asarray(resize_bilinear(logits, lab.shape[1:]))
+        pred = np.argmax(up, -1)[0]
+        ann = lab[0]
+        correct += np.sum(((pred + 1) == ann) & (ann != 0))
+        total += np.sum(ann != 0)
+        for c in range(3):
+            pr = pred == c
+            gt = ann == c + 1
+            I[c] += np.sum(pr & gt)
+            U[c] += np.sum((pr | gt) & (ann != 0))
+    miou_manual, _ = mean_iou_from_confusion(I, U)
+    np.testing.assert_allclose(res["mean_iou"], miou_manual, rtol=1e-5)
+    np.testing.assert_allclose(res["pixel_accuracy"],
+                               correct * 100.0 / total, rtol=1e-5)
+
+
+def test_grow_box_matches_reference_helper():
+    ref = _load_reference_module("ref_helpers", "/root/reference/helpers.py")
+    rng = np.random.RandomState(7)
+    act = rng.rand(40, 50)
+    for seed_box in [(10, 13, 20, 23), (0, 3, 0, 3), (37, 40, 47, 50)]:
+        thr = np.percentile(act, 95)
+        ours = grow_high_activation_box(act, seed_box, thr)
+        theirs = ref.find_continuous_high_activation_crop(
+            act, list(seed_box), thr)
+        assert ours == tuple(theirs), (seed_box, ours, theirs)
+
+
+def test_high_activation_crop_matches_reference_helper():
+    ref = _load_reference_module("ref_helpers2", "/root/reference/helpers.py")
+    rng = np.random.RandomState(8)
+    act = rng.rand(30, 30)
+    ours = high_activation_crop(act, 95)
+    theirs = ref.find_high_activation_crop(act, 95)
+    assert ours == tuple(theirs)
