@@ -1,0 +1,135 @@
+"""npy-backed segmentation dataset with reference-parity augmentation.
+
+Disk layout (identical to the reference's preprocessed layout,
+reference segmentation/dataset.py:55,72,86):
+
+    DATA_PATH/
+      all_images.json                      # {split: [img_id, ...]}
+      img_with_margin_<m>/<split>/<id>.npy # HWC uint8 images (+.png for push)
+      annotations/<split>/<id>.npy         # HW integer labels
+
+Training augmentation matches reference dataset.py:119-173: class-table
+remap, random scale ∈ scales, /255 (unless cells), pad to window with
+dataset mean, random crop, random hflip, normalize.  Image resampling
+uses PIL bilinear (the reference uses cv2.INTER_LINEAR; equivalent
+family, not bit-identical) and label resampling PIL-exact nearest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from adlm_tpu.core.config import DataConfig
+from adlm_tpu.data.constants import get_class_table
+
+
+class SegmentationDataset:
+    def __init__(self, cfg: DataConfig, split_key: str,
+                 data_path: Optional[str] = None,
+                 is_eval: bool = False,
+                 push_prototypes: bool = False):
+        self.cfg = cfg
+        self.split_key = split_key
+        self.is_eval = is_eval
+        self.push_prototypes = push_prototypes
+        self.table = get_class_table(cfg.class_table)
+        self.data_path = data_path or os.environ.get("DATA_PATH", "")
+        self.img_dir = os.path.join(
+            self.data_path, f"img_with_margin_{cfg.image_margin_size}",
+            split_key)
+        self.annotations_dir = os.path.join(self.data_path, "annotations",
+                                            split_key)
+        with open(os.path.join(self.data_path, "all_images.json")) as f:
+            self.img_ids: List[str] = json.load(f)[split_key]
+        self.rng = random.Random()
+
+    def __len__(self) -> int:
+        return len(self.img_ids)
+
+    def get_img_path(self, img_id: str) -> str:
+        return os.path.join(self.img_dir, img_id + ".npy")
+
+    def _load_raw(self, img_id: str) -> Tuple[np.ndarray, np.ndarray]:
+        image = np.load(self.get_img_path(img_id)).astype(np.uint8)
+        label = np.load(os.path.join(self.annotations_dir, img_id + ".npy"))
+        if label.ndim == 3:
+            label = label[:, :, 0]
+        label = self.table.convert_labels(label).astype(np.int32)
+        m = self.cfg.image_margin_size
+        if m != 0:
+            image = image[m:-m, m:-m]
+        return image, label
+
+    def get_eval_item(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Full-resolution normalized image + raw training-id label
+        (eval/push path — no augmentation, reference eval_valid.py:136-156)."""
+        image, label = self._load_raw(self.img_ids[index])
+        img = image.astype(np.float32)
+        if not self.cfg.cells:
+            img = img / 255.0
+        img = (img - np.asarray(self.cfg.mean, np.float32)) / \
+            np.asarray(self.cfg.std, np.float32)
+        return img, label
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        image, label = self._load_raw(self.img_ids[index])
+        h, w = label.shape
+
+        # random scale jitter (reference dataset.py:120-128)
+        if len(self.cfg.scales) >= 2 and not self.is_eval:
+            s = self.rng.uniform(self.cfg.scales[0], self.cfg.scales[1])
+        else:
+            s = 1.0
+        nh, nw = int(h * s), int(w * s)
+        if (nh, nw) != (h, w):
+            image = np.asarray(Image.fromarray(image).resize(
+                (nw, nh), resample=Image.BILINEAR))
+            label = np.asarray(Image.fromarray(label.astype(np.int32),
+                                               mode="I").resize(
+                (nw, nh), resample=Image.NEAREST), dtype=np.int64)
+        label = label.astype(np.int64)
+
+        img = image.astype(np.float32)
+        if not self.cfg.cells:
+            img = img / 255.0
+
+        # pad to window with dataset mean (reference dataset.py:137-149)
+        wh, ww = self.cfg.window_size
+        pad_h = max(wh - label.shape[0], 0)
+        pad_w = max(ww - label.shape[1], 0)
+        if pad_h or pad_w:
+            img = np.stack([
+                np.pad(img[:, :, c], ((0, pad_h), (0, pad_w)),
+                       constant_values=self.cfg.mean[c])
+                for c in range(img.shape[2])], axis=-1)
+            label = np.pad(label, ((0, pad_h), (0, pad_w)),
+                           constant_values=0)
+
+        # random crop (reference dataset.py:151-158)
+        h, w = label.shape
+        sh = self.rng.randint(0, h - wh) if h > wh else 0
+        sw = self.rng.randint(0, w - ww) if w > ww else 0
+        img = img[sh:sh + wh, sw:sw + ww]
+        label = label[sh:sh + wh, sw:sw + ww]
+
+        # random hflip (reference dataset.py:160-163)
+        if not self.is_eval and self.rng.random() < 0.5:
+            img = img[:, ::-1].copy()
+            label = label[:, ::-1].copy()
+
+        # normalize (reference dataset.py:77-79; push skips it)
+        if not self.push_prototypes:
+            img = (img - np.asarray(self.cfg.mean, np.float32)) / \
+                np.asarray(self.cfg.std, np.float32)
+        return img.astype(np.float32), label
+
+    def eval_items(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for i in range(len(self)):
+            img, lab = self.get_eval_item(i)
+            yield img[None], lab[None]

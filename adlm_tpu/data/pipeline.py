@@ -1,0 +1,69 @@
+"""Input pipeline: super-batch assembly + background prefetch.
+
+The training step consumes whole gradient-accumulation windows
+(iter_size, micro_bs, H, W, 3) in one jit call, so the loader builds
+those directly.  A small background thread pool keeps the next window
+ready while the device computes (the reference relies on torch
+DataLoader workers, reference data_module.py:26-39).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from adlm_tpu.data.dataset import SegmentationDataset
+
+
+def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
+                        batch_size: int, steps: int,
+                        seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yields ``steps`` windows of (iter_size, batch_size, H, W, 3) /
+    (iter_size, batch_size, H, W), sampling the dataset cyclically in
+    shuffled epochs."""
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(dataset))
+    pos = 0
+    per_window = iter_size * batch_size
+    for _ in range(steps):
+        images, labels = [], []
+        for _ in range(per_window):
+            if pos >= len(order):
+                order = rng.permutation(len(dataset))
+                pos = 0
+            img, lab = dataset[int(order[pos])]
+            pos += 1
+            images.append(img)
+            labels.append(lab)
+        h, w = images[0].shape[:2]
+        img_arr = np.stack(images).reshape(iter_size, batch_size, h, w, 3)
+        lab_arr = np.stack(labels).reshape(iter_size, batch_size, h, w)
+        yield img_arr, lab_arr
+
+
+class BatchLoader:
+    """Wraps an iterator with a one-deep background prefetch thread."""
+
+    def __init__(self, it: Iterator, prefetch: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item

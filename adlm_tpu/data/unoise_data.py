@@ -1,0 +1,86 @@
+"""U-Noise data pipeline: Pancreas slice arrays → train/val/test splits.
+
+Reference semantics (reference src/data.py:41-93): keep only slices
+with bounding boxes, ORDERED 80/10/10 split (no shuffle — consecutive
+slices belong to the same patient, so shuffling would leak), tile 1→3
+channels, ImageNet-normalize.  Training augmentation: horizontal flip +
+light photometric jitter (the reference's albumentations
+elastic/grid/optical distortions are approximated by flip + contrast /
+gamma / brightness; geometric warps are a TODO noted here).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+class UNoiseDataset:
+    def __init__(self, images: np.ndarray, masks: np.ndarray,
+                 augment: bool = False, seed: int = 0):
+        # 1-channel → 3-channel tile (reference src/data.py:48)
+        self.images = np.tile(images[..., None], (1, 1, 1, 3)).astype(
+            np.float32)
+        self.masks = (masks > 0).astype(np.float32)
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img = self.images[idx]
+        mask = self.masks[idx]
+        if self.augment:
+            if self.rng.rand() < 0.5:
+                img = img[:, ::-1].copy()
+                mask = mask[:, ::-1].copy()
+            if self.rng.rand() < 0.3:
+                mode = self.rng.randint(3)
+                if mode == 0:    # contrast
+                    c = self.rng.uniform(0.8, 1.2)
+                    img = np.clip((img - 0.5) * c + 0.5, 0, 1)
+                elif mode == 1:  # gamma
+                    g = self.rng.uniform(0.8, 1.2)
+                    img = np.clip(img, 0, 1) ** g
+                else:            # brightness
+                    img = np.clip(img + self.rng.uniform(-0.2, 0.2), 0, 1)
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        return img.astype(np.float32), mask[..., None]
+
+
+def split_datasets(images: np.ndarray, masks: np.ndarray,
+                   boxes: Optional[np.ndarray] = None,
+                   seed: int = 0
+                   ) -> Tuple[UNoiseDataset, UNoiseDataset, UNoiseDataset]:
+    """Ordered patient-safe 80/10/10 split (reference src/data.py:67-87)."""
+    if boxes is not None:
+        positive = np.asarray([b is not None for b in boxes])
+        images = images[positive]
+        masks = masks[positive]
+    n = images.shape[0]
+    s0, s1 = int(n * 0.8), int(n * 0.9)
+    return (
+        UNoiseDataset(images[:s0], masks[:s0], augment=True, seed=seed),
+        UNoiseDataset(images[s0:s1], masks[s0:s1]),
+        UNoiseDataset(images[s1:], masks[s1:]),
+    )
+
+
+def batches(ds: UNoiseDataset, batch_size: int, shuffle: bool = False,
+            seed: int = 0, drop_last: bool = False
+            ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    order = np.arange(len(ds))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        items = [ds[int(j)] for j in idx]
+        yield (np.stack([x for x, _ in items]),
+               np.stack([y for _, y in items]))

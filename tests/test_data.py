@@ -1,0 +1,132 @@
+"""Data-layer tests: class tables, dataset aug, splits, preprocessors."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from adlm_tpu.core.config import DataConfig
+from adlm_tpu.data.constants import get_class_table
+from adlm_tpu.data.dataset import SegmentationDataset
+from adlm_tpu.data.pipeline import BatchLoader, superbatch_iterator
+from adlm_tpu.data.unoise_data import UNoiseDataset, batches, split_datasets
+from adlm_tpu.data.preprocess import (
+    add_margins_to_image,
+    generate_image_list,
+)
+
+
+def test_cityscapes_table_matches_reference():
+    import importlib.util, sys
+    spec = importlib.util.spec_from_file_location(
+        "ref_constants", "/root/reference/segmentation/constants.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    t = get_class_table("cityscapes")
+    assert dict(t.convert) == ref.CITYSCAPES_19_EVAL_CATEGORIES
+    assert list(t.categories) == ref.CITYSCAPES_CATEGORIES
+    p = get_class_table("pascal")
+    assert dict(p.convert) == ref.PASCAL_ID_MAPPING
+    assert list(p.categories) == ref.PASCAL_CATEGORIES
+    # remap matches np.vectorize(dict.get) on realistic labels
+    rng = np.random.RandomState(0)
+    lab = rng.randint(0, 29, size=(20, 20))
+    got = t.convert_labels(lab)
+    expected = np.vectorize(ref.CITYSCAPES_19_EVAL_CATEGORIES.get)(lab)
+    np.testing.assert_array_equal(got, expected)
+
+
+def _write_fake_dataset(root, n=3, hw=(40, 60), n_classes_raw=29):
+    rng = np.random.RandomState(0)
+    img_dir = os.path.join(root, "img_with_margin_0", "train")
+    ann_dir = os.path.join(root, "annotations", "train")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    ids = []
+    for i in range(n):
+        img_id = f"img{i}"
+        ids.append(img_id)
+        np.save(os.path.join(img_dir, img_id + ".npy"),
+                rng.randint(0, 255, size=(*hw, 3)).astype(np.uint8))
+        np.save(os.path.join(ann_dir, img_id + ".npy"),
+                rng.randint(0, n_classes_raw, size=hw).astype(np.uint8))
+    with open(os.path.join(root, "all_images.json"), "w") as f:
+        json.dump({"train": ids}, f)
+    return ids
+
+
+def test_segmentation_dataset_getitem(tmp_path):
+    root = str(tmp_path)
+    _write_fake_dataset(root)
+    cfg = DataConfig(class_table="cityscapes", window_size=(33, 33),
+                     scales=(0.5, 1.5))
+    ds = SegmentationDataset(cfg, "train", data_path=root)
+    assert len(ds) == 3
+    img, lab = ds[0]
+    assert img.shape == (33, 33, 3) and img.dtype == np.float32
+    assert lab.shape == (33, 33)
+    assert lab.min() >= 0 and lab.max() <= 19
+    # eval item: full res, normalized
+    img_e, lab_e = ds.get_eval_item(0)
+    assert img_e.shape == (40, 60, 3)
+    assert lab_e.shape == (40, 60)
+
+
+def test_superbatch_iterator_shapes(tmp_path):
+    root = str(tmp_path)
+    _write_fake_dataset(root)
+    cfg = DataConfig(class_table="cityscapes", window_size=(33, 33))
+    ds = SegmentationDataset(cfg, "train", data_path=root)
+    it = superbatch_iterator(ds, iter_size=2, batch_size=2, steps=3)
+    loader = BatchLoader(it)
+    windows = list(loader)
+    assert len(windows) == 3
+    img, lab = windows[0]
+    assert img.shape == (2, 2, 33, 33, 3)
+    assert lab.shape == (2, 2, 33, 33)
+
+
+def test_unoise_split_is_ordered():
+    rng = np.random.RandomState(1)
+    images = rng.rand(20, 16, 16).astype(np.float32)
+    masks = (rng.rand(20, 16, 16) > 0.7).astype(np.float32)
+    boxes = [None if i % 5 == 0 else np.zeros(4) for i in range(20)]
+    train, val, test = split_datasets(images, masks, boxes)
+    n = 16  # 4 filtered out
+    assert len(train) == int(n * 0.8)
+    assert len(val) == int(n * 0.9) - int(n * 0.8)
+    assert len(test) == n - int(n * 0.9)
+    img, mask = train[0]
+    assert img.shape == (16, 16, 3)
+    assert mask.shape == (16, 16, 1)
+    # images kept in order: normalized first positive slice
+    first_pos = images[1]
+    got = val[0]  # deterministic, no augmentation
+
+    b = list(batches(val, 2))
+    assert b[0][0].shape[0] == 2
+
+
+def test_add_margins_roundtrip():
+    from PIL import Image
+    rng = np.random.RandomState(2)
+    arr = rng.randint(0, 255, size=(10, 12, 3)).astype(np.uint8)
+    out = add_margins_to_image(Image.fromarray(arr), 3)
+    out_arr = np.asarray(out)
+    assert out_arr.shape == (16, 18, 3)
+    np.testing.assert_array_equal(out_arr[3:-3, 3:-3], arr)
+    # mirrored left margin
+    np.testing.assert_array_equal(out_arr[3:-3, 2], arr[:, 0])
+    np.testing.assert_array_equal(out_arr[3:-3, 0], arr[:, 2])
+
+
+def test_generate_image_list(tmp_path):
+    root = str(tmp_path)
+    ids = _write_fake_dataset(root, n=4)
+    os.remove(os.path.join(root, "all_images.json"))
+    out = generate_image_list(root)
+    assert out["train"] == sorted(ids)
+    with open(os.path.join(root, "all_images.json")) as f:
+        assert json.load(f) == out
