@@ -1,0 +1,288 @@
+"""Command-line entry points.
+
+Mirrors the reference's entry points (reference SURVEY layer map):
+
+    python -m adlm_tpu.cli train <experiment> <run_name> [--pruned]
+    python -m adlm_tpu.cli eval-valid <run_dir> <stage>
+    python -m adlm_tpu.cli eval-test <run_dir> <stage>
+    python -m adlm_tpu.cli prune <run_dir>
+    python -m adlm_tpu.cli unoise-train-util / unoise-train-noise
+    python -m adlm_tpu.cli preprocess-cityscapes / -pascal / -pancreas /
+        prepare-unoise / gen-image-list
+
+Environment: DATA_PATH (dataset root), RESULTS_DIR (run outputs) — same
+contract as the reference's env.sh / settings.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+    cache = os.environ.get("JAX_CACHE_DIR", os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _results_dir(run_name: str) -> str:
+    base = os.environ.get("RESULTS_DIR", "./runs")
+    return os.path.join(base, run_name)
+
+
+def cmd_train(args):
+    _enable_compile_cache()
+    from adlm_tpu.core.config import get_experiment
+    from adlm_tpu.train.pipeline import run_protoseg_training
+
+    cfg = get_experiment(args.experiment)
+    run_dir = _results_dir(args.run_name)
+    os.makedirs(run_dir, exist_ok=True)
+    run_protoseg_training(
+        cfg, run_dir, data_path=args.data_path, pruned=args.pruned,
+        start_checkpoint=args.start_checkpoint,
+        val_every=args.val_every, steps_scale=args.steps_scale,
+        save_push_visualizations=args.save_push_visualizations)
+
+
+def cmd_eval_valid(args):
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.dataset import SegmentationDataset
+    from adlm_tpu.interpret.evaluate import SegEvaluator
+    from adlm_tpu.models.ppnet import PPNet
+
+    store = CheckpointStore(args.run_dir)
+    cfg = ExperimentConfig.from_json(store.load_config_json())
+    payload = store.restore(args.stage, args.kind)
+    params = payload["params"]
+    proto_class = jnp.asarray(payload["proto_class"])
+    n_proto = int(np.asarray(params["prototype_vectors"]).shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    model = PPNet(cfg=cfg.model)
+
+    ds = SegmentationDataset(cfg.data, args.split,
+                             data_path=args.data_path, is_eval=True)
+    ev = SegEvaluator(model, cfg.model.num_classes)
+    for i, (img, lab) in enumerate(ds.eval_items()):
+        ev.update(params, payload["constants"], proto_class, img, lab)
+        if args.max_images and i + 1 >= args.max_images:
+            break
+    res = ev.results()
+    out_dir = os.path.join(args.run_dir, "evaluation", args.stage)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "mean_iou.txt"), "w") as f:
+        f.write(str(res["mean_iou"]))
+    with open(os.path.join(out_dir, "iou_scores.json"), "w") as f:
+        json.dump(res["iou_per_class"], f)
+    print(json.dumps(res, indent=2, default=float))
+
+
+def cmd_eval_test(args):
+    """Save per-image greyscale prediction PNGs mapped back to source
+    dataset ids (reference segmentation/eval_test.py:53-115)."""
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from PIL import Image
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.constants import get_class_table
+    from adlm_tpu.data.dataset import SegmentationDataset
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+    from adlm_tpu.models.ppnet import PPNet
+
+    store = CheckpointStore(args.run_dir)
+    cfg = ExperimentConfig.from_json(store.load_config_json())
+    payload = store.restore(args.stage, args.kind)
+    params = payload["params"]
+    proto_class = jnp.asarray(payload["proto_class"])
+    n_proto = int(np.asarray(params["prototype_vectors"]).shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    model = PPNet(cfg=cfg.model)
+    table = get_class_table(cfg.data.class_table)
+
+    # eval-id → source-dataset-id inverse map (Cityscapes submission
+    # format, reference eval_test.py:27-44)
+    inverse = {}
+    if table.convert:
+        for raw, train_id in table.convert.items():
+            if train_id > 0 and train_id not in inverse:
+                inverse[train_id] = raw
+    lut = np.arange(cfg.model.num_classes, dtype=np.uint8)
+    for train_id, raw in inverse.items():
+        if train_id - 1 < len(lut):
+            lut[train_id - 1] = raw
+
+    ds = SegmentationDataset(cfg.data, args.split,
+                             data_path=args.data_path, is_eval=True)
+    fn = make_inference_fn(model, cfg.model.num_classes)
+    out_dir = os.path.join(args.run_dir, "evaluation", args.stage,
+                           "test_predictions")
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (img, lab) in enumerate(ds.eval_items()):
+        out = fn(params, payload["constants"], proto_class,
+                 jnp.asarray(img), jnp.asarray(lab))
+        pred = np.asarray(out["pred"][0]).astype(np.uint8)
+        Image.fromarray(lut[pred]).save(
+            os.path.join(out_dir, ds.img_ids[i] + ".png"))
+        if args.max_images and i + 1 >= args.max_images:
+            break
+    print(f"wrote predictions to {out_dir}")
+
+
+def cmd_prune(args):
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.dataset import SegmentationDataset
+    from adlm_tpu.interpret.prune import prune_by_purity
+    from adlm_tpu.models.ppnet import PPNet
+
+    store = CheckpointStore(args.run_dir)
+    cfg = ExperimentConfig.from_json(store.load_config_json())
+    payload = store.restore("push", args.kind)
+    params = payload["params"]
+    proto_class = jnp.asarray(payload["proto_class"])
+    n_proto = int(np.asarray(params["prototype_vectors"]).shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    model = PPNet(cfg=cfg.model)
+
+    ds = SegmentationDataset(cfg.data, cfg.data.train_key,
+                             data_path=args.data_path, is_eval=True,
+                             push_prototypes=True)
+    new_params, new_pc, prune_info = prune_by_purity(
+        model, params, payload["constants"], proto_class,
+        ds.eval_items(), cfg.model.num_classes, k=args.k,
+        prune_threshold=args.threshold)
+    store.save("pruned", "last", {
+        "params": dict(new_params), "constants": dict(payload["constants"]),
+        "proto_class": new_pc, "step": payload["step"]})
+    np.save(os.path.join(args.run_dir, "prune_info.npy"), prune_info)
+    print(f"pruned {prune_info.shape[0]} prototypes; finetune with "
+          f"`train ... --pruned`")
+
+
+def cmd_unoise_train_util(args):
+    _enable_compile_cache()
+    from adlm_tpu.train.unoise_pipeline import train_utility
+    train_utility(args)
+
+
+def cmd_unoise_train_noise(args):
+    _enable_compile_cache()
+    from adlm_tpu.train.unoise_pipeline import train_noise
+    train_noise(args)
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="adlm_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tp = sub.add_parser("train")
+    tp.add_argument("experiment")
+    tp.add_argument("run_name")
+    tp.add_argument("--pruned", action="store_true")
+    tp.add_argument("--start-checkpoint", default=None)
+    tp.add_argument("--data-path", default=None)
+    tp.add_argument("--val-every", type=int, default=500)
+    tp.add_argument("--steps-scale", type=float, default=1.0)
+    tp.add_argument("--save-push-visualizations", action="store_true")
+    tp.set_defaults(fn=cmd_train)
+
+    for name, fn in (("eval-valid", cmd_eval_valid),
+                     ("eval-test", cmd_eval_test)):
+        ep = sub.add_parser(name)
+        ep.add_argument("run_dir")
+        ep.add_argument("stage", choices=["warmup", "nopush", "push",
+                                          "pruned"])
+        ep.add_argument("--kind", default="last", choices=["last", "best"])
+        ep.add_argument("--split", default="val")
+        ep.add_argument("--data-path", default=None)
+        ep.add_argument("--max-images", type=int, default=0)
+        ep.set_defaults(fn=fn)
+
+    pp = sub.add_parser("prune")
+    pp.add_argument("run_dir")
+    pp.add_argument("--kind", default="last")
+    pp.add_argument("--data-path", default=None)
+    pp.add_argument("--k", type=int, default=6)
+    pp.add_argument("--threshold", type=int, default=3)
+    pp.set_defaults(fn=cmd_prune)
+
+    up = sub.add_parser("unoise-train-util")
+    up.add_argument("--imgs", default="data/images.npy")
+    up.add_argument("--masks", default="data/masks.npy")
+    up.add_argument("--boxes", default="data/bounding_boxes.npy")
+    up.add_argument("--run-name", default="unoise_util")
+    up.add_argument("--depth", type=int, default=5)
+    up.add_argument("--channel-factor", type=int, default=6)
+    up.add_argument("--learning-rate", type=float, default=3e-3)
+    up.add_argument("--batch-size", type=int, default=8)
+    up.add_argument("--epochs", type=int, default=100)
+    up.set_defaults(fn=cmd_unoise_train_util)
+
+    np_ = sub.add_parser("unoise-train-noise")
+    np_.add_argument("--imgs", default="data/images.npy")
+    np_.add_argument("--masks", default="data/masks.npy")
+    np_.add_argument("--boxes", default="data/bounding_boxes.npy")
+    np_.add_argument("--run-name", default="unoise_noise")
+    np_.add_argument("--utility-run", default="unoise_util")
+    np_.add_argument("--depth", type=int, default=5)
+    np_.add_argument("--channel-factor", type=int, default=6)
+    np_.add_argument("--learning-rate", type=float, default=3e-3)
+    np_.add_argument("--batch-size", type=int, default=8)
+    np_.add_argument("--epochs", type=int, default=100)
+    np_.add_argument("--min-scale", type=float, default=1.0)
+    np_.add_argument("--max-scale", type=float, default=5.0)
+    np_.add_argument("--noise-coeff", type=float, default=0.001)
+    np_.set_defaults(fn=cmd_unoise_train_noise)
+
+    for name, module_fn in (
+            ("preprocess-cityscapes", "preprocess_cityscapes"),
+            ("preprocess-pascal", "preprocess_pascal"),
+            ("preprocess-pancreas", "preprocess_pancreas"),
+            ("prepare-unoise", "prepare_unoise_data")):
+        sp = sub.add_parser(name)
+        sp.add_argument("source_path")
+        sp.add_argument("target_path")
+        def _mk(fn_name):
+            def run(args):
+                import adlm_tpu.data.preprocess as pre
+                getattr(pre, fn_name)(args.source_path, args.target_path)
+            return run
+        sp.set_defaults(fn=_mk(module_fn))
+
+    gp = sub.add_parser("gen-image-list")
+    gp.add_argument("target_path")
+    gp.set_defaults(fn=lambda a: __import__(
+        "adlm_tpu.data.preprocess", fromlist=["generate_image_list"]
+    ).generate_image_list(a.target_path))
+
+    bp = sub.add_parser("bench")
+    bp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

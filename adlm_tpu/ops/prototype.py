@@ -103,8 +103,12 @@ def _head_kernel(x_ref, pt_ref, p2_ref, w_ref, logits_ref, dist_ref,
     x2 = jnp.sum(xf * xf, axis=1, keepdims=True)  # (TN, 1)
     # HIGHEST: full-f32 MXU passes — distance argmin parity in push
     # depends on accurate distances (bf16 default is ~1e-3 rel error).
+    # For bf16 inputs the MXU is already at native precision (HIGHEST is
+    # rejected by Mosaic for bf16 lhs).
+    precision = (None if x.dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
     xp = jnp.dot(x, pt_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # (TN, P)
+                 precision=precision)  # (TN, P)
     d = jnp.maximum(x2 - 2.0 * xp + p2_ref[:], 0.0)
     if emit_dist:
         dist_ref[:] = d

@@ -1,0 +1,73 @@
+"""Sharded training and inference over a (data, model) mesh.
+
+The reference is single-GPU end to end (Trainer.gpus=1 in every config);
+this module is the scaling story the reference never had:
+
+* **training** — batch sharded over the ``data`` axis, parameters and
+  optimizer state replicated; XLA inserts the gradient ``psum`` over ICI
+  from the sharding annotations alone (the scaling-book recipe: pick a
+  mesh, annotate, let the compiler place collectives).
+* **full-res inference** — images sharded over ``data`` (batch) and the
+  ``model`` axis splits H (spatial / "context" parallelism for
+  2048×1024 eval); XLA handles conv halo exchanges.
+* prototype banks are small (≤210×64) so they stay replicated by
+  default; `prototype_sharding` exists for much larger banks.
+
+Multi-host: initialize ``jax.distributed`` first; the same annotations
+then span DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from adlm_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from adlm_tpu.core.config import ExperimentConfig
+from adlm_tpu.models.ppnet import PPNet
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate a train state across the mesh."""
+    repl = NamedSharding(mesh, P())
+    return jax.device_put(state, repl)
+
+
+def make_sharded_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
+                            mesh: Mesh, max_steps: Optional[int] = None):
+    """Train step with explicit shardings: super-batch
+    (iter_size, micro_bs, H, W, C) sharded on micro_bs over ``data``."""
+    from adlm_tpu.train.protoseg import make_train_step
+
+    inner = make_train_step(model, cfg, phase, max_steps)
+    repl = NamedSharding(mesh, P())
+    batch_img = NamedSharding(mesh, P(None, DATA_AXIS))
+    batch_lab = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    return jax.jit(
+        inner.__wrapped__,  # re-jit the underlying fn with shardings
+        in_shardings=(repl, batch_img, batch_lab),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
+                              spatial: bool = True,
+                              with_stats: bool = False):
+    """Full-res eval fn: batch over ``data``, H over ``model`` (spatial
+    sharding — the segmentation analogue of context parallelism)."""
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+
+    inner = make_inference_fn(model, num_classes, with_stats)
+    repl = NamedSharding(mesh, P())
+    img_spec = P(DATA_AXIS, MODEL_AXIS) if spatial else P(DATA_AXIS)
+    img_shard = NamedSharding(mesh, img_spec)
+    lab_shard = NamedSharding(mesh, img_spec)
+
+    return jax.jit(
+        inner.__wrapped__,
+        in_shardings=(repl, repl, repl, img_shard, lab_shard),
+        out_shardings=None,
+    )

@@ -1,0 +1,237 @@
+"""ProtoSeg phase orchestration: warmup → joint → push → finetune.
+
+Mirrors the reference driver (reference segmentation/train.py:34-233):
+
+* phase 0 warmup for ``warmup_steps`` (skipped if 0)
+* phase 1 joint for ``joint_steps`` with poly LR
+* prototype push over the train split (eval transforms, no aug)
+* phase 2 last-layer finetune with early stopping on val accuracy
+* ``pruned=True`` skips to finetuning a previously pruned model
+  (reference train.py:197-233)
+
+Checkpoints are stage-keyed ``{warmup,nopush,push,pruned}_{last,best}``
+(reference module.py:285-297) holding {params, constants, proto_class,
+step} pytrees plus the experiment config JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.core.checkpoint import CheckpointStore
+from adlm_tpu.core.config import ExperimentConfig
+from adlm_tpu.data.constants import get_class_table
+from adlm_tpu.data.dataset import SegmentationDataset
+from adlm_tpu.data.pipeline import BatchLoader, superbatch_iterator
+from adlm_tpu.models.ppnet import PPNet, default_proto_class
+from adlm_tpu.train.protoseg import (
+    ProtoSegState,
+    init_protoseg_state,
+    make_eval_step,
+    make_train_step,
+)
+from adlm_tpu.utils.logging import RunLogger
+
+STAGE_BY_PHASE = {0: "warmup", 1: "nopush", 2: "push"}
+
+
+def _ckpt_payload(state: ProtoSegState) -> Dict[str, Any]:
+    return {"params": dict(state.params),
+            "constants": dict(state.constants),
+            "proto_class": state.proto_class,
+            "step": state.step}
+
+
+def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
+               state: ProtoSegState, train_ds, val_ds,
+               store: CheckpointStore, logger: RunLogger,
+               max_steps: int, batch_size: int,
+               val_every: int, val_batches: int,
+               early_stopping_patience: Optional[int] = None,
+               stage_key: Optional[str] = None) -> ProtoSegState:
+    t = cfg.train
+    stage = stage_key or STAGE_BY_PHASE[phase]
+    step_fn = make_train_step(model, cfg, phase, max_steps)
+    eval_fn = make_eval_step(model, cfg)
+    n_windows = max(max_steps // t.iter_size, 1)
+
+    loader = BatchLoader(superbatch_iterator(
+        train_ds, t.iter_size, batch_size, n_windows, seed=t.random_seed))
+
+    best_acc = -1.0
+    stale = 0
+    for w, (images, labels) in enumerate(loader):
+        state, metrics = step_fn(state, jnp.asarray(images),
+                                 jnp.asarray(labels))
+        if (w + 1) % 50 == 0 or w == 0:
+            acc = float(metrics["n_correct"]) / max(
+                float(metrics["n_patches"]), 1)
+            logger.metrics(w, stage, "train",
+                           {"loss": float(metrics["loss"]),
+                            "cross_entropy": float(metrics["cross_entropy"]),
+                            "kld_loss": float(metrics["kld_loss"]),
+                            "accuracy": acc})
+        if (w + 1) % val_every == 0 or (w + 1) == n_windows:
+            val_metrics = _validate(eval_fn, state, val_ds, batch_size,
+                                    val_batches)
+            logger.metrics(w, stage, "val", val_metrics)
+            store.save(stage, "last", _ckpt_payload(state))
+            if val_metrics["accuracy"] > best_acc:
+                best_acc = val_metrics["accuracy"]
+                stale = 0
+                store.save(stage, "best", _ckpt_payload(state))
+                logger.log(f"{stage}: new best val accuracy {best_acc:.4f}")
+            else:
+                stale += 1
+                if (early_stopping_patience is not None
+                        and stale >= early_stopping_patience):
+                    logger.log(f"{stage}: early stopping after {stale} "
+                               f"stale validations")
+                    break
+    store.save(stage, "last", _ckpt_payload(state))
+    return state
+
+
+def _validate(eval_fn, state: ProtoSegState, val_ds, batch_size: int,
+              val_batches: int) -> Dict[str, float]:
+    totals: Dict[str, float] = {}
+    it = superbatch_iterator(val_ds, 1, batch_size,
+                             min(val_batches, max(len(val_ds) // batch_size, 1)),
+                             seed=0)
+    n = 0
+    for images, labels in it:
+        m = eval_fn(state, jnp.asarray(images[0]), jnp.asarray(labels[0]))
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        n += 1
+    out = {k: v / max(n, 1) for k, v in totals.items()
+           if k not in ("n_correct", "n_patches")}
+    out["accuracy"] = totals.get("n_correct", 0.0) / max(
+        totals.get("n_patches", 1.0), 1.0)
+    return out
+
+
+def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
+                          data_path: Optional[str] = None,
+                          pruned: bool = False,
+                          start_checkpoint: Optional[str] = None,
+                          val_every: int = 500, val_batches: int = 20,
+                          steps_scale: float = 1.0,
+                          save_push_visualizations: bool = False
+                          ) -> ProtoSegState:
+    """Full training pipeline. ``steps_scale`` shrinks every phase budget
+    (for smoke tests); 1.0 reproduces the reference schedule."""
+    t = cfg.train
+    logger = RunLogger(run_dir)
+    store = CheckpointStore(run_dir)
+    store.save_config(cfg.to_json())
+    table = get_class_table(cfg.data.class_table)
+
+    model = PPNet(cfg=cfg.model)
+    train_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
+                                   data_path=data_path)
+    val_ds = SegmentationDataset(cfg.data, "val", data_path=data_path,
+                                 is_eval=True)
+
+    warmup_steps = int(t.warmup_steps * steps_scale)
+    joint_steps = int(t.joint_steps * steps_scale)
+    finetune_steps = int(t.finetune_steps * steps_scale)
+
+    wh, ww = cfg.data.window_size
+    sample = jnp.zeros((1, wh, ww, 3), jnp.float32)
+    rng = jax.random.PRNGKey(t.random_seed)
+
+    if pruned:
+        # finetune a pruned model (reference train.py:197-233)
+        pruned_store = CheckpointStore(run_dir)
+        payload = pruned_store.restore("pruned", "last")
+        params = payload["params"]
+        constants = payload["constants"]
+        proto_class = jnp.asarray(payload["proto_class"])
+        pruned_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model,
+                num_prototypes=int(np.asarray(params["prototype_vectors"]
+                                              ).shape[0])))
+        model = PPNet(cfg=pruned_cfg.model)
+        state = init_protoseg_state(model, pruned_cfg, 2, finetune_steps,
+                                    rng, sample, params=params,
+                                    constants=constants,
+                                    proto_class=proto_class)
+        logger.log("LAST LAYER FINE-TUNING (pruned)")
+        state = _run_phase(model, pruned_cfg, 2, state, train_ds, val_ds,
+                           store, logger, finetune_steps,
+                           t.warmup_batch_size, val_every, val_batches,
+                           early_stopping_patience=
+                           t.early_stopping_patience_last_layer,
+                           stage_key="pruned")
+        return state
+
+    # phase 0: warmup
+    if start_checkpoint:
+        payload = CheckpointStore(os.path.dirname(
+            os.path.dirname(start_checkpoint))).restore(
+            *os.path.basename(start_checkpoint).rsplit("_", 1))
+        params, constants = payload["params"], payload["constants"]
+    else:
+        params = constants = None
+
+    state = init_protoseg_state(model, cfg, 0, warmup_steps, rng, sample,
+                                params=params, constants=constants)
+    if warmup_steps > 0:
+        logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
+        state = _run_phase(model, cfg, 0, state, train_ds, val_ds, store,
+                           logger, warmup_steps, t.warmup_batch_size,
+                           val_every, val_batches)
+
+    # phase 1: joint
+    logger.log(f"JOINT TRAINING START ({joint_steps} steps)")
+    state = init_protoseg_state(model, cfg, 1, joint_steps, rng, sample,
+                                params=state.params,
+                                constants=state.constants,
+                                proto_class=state.proto_class)
+    state = _run_phase(model, cfg, 1, state, train_ds, val_ds, store,
+                       logger, joint_steps, t.joint_batch_size,
+                       val_every, val_batches)
+
+    # push
+    logger.log("SAVING PROTOTYPES (push)")
+    from adlm_tpu.interpret.push import push_prototypes
+    push_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
+                                  data_path=data_path, is_eval=True,
+                                  push_prototypes=True)
+    new_params, new_pc, _ = push_prototypes(
+        model, state.params, state.constants, state.proto_class,
+        push_ds.eval_items(), cfg.model.num_classes,
+        run_dir=os.path.join(run_dir, "prototypes"),
+        save_visualizations=save_push_visualizations,
+        class_names=table.class_names, log=logger.log)
+
+    pushed_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model,
+            num_prototypes=int(np.asarray(
+                new_params["prototype_vectors"]).shape[0])))
+    model = PPNet(cfg=pushed_cfg.model)
+    state = init_protoseg_state(model, pushed_cfg, 2, finetune_steps, rng,
+                                sample, params=new_params,
+                                constants=state.constants,
+                                proto_class=new_pc)
+    store.save("push", "last", _ckpt_payload(state))
+    store.save("push", "best", _ckpt_payload(state))
+
+    # phase 2: last-layer finetune
+    logger.log("LAST LAYER FINE-TUNING")
+    state = _run_phase(model, pushed_cfg, 2, state, train_ds, val_ds,
+                       store, logger, finetune_steps, t.warmup_batch_size,
+                       val_every, val_batches,
+                       early_stopping_patience=
+                       t.early_stopping_patience_last_layer,
+                       stage_key="push")
+    return state

@@ -1,0 +1,83 @@
+"""Multi-device tests on the virtual 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.core.mesh import MeshSpec, make_mesh
+from adlm_tpu.core.config import DataConfig, ExperimentConfig, PPNetConfig, TrainConfig
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.parallel.sharding import (
+    make_sharded_inference_fn,
+    make_sharded_train_step,
+    shard_state,
+)
+from adlm_tpu.train.protoseg import init_protoseg_state, make_train_step
+
+
+def tiny_experiment():
+    return ExperimentConfig(
+        name="tiny",
+        model=PPNetConfig(num_prototypes=6, num_classes=3,
+                          prototype_channels=8, deeplab_n_features=8,
+                          deeplab_n_blocks=(1, 1, 1, 1), img_size=33),
+        data=DataConfig(window_size=(33, 33)),
+        train=TrainConfig(iter_size=2, loss_weight_kld=0.25),
+    )
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = tiny_experiment()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 8, 33, 33, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=(2, 8, 33, 33)))
+
+    state = init_protoseg_state(model, cfg, 1, 100,
+                                jax.random.PRNGKey(0), images[0])
+
+    # single-device
+    step = make_train_step(model, cfg, 1, 100)
+    s1, m1 = step(state, images, labels)
+
+    # 8-device data parallel
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    sstate = shard_state(state, mesh)
+    sstep = make_sharded_train_step(model, cfg, 1, mesh, 100)
+    s2, m2 = sstep(sstate, images, labels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["prototype_vectors"]),
+        np.asarray(s2.params["prototype_vectors"]), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_inference_2d_mesh():
+    cfg = tiny_experiment()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(1)
+    # batch 4 over data=4, H over model=2 (spatial sharding)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=(4, 64, 64)))
+
+    v = model.init(jax.random.PRNGKey(1), images[:1])
+    params, constants = v["params"], v.get("constants", {})
+    pc = jnp.arange(6) // 2
+
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+    ref_fn = make_inference_fn(model, 3)
+    ref = ref_fn(params, constants, pc, images, labels)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    params_r = jax.device_put((params, constants, pc),
+                              jax.sharding.NamedSharding(
+                                  mesh, jax.sharding.PartitionSpec()))
+    fn = make_sharded_inference_fn(model, 3, mesh, spatial=True)
+    out = fn(params_r[0], params_r[1], params_r[2], images, labels)
+
+    np.testing.assert_array_equal(np.asarray(out["intersection"]),
+                                  np.asarray(ref["intersection"]))
+    np.testing.assert_array_equal(np.asarray(out["union"]),
+                                  np.asarray(ref["union"]))
+    assert int(out["correct"]) == int(ref["correct"])

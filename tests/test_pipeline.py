@@ -1,0 +1,117 @@
+"""End-to-end pipeline smoke tests on fake data (tiny model, CPU mesh)."""
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adlm_tpu.core.config import (
+    DataConfig,
+    ExperimentConfig,
+    PPNetConfig,
+    TrainConfig,
+    register_experiment,
+)
+
+
+def _tiny_experiment(name="tiny_e2e"):
+    return register_experiment(ExperimentConfig(
+        name=name,
+        model=PPNetConfig(num_prototypes=6, num_classes=3,
+                          prototype_channels=8, deeplab_n_features=8,
+                          deeplab_n_blocks=(1, 1, 1, 1), img_size=33),
+        data=DataConfig(class_table="mds", window_size=(33, 33),
+                        scales=(0.9, 1.1)),
+        train=TrainConfig(iter_size=2, warmup_steps=4, joint_steps=4,
+                          finetune_steps=4, warmup_batch_size=2,
+                          joint_batch_size=2, loss_weight_kld=0.25),
+    ))
+
+
+def _write_fake_dataset(root, n=4, hw=(40, 48)):
+    rng = np.random.RandomState(0)
+    ids = {}
+    for split in ("train", "val"):
+        img_dir = os.path.join(root, "img_with_margin_0", split)
+        ann_dir = os.path.join(root, "annotations", split)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(ann_dir, exist_ok=True)
+        ids[split] = []
+        for i in range(n):
+            img_id = f"{split}{i}"
+            ids[split].append(img_id)
+            np.save(os.path.join(img_dir, img_id + ".npy"),
+                    rng.randint(0, 255, size=(*hw, 3)).astype(np.uint8))
+            np.save(os.path.join(ann_dir, img_id + ".npy"),
+                    rng.randint(0, 3, size=hw).astype(np.uint8))
+    with open(os.path.join(root, "all_images.json"), "w") as f:
+        json.dump(ids, f)
+
+
+def test_full_protoseg_pipeline(tmp_path):
+    from adlm_tpu.train.pipeline import run_protoseg_training
+    from adlm_tpu.core.checkpoint import CheckpointStore
+
+    data_root = str(tmp_path / "data")
+    run_dir = str(tmp_path / "run")
+    _write_fake_dataset(data_root)
+    cfg = _tiny_experiment()
+
+    state = run_protoseg_training(cfg, run_dir, data_path=data_root,
+                                  val_every=1, val_batches=2)
+
+    store = CheckpointStore(run_dir)
+    for stage in ("warmup", "nopush", "push"):
+        assert store.exists(stage, "last"), stage
+    # config saved for resume
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    # push artifacts
+    assert os.path.exists(os.path.join(run_dir, "prototypes",
+                                       "unique_prototypes.json"))
+    # metrics CSV exists
+    assert os.path.exists(os.path.join(run_dir, "logs",
+                                       "train_metrics.csv"))
+    # final state may have fewer prototypes (dedup)
+    P = np.asarray(state.params["prototype_vectors"]).shape[0]
+    assert 1 <= P <= 6
+    assert np.asarray(state.proto_class).shape == (P,)
+
+
+def test_prune_and_eval_cli(tmp_path):
+    from adlm_tpu.train.pipeline import run_protoseg_training
+    from adlm_tpu.cli import main as cli_main
+
+    data_root = str(tmp_path / "data")
+    run_dir = str(tmp_path / "run")
+    _write_fake_dataset(data_root)
+    cfg = _tiny_experiment("tiny_e2e_cli")
+    run_protoseg_training(cfg, run_dir, data_path=data_root,
+                          val_every=2, val_batches=1)
+
+    # eval-valid CLI writes mean_iou.txt / iou_scores.json
+    cli_main(["eval-valid", run_dir, "push", "--split", "val",
+              "--data-path", data_root, "--max-images", "2"])
+    out_dir = os.path.join(run_dir, "evaluation", "push")
+    assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
+    assert os.path.exists(os.path.join(out_dir, "iou_scores.json"))
+
+    # prune (threshold 0 keeps everything but exercises the path)
+    cli_main(["prune", run_dir, "--data-path", data_root,
+              "--k", "2", "--threshold", "0"])
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    assert CheckpointStore(run_dir).exists("pruned", "last")
+
+    # pruned finetune via pipeline
+    from adlm_tpu.train.pipeline import run_protoseg_training as rpt
+    rpt(cfg, run_dir, data_path=data_root, pruned=True, val_every=2,
+        val_batches=1)
+
+    # eval-test writes prediction PNGs
+    cli_main(["eval-test", run_dir, "pruned", "--split", "val",
+              "--data-path", data_root, "--max-images", "1"])
+    pred_dir = os.path.join(run_dir, "evaluation", "pruned",
+                            "test_predictions")
+    assert len(os.listdir(pred_dir)) == 1
