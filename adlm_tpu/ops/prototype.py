@@ -143,9 +143,16 @@ def prototype_head(x: jnp.ndarray,
     return logits, dist
 
 
+def _target_platform() -> str:
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def _head_fwd_impl(x, prototypes, last_layer_weight, activation, epsilon,
                    return_distances):
-    if jax.default_backend() != "tpu":
+    if _target_platform() != "tpu":
         logits, d = prototype_head_reference(
             x, prototypes, last_layer_weight, activation, epsilon)
         return logits, (d if return_distances else None)

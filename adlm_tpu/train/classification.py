@@ -1,0 +1,281 @@
+"""Legacy ProtoPNet image-classification path.
+
+The reference keeps the original ProtoPNet classification flow alongside
+the segmentation fork (reference main.py, train_and_test.py:37-99,
+push.py root, run_pruning.py root; defaults from settings.py:5-48).
+Here: jitted train/eval steps with the class-specific cluster /
+separation / masked-L1 losses over global-min-pooled distances, the
+warm/joint/last phase structure, Adam param groups with a StepLR on the
+joint phase, and an RF-aware batch push.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adlm_tpu.core.config import PPNetConfig
+from adlm_tpu.models.ppnet import PPNet, default_proto_class
+from adlm_tpu.ops.losses import masked_l1
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassificationConfig:
+    """Defaults from reference settings.py:5-48 (CUB-200)."""
+
+    model: PPNetConfig = dataclasses.field(default_factory=lambda: PPNetConfig(
+        base_architecture="vgg19", img_size=224, num_prototypes=2000,
+        prototype_channels=128, num_classes=200,
+        add_on_layers_type="regular", patch_classification=False))
+    joint_lr_features: float = 1e-4
+    joint_lr_add_on: float = 3e-3
+    joint_lr_protos: float = 3e-3
+    joint_lr_step_size: int = 5       # epochs; StepLR gamma 0.1 (main.py)
+    warm_lr_add_on: float = 3e-3
+    warm_lr_protos: float = 3e-3
+    last_layer_lr: float = 1e-4
+    coef_crs_ent: float = 1.0
+    coef_clst: float = 0.8
+    coef_sep: float = -0.08
+    coef_l1: float = 1e-4
+    num_warm_epochs: int = 5
+    num_train_epochs: int = 1000
+    push_start: int = 10
+
+
+@flax.struct.dataclass
+class ClassifierState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    proto_class: jnp.ndarray
+    step: jnp.ndarray
+
+
+def classification_loss(logits: jnp.ndarray, min_distances: jnp.ndarray,
+                        labels: jnp.ndarray, proto_class: jnp.ndarray,
+                        last_layer_weight: jnp.ndarray,
+                        cfg: ClassificationConfig,
+                        class_specific: bool = True
+                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """CE + cluster + separation + masked L1 over min-pooled distances
+    (reference train_and_test.py:37-99)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+    max_dist = float(cfg.model.prototype_channels)  # P_ch * 1 * 1
+
+    correct = (proto_class[None, :] == labels[:, None]).astype(jnp.float32)
+    inv_correct = jnp.max((max_dist - min_distances) * correct, axis=1)
+    cluster = jnp.mean(max_dist - inv_correct)
+
+    wrong = 1.0 - correct
+    inv_wrong = jnp.max((max_dist - min_distances) * wrong, axis=1)
+    separation = jnp.mean(max_dist - inv_wrong)
+    avg_separation = jnp.mean(
+        jnp.sum(min_distances * wrong, axis=1) /
+        jnp.maximum(jnp.sum(wrong, axis=1), 1.0))
+
+    l1 = masked_l1(last_layer_weight, proto_class)
+
+    if class_specific:
+        loss = (cfg.coef_crs_ent * ce + cfg.coef_clst * cluster
+                + cfg.coef_sep * separation + cfg.coef_l1 * l1)
+    else:
+        min_min = jnp.min(min_distances, axis=1)
+        cluster = jnp.mean(min_min)
+        loss = cfg.coef_crs_ent * ce + cfg.coef_clst * cluster + \
+            cfg.coef_l1 * l1
+
+    n_correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+    return loss, {"cross_entropy": ce, "cluster": cluster,
+                  "separation": separation,
+                  "avg_separation": avg_separation, "l1": l1,
+                  "n_correct": n_correct.astype(jnp.float32)}
+
+
+def _label_cls_params(params: Any) -> Any:
+    def label(path, _leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "prototype_vectors" in keys:
+            return "protos"
+        if "last_layer" in keys:
+            return "last"
+        if "add_on" in keys:
+            return "add_on"
+        return "features"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_cls_optimizer(cfg: ClassificationConfig, phase: str,
+                       steps_per_epoch: int = 1
+                       ) -> optax.GradientTransformation:
+    """warm/joint/last optimizers (reference main.py:60-84 structure:
+    Adam groups, joint wd 1e-3 on features+add_on, StepLR(5, 0.1))."""
+    zero = optax.set_to_zero()
+
+    def adam(lr, wd=0.0, sched=False):
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_adam())
+        if sched:
+            decay = optax.exponential_decay(
+                init_value=lr, decay_rate=0.1,
+                transition_steps=cfg.joint_lr_step_size * steps_per_epoch,
+                staircase=True)
+            parts.append(optax.scale_by_schedule(lambda c: -decay(c)))
+        else:
+            parts.append(optax.scale(-lr))
+        return optax.chain(*parts)
+
+    if phase == "warm":
+        groups = {"add_on": adam(cfg.warm_lr_add_on, 1e-3),
+                  "protos": adam(cfg.warm_lr_protos),
+                  "last": adam(cfg.last_layer_lr),
+                  "features": zero}
+    elif phase == "joint":
+        groups = {"features": adam(cfg.joint_lr_features, 1e-3, True),
+                  "add_on": adam(cfg.joint_lr_add_on, 1e-3, True),
+                  "protos": adam(cfg.joint_lr_protos, sched=True),
+                  "last": zero}
+    elif phase == "last":
+        groups = {"last": adam(cfg.last_layer_lr),
+                  "features": zero, "add_on": zero, "protos": zero}
+    else:
+        raise ValueError(phase)
+    return optax.multi_transform(groups, _label_cls_params)
+
+
+def init_classifier_state(model: PPNet, cfg: ClassificationConfig,
+                          phase: str, rng: jax.Array,
+                          sample: jnp.ndarray,
+                          params: Any = None, batch_stats: Any = None,
+                          steps_per_epoch: int = 1) -> ClassifierState:
+    if params is None:
+        variables = model.init(rng, sample, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+    tx = make_cls_optimizer(cfg, phase, steps_per_epoch)
+    return ClassifierState(params=params, batch_stats=batch_stats or {},
+                           opt_state=tx.init(params),
+                           proto_class=default_proto_class(
+                               cfg.model.num_prototypes,
+                               cfg.model.num_classes),
+                           step=jnp.zeros((), jnp.int32))
+
+
+def make_cls_train_step(model: PPNet, cfg: ClassificationConfig,
+                        phase: str, steps_per_epoch: int = 1) -> Callable:
+    tx = make_cls_optimizer(cfg, phase, steps_per_epoch)
+
+    @jax.jit
+    def step(state: ClassifierState, images: jnp.ndarray,
+             labels: jnp.ndarray):
+        def lfn(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            logits, min_d = out
+            loss, metrics = classification_loss(
+                logits, min_d, labels, state.proto_class,
+                params["last_layer"], cfg)
+            return loss, (metrics, upd.get("batch_stats", {}))
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            lfn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        return state.replace(params=new_params, batch_stats=new_bs,
+                             opt_state=new_opt,
+                             step=state.step + 1), metrics
+
+    return step
+
+
+def make_cls_eval_step(model: PPNet, cfg: ClassificationConfig) -> Callable:
+    @jax.jit
+    def step(state: ClassifierState, images: jnp.ndarray,
+             labels: jnp.ndarray):
+        logits, min_d = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        _, metrics = classification_loss(
+            logits, min_d, labels, state.proto_class,
+            state.params["last_layer"], cfg)
+        return metrics
+
+    return step
+
+
+def make_cls_push_batch_fn(model: PPNet) -> Callable:
+    """Per-batch global-min patch per prototype, restricted to images of
+    the prototype's class (reference push.py root:172-248)."""
+
+    @jax.jit
+    def fn(state: ClassifierState, images: jnp.ndarray,
+           labels: jnp.ndarray):
+        f = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, method=PPNet.conv_features)
+        from adlm_tpu.ops.prototype import l2_distances
+        d = l2_distances(f, state.params["prototype_vectors"])  # (B,h,w,P)
+        B, h, w, P = d.shape
+        # only images whose label matches the prototype's class
+        eligible = (labels[:, None] == state.proto_class[None, :])
+        masked = jnp.where(eligible[:, None, None, :], d, jnp.inf)
+        flat = masked.transpose(3, 0, 1, 2).reshape(P, B * h * w)
+        arg = jnp.argmin(flat, axis=1)
+        mind = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
+        bi = arg // (h * w)
+        pi = (arg % (h * w)) // w
+        pj = arg % w
+        fmap = f[bi, pi, pj, :]
+        return mind, bi, pi, pj, fmap
+
+    return fn
+
+
+def push_classification_prototypes(
+    model: PPNet, state: ClassifierState,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    rf_info: Optional[list] = None,
+) -> Tuple[Any, Dict[str, np.ndarray]]:
+    """Dataset-wide argmin projection for the classification path; RF
+    boxes computed with the receptive-field calculator when available
+    (reference push.py root:14-313)."""
+    from adlm_tpu.utils.receptive_field import rf_box_at
+
+    fn = make_cls_push_batch_fn(model)
+    P, C = np.asarray(state.params["prototype_vectors"]).shape
+    gmin = np.full(P, np.inf)
+    gfmap = np.asarray(state.params["prototype_vectors"]).copy()
+    boxes = np.full((P, 5), -1, dtype=np.int64)
+    offset = 0
+    for images, labels in batches:
+        mind, bi, pi, pj, fmap = fn(state, jnp.asarray(images),
+                                    jnp.asarray(labels))
+        mind = np.asarray(mind)
+        improved = mind < gmin
+        for j in np.where(improved)[0]:
+            gmin[j] = mind[j]
+            gfmap[j] = np.asarray(fmap[j])
+            img_idx = offset + int(bi[j])
+            if rf_info is not None:
+                hw = images.shape[1:3]
+                box = rf_box_at(hw, (int(pi[j]), int(pj[j])), rf_info)
+                boxes[j] = [img_idx, *box]
+            else:
+                boxes[j] = [img_idx, int(pi[j]), int(pi[j]) + 1,
+                            int(pj[j]), int(pj[j]) + 1]
+        offset += images.shape[0]
+    new_params = dict(state.params)
+    new_params["prototype_vectors"] = jnp.asarray(gfmap.astype(np.float32))
+    return new_params, {"min_distances": gmin, "rf_boxes": boxes}

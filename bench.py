@@ -48,11 +48,15 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     init_x = jnp.zeros((1, 65, 65, 3), jnp.float32)
-    # init on host CPU: param values don't affect throughput and this
-    # skips a multi-minute remote TPU compile of the init graph
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        variables = model.init(rng, init_x)
+    # materialize params host-side from abstract shapes: values don't
+    # affect throughput and this skips a multi-minute remote TPU compile
+    # of the init graph
+    shapes = jax.eval_shape(lambda: model.init(rng, init_x))
+    nprng0 = np.random.RandomState(42)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            nprng0.uniform(0.01, 0.1, size=s.shape).astype(s.dtype)),
+        shapes)
     params = variables["params"]
     constants = variables.get("constants", {})
     pc = default_proto_class(cfg.model.num_prototypes, cfg.model.num_classes)
