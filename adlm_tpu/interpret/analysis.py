@@ -1,0 +1,108 @@
+"""Local & global prototype analysis.
+
+* `local_analysis` — for one image: prediction map plus the top-k most
+  activated prototypes (by max patch activation), each with its
+  activation heatmap, high-activation crop, and a same-class sanity
+  check (reference local_analysis.py:207-270, sanity check :119-124).
+* `global_analysis` — k nearest patches per prototype over a dataset
+  with full artifact saving (reference global_analysis.py:120-138; uses
+  the corrected `dataset=` calling convention — the reference passes a
+  stale ``dataloader=`` kwarg and crashes, a recorded reference bug).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.ops.prototype import distance_to_similarity
+from adlm_tpu.interpret import visualize as vz
+
+
+def local_analysis(model: PPNet, params: Any, constants: Any,
+                   proto_class: jnp.ndarray, image: np.ndarray,
+                   top_k: int = 10,
+                   save_dir: Optional[str] = None,
+                   raw_image: Optional[np.ndarray] = None
+                   ) -> Dict[str, Any]:
+    """Analyze one (1, H, W, 3) normalized image.
+
+    Returns prediction map, top-k prototype indices/classes/activations
+    and the own-class-strongest-connection sanity vector.
+    """
+    variables = {"params": params, "constants": constants}
+    f, d = model.apply(variables, jnp.asarray(image),
+                       method=PPNet.push_forward)
+    logits, _ = model.apply(variables, jnp.asarray(image), train=False)
+    act = distance_to_similarity(d, model.cfg.prototype_activation,
+                                 model.cfg.epsilon)    # (1, h, w, P)
+    act_max = np.asarray(jnp.max(act[0], axis=(0, 1)))  # (P,)
+    order = np.argsort(-act_max)[:top_k]
+    pred = np.asarray(jnp.argmax(logits[0], axis=-1))
+
+    # sanity: every prototype's strongest last-layer weight is its class
+    # (reference local_analysis.py:119-124)
+    w = np.asarray(params["last_layer"])
+    strongest = np.argmax(w, axis=1)
+    sanity = strongest == np.asarray(proto_class)
+
+    result = {
+        "prediction": pred,
+        "top_prototypes": order,
+        "top_classes": np.asarray(proto_class)[order],
+        "top_activations": act_max[order],
+        "own_class_is_strongest": sanity,
+    }
+
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        img = raw_image if raw_image is not None else _denorm(image[0])
+        H, W = img.shape[0], img.shape[1]
+        for rank, j in enumerate(order):
+            a = np.asarray(act[0, :, :, j])
+            a_up = vz.upsample_cubic(a, (H, W))
+            lo, hi = a_up.min(), a_up.max()
+            norm = (a_up - lo) / (hi - lo) if hi > lo else a_up * 0
+            overlay = np.clip(0.5 * img + 0.3 * vz.jet_colormap(norm), 0, 1)
+            vz._save(os.path.join(
+                save_dir,
+                f"top-{rank + 1}_prototype_{j}_class"
+                f"{int(result['top_classes'][rank])}.png"), overlay)
+            box = vz.high_activation_crop(a_up)
+            vz._save(os.path.join(
+                save_dir, f"top-{rank + 1}_prototype_{j}_crop.png"),
+                img[box[0]:box[1], box[2]:box[3]])
+    return result
+
+
+def _denorm(img: np.ndarray,
+            mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)
+            ) -> np.ndarray:
+    return np.clip(img * np.asarray(std) + np.asarray(mean), 0, 1)
+
+
+def global_analysis(model: PPNet, params: Any, constants: Any,
+                    proto_class: jnp.ndarray,
+                    dataset: Iterable[Tuple[np.ndarray, np.ndarray]],
+                    num_classes: int, k: int = 5,
+                    save_dir: Optional[str] = None) -> np.ndarray:
+    """k nearest patch class ids per prototype; optionally saves
+    per-prototype nearest-patch class id arrays
+    (reference global_analysis.py:120-138 / find_nearest full_save)."""
+    from adlm_tpu.interpret.nearest import find_k_nearest_patches
+
+    ids = find_k_nearest_patches(model, params, constants, proto_class,
+                                 dataset, num_classes, k=k)
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        np.save(os.path.join(save_dir, "full_class_id.npy"), ids)
+        for j in range(ids.shape[0]):
+            d = os.path.join(save_dir, str(j))
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "class_id.npy"), ids[j])
+    return ids

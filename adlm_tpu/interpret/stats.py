@@ -1,0 +1,142 @@
+"""Eval-time interpretability statistics + plots.
+
+Reproduces eval_valid's analysis artifacts (reference
+segmentation/eval_valid.py):
+
+* same-class prototype pairwise-distance histograms (:83-118)
+* nearest-prototype-per-pixel counts per class (:191-198)
+* top-K same-class prototype purity on random pixels (:200-214)
+* IoU bar plot, histogram plots (:227-343; matplotlib, gated)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def prototype_pair_distances(prototypes: jnp.ndarray,
+                             proto_class: jnp.ndarray) -> Dict[str, Any]:
+    """Pairwise L2² distances among same-class prototypes
+    (reference eval_valid.py:83-118 uses torch.cdist)."""
+    p = np.asarray(prototypes, np.float32)
+    pc = np.asarray(proto_class)
+    diff = p[:, None, :] - p[None, :, :]
+    dist = np.sqrt(np.sum(diff * diff, axis=-1))
+    same = pc[:, None] == pc[None, :]
+    iu = np.triu_indices(p.shape[0], k=1)
+    vals = dist[iu][same[iu]]
+    return {"same_class_distances": vals,
+            "mean": float(vals.mean()) if len(vals) else 0.0,
+            "min": float(vals.min()) if len(vals) else 0.0}
+
+
+class ProtoStatsAccumulator:
+    """Accumulates nearest-prototype counts + top-K purity over batches."""
+
+    def __init__(self, num_prototypes: int, num_classes: int,
+                 proto_class: np.ndarray, n_random_pixels: int = 100,
+                 seed: int = 0):
+        self.P = num_prototypes
+        self.C = num_classes
+        self.pc = np.asarray(proto_class)
+        self.counts = np.zeros((num_classes, num_prototypes), np.int64)
+        self.top_k = np.zeros(num_prototypes, np.float64)
+        self.n_images = 0
+        self.n_random = n_random_pixels
+        self.rng = np.random.RandomState(seed)
+
+    def update(self, pred_grid: np.ndarray, nearest_proto: np.ndarray,
+               distances: np.ndarray) -> None:
+        """All arrays at the output grid: pred (h,w), nearest (h,w),
+        distances (h,w,P)."""
+        nearest_cls = self.pc[nearest_proto]
+        for c in range(self.C):
+            is_cls = (pred_grid == c) & (nearest_cls == c)
+            protos = np.where(self.pc == c)[0]
+            for p in protos:
+                self.counts[c, p] += int(np.sum(is_cls &
+                                                (nearest_proto == p)))
+        # top-K purity on random pixels (reference :200-214)
+        h, w = pred_grid.shape
+        rows = self.rng.randint(h, size=self.n_random)
+        cols = self.rng.randint(w, size=self.n_random)
+        sample_d = distances[rows, cols, :]           # (n, P)
+        sample_pred = pred_grid[rows, cols]           # (n,)
+        order = np.argsort(sample_d, axis=1)          # nearest first
+        is_cls = self.pc[order] == sample_pred[:, None]
+        for k in range(self.P):
+            self.top_k[k] += (np.sum(is_cls[:, :k + 1]) / (k + 1)
+                              * 100.0 / self.n_random)
+        self.n_images += 1
+
+    def results(self) -> Dict[str, Any]:
+        top_k = self.top_k / max(self.n_images, 1)
+        return {"nearest_proto_counts": self.counts,
+                "mean_top_k_purity": top_k}
+
+
+def save_eval_plots(out_dir: str, iou_per_class: Dict[int, float],
+                    mean_iou: float, pixel_accuracy: float,
+                    stats: Optional[Dict[str, Any]] = None,
+                    pair_stats: Optional[Dict[str, Any]] = None,
+                    class_names: Optional[Dict[int, str]] = None) -> None:
+    """Write the eval artifact set (reference eval_valid.py:227-343)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "mean_iou.txt"), "w") as f:
+        f.write(str(mean_iou))
+    with open(os.path.join(out_dir, "iou_scores.json"), "w") as f:
+        json.dump({str(k): v for k, v in iou_per_class.items()}, f)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return
+
+    keys = sorted(iou_per_class)
+    names = [(class_names or {}).get(k, str(k)) for k in keys]
+    plt.figure(figsize=(15, 5))
+    plt.bar(np.arange(len(keys)), [iou_per_class[k] for k in keys])
+    plt.xticks(np.arange(len(keys)), names, rotation=45)
+    plt.title(f"IOU over {len(keys)} classes (mIoU {mean_iou:.4f}, "
+              f"pixel acc {pixel_accuracy:.4f})")
+    plt.tight_layout()
+    plt.savefig(os.path.join(out_dir, "iou_scores.png"))
+    plt.close()
+
+    if stats is not None:
+        top_k = stats["mean_top_k_purity"]
+        plt.figure(figsize=(10, 5))
+        plt.plot(np.arange(1, len(top_k) + 1), top_k)
+        plt.title("How many of the nearest K prototypes to a random pixel "
+                  "are from its predicted class?")
+        plt.xlabel("Nearest K prototypes")
+        plt.ylabel("% of K from pixel class")
+        plt.ylim([0, 100])
+        plt.savefig(os.path.join(out_dir, "top_k_purity.png"))
+        plt.close()
+
+        counts = stats["nearest_proto_counts"]
+        plt.figure(figsize=(15, 5))
+        plt.imshow(np.log1p(counts), aspect="auto")
+        plt.xlabel("prototype")
+        plt.ylabel("class")
+        plt.title("nearest-prototype pixel counts (log scale)")
+        plt.colorbar()
+        plt.savefig(os.path.join(out_dir, "nearest_proto_counts.png"))
+        plt.close()
+
+    if pair_stats is not None and len(pair_stats["same_class_distances"]):
+        plt.figure(figsize=(8, 5))
+        plt.hist(pair_stats["same_class_distances"], bins=50)
+        plt.title(f"same-class prototype distances "
+                  f"(mean {pair_stats['mean']:.3f})")
+        plt.savefig(os.path.join(out_dir, "proto_distance_hist.png"))
+        plt.close()

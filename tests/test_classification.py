@@ -1,0 +1,125 @@
+"""Legacy ProtoPNet classification-path tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adlm_tpu.core.config import PPNetConfig
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.train.classification import (
+    ClassificationConfig,
+    classification_loss,
+    init_classifier_state,
+    make_cls_eval_step,
+    make_cls_push_batch_fn,
+    make_cls_train_step,
+    push_classification_prototypes,
+)
+
+
+def tiny_cls_cfg():
+    return ClassificationConfig(model=PPNetConfig(
+        base_architecture="resnet18", img_size=32, num_prototypes=6,
+        prototype_channels=16, num_classes=3,
+        add_on_layers_type="regular", patch_classification=False))
+
+
+def test_classification_loss_matches_torch_reference():
+    """Golden test vs the reference's cluster/separation math
+    (reference train_and_test.py:37-65)."""
+    import torch
+    rng = np.random.RandomState(0)
+    B, P, C = 4, 6, 3
+    logits = rng.randn(B, C).astype(np.float32)
+    min_d = rng.rand(B, P).astype(np.float32) * 10
+    labels = rng.randint(0, C, size=(B,))
+    w = rng.randn(P, C).astype(np.float32)
+    cfg = tiny_cls_cfg()
+    max_dist = cfg.model.prototype_channels
+
+    loss, m = classification_loss(
+        jnp.asarray(logits), jnp.asarray(min_d), jnp.asarray(labels),
+        jnp.arange(P) // 2, jnp.asarray(w), cfg)
+
+    ident = torch.zeros(P, C)
+    for c in range(C):
+        ident[c * 2:(c + 1) * 2, c] = 1
+    t_min = torch.tensor(min_d)
+    t_lab = torch.tensor(labels)
+    correct = ident[:, t_lab].t()
+    inv, _ = torch.max((max_dist - t_min) * correct, dim=1)
+    cluster = torch.mean(max_dist - inv).item()
+    wrong = 1 - correct
+    inv_w, _ = torch.max((max_dist - t_min) * wrong, dim=1)
+    sep = torch.mean(max_dist - inv_w).item()
+    ce = torch.nn.functional.cross_entropy(
+        torch.tensor(logits), t_lab.long()).item()
+    l1 = (torch.tensor(w).t() * (1 - ident.t())).norm(p=1).item()
+
+    np.testing.assert_allclose(float(m["cross_entropy"]), ce, rtol=1e-5)
+    np.testing.assert_allclose(float(m["cluster"]), cluster, rtol=1e-5)
+    np.testing.assert_allclose(float(m["separation"]), sep, rtol=1e-5)
+    expected = ce + 0.8 * cluster - 0.08 * sep + 1e-4 * l1
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_classifier_phases_and_training():
+    cfg = tiny_cls_cfg()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, size=(4,)))
+
+    state = init_classifier_state(model, cfg, "warm",
+                                  jax.random.PRNGKey(0), images)
+    step = make_cls_train_step(model, cfg, "warm")
+    new_state, metrics = step(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # warm: features frozen, add_on/protos/last train
+    feat_same = jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(np.all(np.asarray(a) == np.asarray(b))),
+        state.params["features"], new_state.params["features"]))
+    assert feat_same
+    assert not np.array_equal(np.asarray(state.params["prototype_vectors"]),
+                              np.asarray(new_state.params["prototype_vectors"]))
+
+    # last: only last layer trains
+    state_l = init_classifier_state(model, cfg, "last",
+                                    jax.random.PRNGKey(0), images,
+                                    params=new_state.params,
+                                    batch_stats=new_state.batch_stats)
+    step_l = make_cls_train_step(model, cfg, "last")
+    s2, _ = step_l(state_l, images, labels)
+    assert np.array_equal(np.asarray(state_l.params["prototype_vectors"]),
+                          np.asarray(s2.params["prototype_vectors"]))
+    assert not np.array_equal(np.asarray(state_l.params["last_layer"]),
+                              np.asarray(s2.params["last_layer"]))
+
+    ev = make_cls_eval_step(model, cfg)
+    m = ev(s2, images, labels)
+    assert 0 <= float(m["n_correct"]) <= 4
+
+
+def test_classification_push():
+    cfg = tiny_cls_cfg()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(2)
+    images = rng.rand(4, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 3, size=(4,))
+    state = init_classifier_state(model, cfg, "warm",
+                                  jax.random.PRNGKey(2),
+                                  jnp.asarray(images))
+    new_params, info = push_classification_prototypes(
+        model, state, [(images, labels)])
+    assert np.asarray(new_params["prototype_vectors"]).shape == (6, 16)
+    # prototypes whose class appears in the batch must have been updated
+    present = set(labels.tolist())
+    pc = np.asarray(state.proto_class)
+    for j in range(6):
+        if pc[j] in present:
+            assert np.isfinite(info["min_distances"][j])
+            assert info["rf_boxes"][j, 0] >= 0
