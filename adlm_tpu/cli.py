@@ -58,8 +58,14 @@ def cmd_eval_valid(args):
     import jax.numpy as jnp
     from adlm_tpu.core.checkpoint import CheckpointStore
     from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.constants import get_class_table
     from adlm_tpu.data.dataset import SegmentationDataset
     from adlm_tpu.interpret.evaluate import SegEvaluator
+    from adlm_tpu.interpret.stats import (
+        ProtoStatsAccumulator,
+        prototype_pair_distances,
+        save_eval_plots,
+    )
     from adlm_tpu.models.ppnet import PPNet
 
     store = CheckpointStore(args.run_dir)
@@ -71,21 +77,36 @@ def cmd_eval_valid(args):
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, num_prototypes=n_proto))
     model = PPNet(cfg=cfg.model)
+    table = get_class_table(cfg.data.class_table)
 
     ds = SegmentationDataset(cfg.data, args.split,
                              data_path=args.data_path, is_eval=True)
     ev = SegEvaluator(model, cfg.model.num_classes)
+    acc = ProtoStatsAccumulator(n_proto, cfg.model.num_classes,
+                                np.asarray(proto_class)) if args.stats \
+        else None
     for i, (img, lab) in enumerate(ds.eval_items()):
-        ev.update(params, payload["constants"], proto_class, img, lab)
+        out = ev.update(params, payload["constants"], proto_class, img, lab)
+        if acc is not None:
+            # grid-level stats (reference eval_valid.py:191-214)
+            import jax as _jax
+            logits, dist = model.apply(
+                {"params": params, "constants": payload["constants"]},
+                jnp.asarray(img), train=False)
+            pred_grid = np.asarray(jnp.argmax(logits[0], -1))
+            nearest = np.asarray(jnp.argmin(dist[0], -1))
+            acc.update(pred_grid, nearest, np.asarray(dist[0]))
         if args.max_images and i + 1 >= args.max_images:
             break
     res = ev.results()
     out_dir = os.path.join(args.run_dir, "evaluation", args.stage)
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "mean_iou.txt"), "w") as f:
-        f.write(str(res["mean_iou"]))
-    with open(os.path.join(out_dir, "iou_scores.json"), "w") as f:
-        json.dump(res["iou_per_class"], f)
+    save_eval_plots(
+        out_dir, res["iou_per_class"], res["mean_iou"],
+        res["pixel_accuracy"],
+        stats=acc.results() if acc else None,
+        pair_stats=prototype_pair_distances(
+            jnp.asarray(params["prototype_vectors"]), proto_class),
+        class_names=table.class_names)
     print(json.dumps(res, indent=2, default=float))
 
 
@@ -218,6 +239,9 @@ def main(argv=None):
         ep.add_argument("--split", default="val")
         ep.add_argument("--data-path", default=None)
         ep.add_argument("--max-images", type=int, default=0)
+        ep.add_argument("--stats", action="store_true",
+                        help="also compute prototype interpretability "
+                             "stats + plots (eval-valid only)")
         ep.set_defaults(fn=fn)
 
     pp = sub.add_parser("prune")

@@ -160,14 +160,80 @@ class VGGFeatures(nn.Module):
         return ks, ss, ps
 
 
+# growth rate, block config, init features
+_DENSENET_SPECS = {
+    "densenet121": (32, (6, 12, 24, 16), 64),
+    "densenet161": (48, (6, 12, 36, 24), 96),
+    "densenet169": (32, (6, 12, 32, 32), 64),
+    "densenet201": (32, (6, 12, 48, 32), 64),
+}
+
+
+class DenseNetFeatures(nn.Module):
+    """DenseNet feature stem (reference densenet_features.py:178-311):
+    stem conv7/2 + pool, dense blocks (BN-ReLU-1×1(4k)-BN-ReLU-3×3(k),
+    concat), transitions (BN-ReLU-1×1(half)-avgpool2), final BN+ReLU."""
+
+    arch: str
+
+    def _bn_relu_conv(self, x, features, kernel, name, train,
+                      stride=1):
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name=f"{name}_bn")(x)
+        x = nn.relu(x)
+        pad = (kernel - 1) // 2
+        return nn.Conv(features, (kernel, kernel), (stride, stride),
+                       padding=((pad, pad), (pad, pad)), use_bias=False,
+                       name=f"{name}_conv")(x)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        growth, blocks, init_feats = _DENSENET_SPECS[self.arch]
+        x = nn.Conv(init_feats, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn0")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        n_feats = init_feats
+        for bi, n_layers in enumerate(blocks):
+            for li in range(n_layers):
+                h = self._bn_relu_conv(x, 4 * growth, 1,
+                                       f"block{bi}_layer{li}_a", train)
+                h = self._bn_relu_conv(h, growth, 3,
+                                       f"block{bi}_layer{li}_b", train)
+                x = jnp.concatenate([x, h], axis=-1)
+                n_feats += growth
+            if bi != len(blocks) - 1:
+                n_feats = n_feats // 2
+                x = self._bn_relu_conv(x, n_feats, 1,
+                                       f"transition{bi}", train)
+                x = nn.avg_pool(x, (2, 2), (2, 2))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn_final")(x)
+        return nn.relu(x)
+
+    def conv_info(self) -> Tuple[List[int], List[int], List[int]]:
+        _, blocks, _ = _DENSENET_SPECS[self.arch]
+        ks, ss, ps = [7, 3], [2, 2], [3, 1]
+        for bi, n_layers in enumerate(blocks):
+            for _ in range(n_layers):
+                ks += [1, 3]; ss += [1, 1]; ps += [0, 1]
+            if bi != len(blocks) - 1:
+                ks += [1, 2]; ss += [1, 2]; ps += [0, 0]
+        return ks, ss, ps
+
+
 def build_classification_backbone(arch: str) -> nn.Module:
     if arch in _RESNET_SPECS:
         return ResNetFeatures(arch=arch)
     if arch.replace("_bn", "") in _VGG_SPECS:
         return VGGFeatures(arch=arch)
+    if arch in _DENSENET_SPECS:
+        return DenseNetFeatures(arch=arch)
     raise NotImplementedError(
-        f"backbone {arch!r} not implemented yet (have resnets, vggs, "
-        f"deeplabv2_resnet101)")
+        f"backbone {arch!r} not implemented (have resnets, vggs, "
+        f"densenets, deeplabv2_resnet101)")
 
 
 def backbone_out_channels(arch: str) -> int:
@@ -175,4 +241,12 @@ def backbone_out_channels(arch: str) -> int:
         return 512 if _RESNET_SPECS[arch][0] == "basic" else 2048
     if arch.replace("_bn", "") in _VGG_SPECS:
         return 512
+    if arch in _DENSENET_SPECS:
+        growth, blocks, init_feats = _DENSENET_SPECS[arch]
+        n = init_feats
+        for bi, n_layers in enumerate(blocks):
+            n += growth * n_layers
+            if bi != len(blocks) - 1:
+                n = n // 2
+        return n
     raise NotImplementedError(arch)

@@ -91,12 +91,13 @@ def test_prune_and_eval_cli(tmp_path):
     run_protoseg_training(cfg, run_dir, data_path=data_root,
                           val_every=2, val_batches=1)
 
-    # eval-valid CLI writes mean_iou.txt / iou_scores.json
+    # eval-valid CLI writes mean_iou.txt / iou_scores.json + stat plots
     cli_main(["eval-valid", run_dir, "push", "--split", "val",
-              "--data-path", data_root, "--max-images", "2"])
+              "--data-path", data_root, "--max-images", "2", "--stats"])
     out_dir = os.path.join(run_dir, "evaluation", "push")
     assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
     assert os.path.exists(os.path.join(out_dir, "iou_scores.json"))
+    assert os.path.exists(os.path.join(out_dir, "top_k_purity.png"))
 
     # prune (threshold 0 keeps everything but exercises the path)
     cli_main(["prune", run_dir, "--data-path", data_root,
