@@ -122,8 +122,11 @@ class TrainConfig:
     # to the *consistent* alignment; set True to bit-match the reference.
     kld_raw_label_indexing: bool = False
 
-    # dtype policy: bf16 activations / f32 params+optimizer state.
-    compute_dtype: str = "bfloat16"
+    # dtype policy for the training forward/backward pass: 'float32'
+    # reproduces the reference numerics; 'bfloat16' casts params +
+    # activations to bf16 for the MXU (grads and optimizer state stay
+    # f32).
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -260,6 +263,21 @@ register_experiment(ExperimentConfig(
                       add_on_layers_type="deeplab_simple"),
     data=DataConfig(class_table="mds", window_size=(513, 513)),
     train=TrainConfig(loss_weight_kld=0.0),
+))
+
+# Small smoke-test experiment: exercises the full pipeline (all phases,
+# push, prune, eval) in minutes on tiny shapes — not a reference config.
+register_experiment(ExperimentConfig(
+    name="smoke",
+    model=PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=65,
+                      add_on_layers_type="deeplab_simple"),
+    data=DataConfig(class_table="mds", window_size=(65, 65),
+                    scales=(0.9, 1.1)),
+    train=TrainConfig(warmup_steps=8, joint_steps=8, finetune_steps=8,
+                      iter_size=2, warmup_batch_size=2,
+                      joint_batch_size=2, loss_weight_kld=0.25),
 ))
 
 register_experiment(ExperimentConfig(

@@ -126,7 +126,16 @@ def loss_fn(params: Any, constants: Any, model: PPNet,
     (reference module.py:141-228: per-scale losses averaged)."""
     images, labels = batch
     t = cfg.train
-    variables = {"params": params, "constants": constants}
+    if t.compute_dtype == "bfloat16":
+        # bf16 forward/backward: params cast inside the differentiated
+        # function so gradients come back in the params' own dtype (f32)
+        fwd_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        images = images.astype(jnp.bfloat16)
+    else:
+        fwd_params = params
+    variables = {"params": fwd_params, "constants": constants}
     outputs = model.apply(variables, images, train=train)
     if not isinstance(outputs, list):
         outputs = [outputs]

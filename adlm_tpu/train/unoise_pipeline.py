@@ -65,6 +65,12 @@ def train_utility(args) -> Any:
     step = make_utility_train_step(cfg)
     evaluate = make_utility_eval_step(cfg)
 
+    # record the utility architecture so the noise trainer can rebuild
+    # the frozen model correctly
+    store.save_metadata("utility_config",
+                        {"depth": cfg.util_depth,
+                         "channel_factor": cfg.util_channel_factor})
+
     best_dice = -1.0
     for epoch in range(cfg.epochs):
         for imgs, masks in batches(train_ds, cfg.batch_size, shuffle=True,
@@ -91,6 +97,8 @@ def train_utility(args) -> Any:
 
 
 def train_noise(args) -> Any:
+    import dataclasses
+    import json
     cfg = _cfg_from_args(args)
     run_dir = os.path.join(os.environ.get("RESULTS_DIR", "./runs"),
                            args.run_name)
@@ -99,6 +107,15 @@ def train_noise(args) -> Any:
     logger = RunLogger(run_dir, "unoise_noise")
     store = CheckpointStore(run_dir)
     util_payload = CheckpointStore(util_dir).restore("utility", "best")
+
+    # rebuild the frozen utility model with the architecture it was
+    # trained with (recorded by train_utility)
+    util_cfg_path = os.path.join(util_dir, "utility_config.json")
+    if os.path.exists(util_cfg_path):
+        with open(util_cfg_path) as f:
+            uc = json.load(f)
+        cfg = dataclasses.replace(cfg, util_depth=uc["depth"],
+                                  util_channel_factor=uc["channel_factor"])
 
     train_ds, val_ds, _ = _load_arrays(args)
     sample, _ = train_ds[0]

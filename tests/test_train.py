@@ -130,6 +130,23 @@ def test_train_loss_decreases_warmup():
     assert losses[-1] < losses[0], losses
 
 
+def test_bf16_training_mode():
+    cfg = tiny_experiment(loss_weight_kld=0.25, compute_dtype="bfloat16")
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(11)
+    images, labels = make_batch(rng, cfg)
+    state = init_protoseg_state(model, cfg, 0, 100,
+                                jax.random.PRNGKey(11), images[0])
+    step = make_train_step(model, cfg, 0, 100)
+    new_state, metrics = step(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay f32 (master weights)
+    assert new_state.params["prototype_vectors"].dtype == jnp.float32
+    changed = np.any(np.asarray(new_state.params["prototype_vectors"]) !=
+                     np.asarray(state.params["prototype_vectors"]))
+    assert changed
+
+
 def test_eval_step_runs_and_counts():
     cfg = tiny_experiment(loss_weight_kld=0.25)
     model = PPNet(cfg=cfg.model)
