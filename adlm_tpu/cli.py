@@ -50,7 +50,9 @@ def cmd_train(args):
         cfg, run_dir, data_path=args.data_path, pruned=args.pruned,
         start_checkpoint=args.start_checkpoint,
         val_every=args.val_every, steps_scale=args.steps_scale,
-        save_push_visualizations=args.save_push_visualizations)
+        save_push_visualizations=args.save_push_visualizations,
+        pretrained_path=args.pretrained,
+        pretrained_naming="deeplab" if cfg.load_coco else "torchvision")
 
 
 def cmd_eval_valid(args):
@@ -223,6 +225,9 @@ def main(argv=None):
     tp.add_argument("run_name")
     tp.add_argument("--pruned", action="store_true")
     tp.add_argument("--start-checkpoint", default=None)
+    tp.add_argument("--pretrained", default=None,
+                    help="path to a torch .pth state_dict or .npz with "
+                         "torchvision (ImageNet) or deeplab (COCO) keys")
     tp.add_argument("--data-path", default=None)
     tp.add_argument("--val-every", type=int, default=500)
     tp.add_argument("--steps-scale", type=float, default=1.0)

@@ -79,6 +79,10 @@ class DataConfig:
     cells: bool = False  # raw-float images, no /255 (cells.gin)
     dataloader_n_jobs: int = 8
     train_key: str = "train"
+    # eval-time input resize (labels stay full-res; logits are
+    # upsampled to label size).  The reference resizes PASCAL eval
+    # inputs to 513x513 (eval_valid.py:144-152).
+    eval_resize: Optional[Tuple[int, int]] = None
 
 
 @dataclass(frozen=True)
@@ -233,7 +237,8 @@ _PASCAL_MODEL = PPNetConfig(
     num_prototypes=210, num_classes=21, img_size=321,
     add_on_layers_type="deeplab_simple", msc_scales=(0.5, 0.75),
 )
-_PASCAL_DATA = DataConfig(class_table="pascal", window_size=(321, 321))
+_PASCAL_DATA = DataConfig(class_table="pascal", window_size=(321, 321),
+                          eval_resize=(513, 513))
 
 register_experiment(ExperimentConfig(
     name="pascal_kld_imnet",

@@ -68,13 +68,21 @@ class SegmentationDataset:
 
     def get_eval_item(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         """Full-resolution normalized image + raw training-id label
-        (eval/push path — no augmentation, reference eval_valid.py:136-156)."""
+        (eval/push path — no augmentation, reference eval_valid.py:136-156).
+        With ``eval_resize`` set, the INPUT is resized (PASCAL eval uses
+        513x513 inputs) while the label keeps its native size."""
         image, label = self._load_raw(self.img_ids[index])
         img = image.astype(np.float32)
         if not self.cfg.cells:
             img = img / 255.0
         img = (img - np.asarray(self.cfg.mean, np.float32)) / \
             np.asarray(self.cfg.std, np.float32)
+        if self.cfg.eval_resize is not None and not self.push_prototypes:
+            h, w = self.cfg.eval_resize
+            from PIL import Image as PILImage
+            chans = [np.asarray(PILImage.fromarray(img[:, :, c]).resize(
+                (w, h), resample=PILImage.BILINEAR)) for c in range(3)]
+            img = np.stack(chans, axis=-1)
         return img, label
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:

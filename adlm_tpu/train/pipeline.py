@@ -123,7 +123,9 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                           start_checkpoint: Optional[str] = None,
                           val_every: int = 500, val_batches: int = 20,
                           steps_scale: float = 1.0,
-                          save_push_visualizations: bool = False
+                          save_push_visualizations: bool = False,
+                          pretrained_path: Optional[str] = None,
+                          pretrained_naming: str = "torchvision"
                           ) -> ProtoSegState:
     """Full training pipeline. ``steps_scale`` shrinks every phase budget
     (for smoke tests); 1.0 reproduces the reference schedule."""
@@ -184,6 +186,33 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
 
     state = init_protoseg_state(model, cfg, 0, warmup_steps, rng, sample,
                                 params=params, constants=constants)
+
+    if pretrained_path and not start_checkpoint:
+        # ImageNet/COCO backbone init (reference train.py:70-95);
+        # accepts a torch .pth state_dict or an .npz with the same keys
+        logger.log(f"Loading pretrained backbone from {pretrained_path} "
+                   f"({pretrained_naming} naming)")
+        from adlm_tpu.utils.torch_import import load_deeplab_backbone
+        if pretrained_path.endswith(".npz"):
+            sd = dict(np.load(pretrained_path))
+        else:
+            import torch
+            sd = torch.load(pretrained_path, map_location="cpu",
+                            weights_only=True)
+        p_host = jax.tree.map(np.asarray, dict(state.params))
+        c_host = jax.tree.map(np.asarray, dict(state.constants))
+        report = load_deeplab_backbone(p_host, c_host, sd,
+                                       naming=pretrained_naming)
+        logger.log(f"Loaded {len(report['loaded'])} tensors "
+                   f"({len(report['unexpected_keys'])} unexpected)")
+        if report["negative_variance_keys"]:
+            logger.log(f"WARNING: {len(report['negative_variance_keys'])} "
+                       f"BN running_var tensors have negative entries — "
+                       f"forward passes will produce NaNs")
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, p_host),
+            constants=jax.tree.map(jnp.asarray, c_host))
+
     if warmup_steps > 0:
         logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
         state = _run_phase(model, cfg, 0, state, train_ds, val_ds, store,
