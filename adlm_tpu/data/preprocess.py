@@ -116,6 +116,37 @@ def preprocess_cityscapes(source_path: str, target_path: str,
         json.dump(all_images, f)
 
 
+def preprocess_cityscapes_obj_masks(source_path: str, target_path: str,
+                                    n_jobs: int = 8) -> None:
+    """Instance-id variant: per-image binary object masks from
+    gtFine instanceIds (reference preprocess_cityscapes.py:74-89,
+    131-154).  Instances have ids ≥ 1000 (id = class*1000 + instance);
+    saves a uint8 mask stack index per image under obj_masks/<split>."""
+    labels_dir = os.path.join(source_path, "gtFine_trainvaltest", "gtFine")
+    out_root = os.path.join(target_path, "obj_masks")
+    for split in ("train", "val", "test"):
+        split_dir = os.path.join(labels_dir, split)
+        if not os.path.isdir(split_dir):
+            continue
+        os.makedirs(os.path.join(out_root, split), exist_ok=True)
+        for city in sorted(os.listdir(split_dir)):
+            city_dir = os.path.join(split_dir, city)
+            for fname in sorted(os.listdir(city_dir)):
+                if not fname.endswith("_gtFine_instanceIds.png"):
+                    continue
+                img_id = fname.split("_gtFine_instanceIds.png")[0]
+                inst = np.asarray(Image.open(
+                    os.path.join(city_dir, fname)), dtype=np.int32)
+                obj_ids = [i for i in np.unique(inst) if i >= 1000]
+                masks = np.stack(
+                    [(inst == i).astype(np.uint8) for i in obj_ids]
+                ) if obj_ids else np.zeros((0, *inst.shape), np.uint8)
+                np.savez_compressed(
+                    os.path.join(out_root, split, f"{img_id}.npz"),
+                    masks=masks,
+                    instance_ids=np.asarray(obj_ids, np.int32))
+
+
 def preprocess_pascal(source_path: str, target_path: str,
                       margin: int = 0) -> None:
     """PASCAL VOC 2012 + SegmentationClassAug → npy layout

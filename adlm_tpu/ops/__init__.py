@@ -1,5 +1,6 @@
 from adlm_tpu.ops.prototype import (
     l2_distances,
+    weighted_l2_distances,
     distance_to_similarity,
     prototype_head,
     prototype_head_reference,
@@ -15,6 +16,7 @@ from adlm_tpu.ops.losses import (
 
 __all__ = [
     "l2_distances",
+    "weighted_l2_distances",
     "distance_to_similarity",
     "prototype_head",
     "prototype_head_reference",

@@ -57,6 +57,26 @@ def l2_distances(x: jnp.ndarray, prototypes: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(x2 - 2.0 * xp + p2, 0.0)
 
 
+def weighted_l2_distances(x: jnp.ndarray, prototypes: jnp.ndarray,
+                          weights: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel weighted squared-L2 distance
+    (reference model.py:177-201 ``_weighted_l2_convolution``):
+    ``d[n,p] = Σ_c w[p,c]·(x[n,c] − proto[p,c])²``.
+
+    Args:
+      x: (..., C); prototypes: (P, C); weights: (P, C) non-negative.
+    """
+    x = x.astype(jnp.float32)
+    p = prototypes.astype(jnp.float32)
+    w = weights.astype(jnp.float32)
+    x2w = jnp.einsum("...c,pc->...p", x * x, w,
+                     precision=jax.lax.Precision.HIGHEST)
+    xpw = jnp.einsum("...c,pc->...p", x, w * p,
+                     precision=jax.lax.Precision.HIGHEST)
+    p2w = jnp.sum(w * p * p, axis=-1)
+    return jnp.maximum(x2w - 2.0 * xpw + p2w, 0.0)
+
+
 def distance_to_similarity(distances: jnp.ndarray,
                            activation: str = "log",
                            epsilon: float = EPSILON) -> jnp.ndarray:

@@ -1,0 +1,138 @@
+"""ProtoPNet classification training driver.
+
+The reference's ``main.py`` epoch loop (reference main.py:107-189,
+which crashes as shipped on a kwarg typo at :103 — recorded bug):
+warm epochs → joint epochs with a StepLR, periodic prototype push from
+``push_start`` every 10 epochs, each push followed by last-layer
+iterations; accuracy-gated checkpointing (reference save.py:4-11).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.core.checkpoint import CheckpointStore
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.train.classification import (
+    ClassificationConfig,
+    ClassifierState,
+    init_classifier_state,
+    make_cls_eval_step,
+    make_cls_push_batch_fn,
+    make_cls_train_step,
+    push_classification_prototypes,
+)
+from adlm_tpu.utils.logging import RunLogger
+
+BatchIter = Callable[[], Iterable[Tuple[np.ndarray, np.ndarray]]]
+
+
+def _epoch(step_fn, state, batches):
+    n_correct = n_total = 0
+    for images, labels in batches:
+        state, m = step_fn(state, jnp.asarray(images), jnp.asarray(labels))
+        n_correct += float(m["n_correct"])
+        n_total += images.shape[0]
+    return state, n_correct / max(n_total, 1)
+
+
+def _evaluate(eval_fn, state, batches):
+    n_correct = n_total = 0
+    for images, labels in batches:
+        m = eval_fn(state, jnp.asarray(images), jnp.asarray(labels))
+        n_correct += float(m["n_correct"])
+        n_total += images.shape[0]
+    return n_correct / max(n_total, 1)
+
+
+def save_if_better(store: CheckpointStore, stage: str, state, acc: float,
+                   best: float, threshold: float, log) -> float:
+    """Accuracy-threshold-gated save (reference save.py:4-11)."""
+    if acc > threshold and acc > best:
+        store.save(stage, "best", {"params": dict(state.params),
+                                   "batch_stats": dict(state.batch_stats),
+                                   "step": state.step})
+        log(f"{stage}: saved at accuracy {acc:.4f}")
+        return acc
+    return best
+
+
+def run_classification_training(
+    cfg: ClassificationConfig,
+    run_dir: str,
+    train_batches: BatchIter,
+    test_batches: BatchIter,
+    push_batches: Optional[BatchIter] = None,
+    num_epochs: Optional[int] = None,
+    steps_per_epoch: int = 1,
+    target_accuracy: float = 0.0,
+    last_layer_iterations: int = 5,
+    push_every: int = 10,  # reference: push_epochs = every 10th epoch
+) -> ClassifierState:
+    logger = RunLogger(run_dir, "classification")
+    store = CheckpointStore(run_dir)
+    model = PPNet(cfg=cfg.model)
+    push_batches = push_batches or train_batches
+
+    sample, _ = next(iter(train_batches()))
+    state = init_classifier_state(model, cfg, "warm",
+                                  jax.random.PRNGKey(0),
+                                  jnp.asarray(sample),
+                                  steps_per_epoch=steps_per_epoch)
+    warm_step = make_cls_train_step(model, cfg, "warm", steps_per_epoch)
+    joint_step = make_cls_train_step(model, cfg, "joint", steps_per_epoch)
+    last_step = make_cls_train_step(model, cfg, "last", steps_per_epoch)
+    eval_fn = make_cls_eval_step(model, cfg)
+
+    best = 0.0
+    epochs = num_epochs if num_epochs is not None else cfg.num_train_epochs
+    for epoch in range(epochs):
+        if epoch < cfg.num_warm_epochs:
+            state, train_acc = _epoch(warm_step, state, train_batches())
+            stage = "warm"
+        else:
+            if epoch == cfg.num_warm_epochs:
+                # fresh joint optimizer state at the phase switch
+                state = init_classifier_state(
+                    model, cfg, "joint", jax.random.PRNGKey(1),
+                    jnp.asarray(sample), params=state.params,
+                    batch_stats=state.batch_stats,
+                    steps_per_epoch=steps_per_epoch)
+            state, train_acc = _epoch(joint_step, state, train_batches())
+            stage = "joint"
+        acc = _evaluate(eval_fn, state, test_batches())
+        logger.metrics(epoch, stage, "test", {"accuracy": acc,
+                                              "train_accuracy": train_acc})
+        best = save_if_better(store, "nopush", state, acc, best,
+                              target_accuracy, logger.log)
+
+        if epoch >= cfg.push_start and epoch % push_every == 0:
+            logger.log(f"epoch {epoch}: prototype push")
+            new_params, info = push_classification_prototypes(
+                model, state, push_batches())
+            state = state.replace(params=new_params)
+            acc = _evaluate(eval_fn, state, test_batches())
+            best = save_if_better(store, "push", state, acc, best,
+                                  target_accuracy, logger.log)
+            # last-layer convex optimization after each push
+            state_l = init_classifier_state(
+                model, cfg, "last", jax.random.PRNGKey(2),
+                jnp.asarray(sample), params=state.params,
+                batch_stats=state.batch_stats,
+                steps_per_epoch=steps_per_epoch)
+            for _ in range(last_layer_iterations):
+                state_l, _ = _epoch(last_step, state_l, train_batches())
+            state = state.replace(params=state_l.params,
+                                  batch_stats=state_l.batch_stats)
+            acc = _evaluate(eval_fn, state, test_batches())
+            best = save_if_better(store, "push", state, acc, best,
+                                  target_accuracy, logger.log)
+    store.save("nopush", "last", {"params": dict(state.params),
+                                  "batch_stats": dict(state.batch_stats),
+                                  "step": state.step})
+    return state

@@ -123,3 +123,28 @@ def test_classification_push():
         if pc[j] in present:
             assert np.isfinite(info["min_distances"][j])
             assert info["rf_boxes"][j, 0] >= 0
+
+
+def test_classification_epoch_pipeline(tmp_path):
+    from adlm_tpu.train.classification_pipeline import (
+        run_classification_training)
+    import dataclasses
+    cfg = tiny_cls_cfg()
+    cfg = dataclasses.replace(cfg, num_warm_epochs=1, push_start=2)
+    rng = np.random.RandomState(9)
+    images = rng.rand(8, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 3, size=(8,))
+
+    def batches():
+        for i in range(0, 8, 4):
+            yield images[i:i + 4], labels[i:i + 4]
+
+    state = run_classification_training(
+        cfg, str(tmp_path), batches, batches, num_epochs=3,
+        last_layer_iterations=1, push_every=1)
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    store = CheckpointStore(str(tmp_path))
+    assert store.exists("nopush", "last")
+    # push happened at epoch 2
+    logs = open(tmp_path / "logs" / "classification.log").read()
+    assert "prototype push" in logs
