@@ -46,13 +46,23 @@ def cmd_train(args):
     cfg = get_experiment(args.experiment)
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
+
+    mesh = None
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
+    if args.mesh_data or args.mesh_model > 1:
+        from adlm_tpu.core.mesh import MeshSpec, make_mesh
+        mesh = make_mesh(MeshSpec(data=args.mesh_data or -1,
+                                  model=args.mesh_model))
     run_protoseg_training(
         cfg, run_dir, data_path=args.data_path, pruned=args.pruned,
         start_checkpoint=args.start_checkpoint,
         val_every=args.val_every, steps_scale=args.steps_scale,
         save_push_visualizations=args.save_push_visualizations,
         pretrained_path=args.pretrained,
-        pretrained_naming="deeplab" if cfg.load_coco else "torchvision")
+        pretrained_naming="deeplab" if cfg.load_coco else "torchvision",
+        mesh=mesh)
 
 
 def cmd_eval_valid(args):
@@ -232,6 +242,12 @@ def main(argv=None):
     tp.add_argument("--val-every", type=int, default=500)
     tp.add_argument("--steps-scale", type=float, default=1.0)
     tp.add_argument("--save-push-visualizations", action="store_true")
+    tp.add_argument("--mesh-data", type=int, default=0,
+                    help="data-parallel mesh axis size (0 = single device)")
+    tp.add_argument("--mesh-model", type=int, default=1,
+                    help="model/spatial mesh axis size")
+    tp.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize()")
     tp.set_defaults(fn=cmd_train)
 
     for name, fn in (("eval-valid", cmd_eval_valid),

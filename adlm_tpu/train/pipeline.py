@@ -54,10 +54,18 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                max_steps: int, batch_size: int,
                val_every: int, val_batches: int,
                early_stopping_patience: Optional[int] = None,
-               stage_key: Optional[str] = None) -> ProtoSegState:
+               stage_key: Optional[str] = None,
+               mesh=None) -> ProtoSegState:
     t = cfg.train
     stage = stage_key or STAGE_BY_PHASE[phase]
-    step_fn = make_train_step(model, cfg, phase, max_steps)
+    if mesh is not None:
+        from adlm_tpu.parallel.sharding import (
+            make_sharded_train_step, shard_state)
+        step_fn = make_sharded_train_step(model, cfg, phase, mesh,
+                                          max_steps)
+        state = shard_state(state, mesh)
+    else:
+        step_fn = make_train_step(model, cfg, phase, max_steps)
     eval_fn = make_eval_step(model, cfg)
     n_windows = max(max_steps // t.iter_size, 1)
 
@@ -125,7 +133,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                           steps_scale: float = 1.0,
                           save_push_visualizations: bool = False,
                           pretrained_path: Optional[str] = None,
-                          pretrained_naming: str = "torchvision"
+                          pretrained_naming: str = "torchvision",
+                          mesh=None
                           ) -> ProtoSegState:
     """Full training pipeline. ``steps_scale`` shrinks every phase budget
     (for smoke tests); 1.0 reproduces the reference schedule."""
@@ -172,7 +181,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                            t.warmup_batch_size, val_every, val_batches,
                            early_stopping_patience=
                            t.early_stopping_patience_last_layer,
-                           stage_key="pruned")
+                           stage_key="pruned", mesh=mesh)
         return state
 
     # phase 0: warmup
@@ -217,7 +226,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
         state = _run_phase(model, cfg, 0, state, train_ds, val_ds, store,
                            logger, warmup_steps, t.warmup_batch_size,
-                           val_every, val_batches)
+                           val_every, val_batches, mesh=mesh)
 
     # phase 1: joint
     logger.log(f"JOINT TRAINING START ({joint_steps} steps)")
@@ -227,7 +236,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                                 proto_class=state.proto_class)
     state = _run_phase(model, cfg, 1, state, train_ds, val_ds, store,
                        logger, joint_steps, t.joint_batch_size,
-                       val_every, val_batches)
+                       val_every, val_batches, mesh=mesh)
 
     # push
     logger.log("SAVING PROTOTYPES (push)")
@@ -262,5 +271,5 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                        val_every, val_batches,
                        early_stopping_patience=
                        t.early_stopping_patience_last_layer,
-                       stage_key="push")
+                       stage_key="push", mesh=mesh)
     return state
