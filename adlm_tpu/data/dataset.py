@@ -94,6 +94,21 @@ class SegmentationDataset:
             s = self.rng.uniform(self.cfg.scales[0], self.cfg.scales[1])
         else:
             s = 1.0
+
+        # native fast path: one C call for the whole transform chain
+        from adlm_tpu import native
+        if native.available():
+            wh, ww = self.cfg.window_size
+            nh, nw = int(h * s), int(w * s)
+            max_sh = max(nh, wh) - wh
+            max_sw = max(nw, ww) - ww
+            start = (self.rng.randint(0, max_sh) if max_sh > 0 else 0,
+                     self.rng.randint(0, max_sw) if max_sw > 0 else 0)
+            flip = (not self.is_eval) and self.rng.random() < 0.5
+            return native.augment_sample(
+                image, label, s, (wh, ww), start, flip,
+                self.cfg.mean, self.cfg.std, cells=self.cfg.cells,
+                normalize=not self.push_prototypes)
         nh, nw = int(h * s), int(w * s)
         if (nh, nw) != (h, w):
             image = np.asarray(Image.fromarray(image).resize(

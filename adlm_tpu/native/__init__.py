@@ -1,0 +1,107 @@
+"""ctypes bindings for the native data-path library.
+
+Builds on demand (g++, a few seconds) and falls back cleanly: callers
+check `available()` and keep the pure-python path when the toolchain is
+missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libadlm_data.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.resize_bilinear_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, f32p, ctypes.c_int,
+                                       ctypes.c_int]
+    lib.resize_nearest_i32.argtypes = [i32p, ctypes.c_int, ctypes.c_int,
+                                       i32p, ctypes.c_int, ctypes.c_int]
+    lib.augment_sample.argtypes = [
+        u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, f32p, f32p, i32p, f32p, i32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def resize_bilinear_u8(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((dh, dw, c), np.float32)
+    lib.resize_bilinear_u8(img, h, w, c, out, dh, dw)
+    return out
+
+
+def resize_nearest_i32(label: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    label = np.ascontiguousarray(label, np.int32)
+    h, w = label.shape
+    out = np.empty((dh, dw), np.int32)
+    lib.resize_nearest_i32(label, h, w, out, dh, dw)
+    return out
+
+
+def augment_sample(img: np.ndarray, label: np.ndarray,
+                   scale: float, window: Tuple[int, int],
+                   start: Tuple[int, int], flip: bool,
+                   mean: Tuple[float, ...], std: Tuple[float, ...],
+                   cells: bool = False, normalize: bool = True
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Full reference-parity training transform, natively.
+
+    img: (H, W, 3) uint8; label: (H, W) int; returns
+    (window_h, window_w, 3) float32 + (window_h, window_w) int32.
+    """
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    label = np.ascontiguousarray(label, np.int32)
+    h, w, c = img.shape
+    sh2, sw2 = int(h * scale), int(w * scale)
+    wh, ww = window
+    scratch_img = np.empty((sh2, sw2, c), np.float32)
+    scratch_label = np.empty((sh2, sw2), np.int32)
+    out_img = np.empty((wh, ww, c), np.float32)
+    out_label = np.empty((wh, ww), np.int32)
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    lib.augment_sample(img, label, h, w, c, sh2, sw2, wh, ww,
+                       start[0], start[1], int(flip), int(cells),
+                       int(normalize), mean_a, std_a,
+                       scratch_img.reshape(-1), scratch_label.reshape(-1),
+                       out_img.reshape(-1), out_label.reshape(-1))
+    return out_img, out_label

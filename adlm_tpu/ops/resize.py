@@ -17,7 +17,12 @@ import jax.numpy as jnp
 def resize_label_nearest(label: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbour label resize matching ``PIL.Image.resize(NEAREST)``.
 
-    PIL maps output pixel ``i`` to input pixel ``floor((i + 0.5) * in/out)``.
+    Mapping: output pixel ``i`` reads input pixel
+    ``floor((i + 0.5) * in/out)``.  This equals PIL's choice at every
+    non-degenerate position; when the sampling center lands EXACTLY on
+    an integer (only possible for rational in/out ratios), PIL's pick
+    depends on its internal float rounding and may take the neighbor —
+    a one-row/column difference we do not chase.
 
     Args:
       label: (..., H, W) integer labels.
