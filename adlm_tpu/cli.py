@@ -221,6 +221,193 @@ def cmd_unoise_train_noise(args):
     train_noise(args)
 
 
+def cmd_unoise_visualize(args):
+    """Interpretation artifacts for trained U-Noise models: importance
+    masks, grad-CAM, occlusion sensitivity, timing comparison
+    (reference src/make_visualizations.py)."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.models.unet import UNet
+    from adlm_tpu.interpret.unoise_vis import (
+        grad_cam, interpretation_timing, occlusion_sensitivity,
+        unoise_importance)
+    from adlm_tpu.interpret.visualize import jet_colormap, upsample_cubic
+    from adlm_tpu.data.unoise_data import split_datasets
+
+    results = os.environ.get("RESULTS_DIR", "./runs")
+    util_payload = CheckpointStore(
+        os.path.join(results, args.utility_run)).restore("utility", "best")
+    noise_payload = CheckpointStore(
+        os.path.join(results, args.noise_run)).restore("noise", "best")
+    util_cfg = json.load(open(os.path.join(
+        results, args.utility_run, "utility_config.json")))
+    util_model = UNet(out_channels=1, depth=util_cfg["depth"],
+                      cf=util_cfg["channel_factor"])
+    noise_model = UNet(out_channels=1, depth=args.depth,
+                       cf=args.channel_factor)
+    util_v = {"params": util_payload["params"],
+              "batch_stats": util_payload["batch_stats"]}
+    noise_v = {"params": noise_payload["params"],
+               "batch_stats": noise_payload["batch_stats"]}
+
+    imgs = np.load(args.imgs)
+    masks = np.load(args.masks)
+    _, _, test_ds = split_datasets(imgs, masks, None)
+    image, mask = test_ds[args.index]
+    image_j = jnp.asarray(image[None])
+    mask_j = jnp.asarray(mask[None])
+
+    out_dir = os.path.join(results, args.noise_run, "visualizations")
+    os.makedirs(out_dir, exist_ok=True)
+    H, W = image.shape[0], image.shape[1]
+
+    def save_heat(heat, name):
+        hn = (heat - heat.min()) / max(heat.max() - heat.min(), 1e-12)
+        if hn.shape != (H, W):
+            hn = upsample_cubic(hn, (H, W))
+        rgb = np.clip(0.5 * (image * 0.225 + 0.45) +
+                      0.5 * jet_colormap(hn), 0, 1)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, name))
+
+    imp = unoise_importance(noise_model, noise_v, image_j)[0, :, :, 0]
+    save_heat(1.0 - imp, "unoise_importance.png")
+    heat = grad_cam(util_model, util_v, image_j, x=W // 2, y=H // 2)
+    save_heat(heat, "grad_cam.png")
+    occ = occlusion_sensitivity(util_model, util_v, image_j, mask_j,
+                                patch=args.occlusion_patch,
+                                stride=args.occlusion_stride)[0]
+    save_heat(-occ, "occlusion_sensitivity.png")
+
+    timing = interpretation_timing({
+        "unoise": lambda: unoise_importance(noise_model, noise_v, image_j),
+        "grad_cam": lambda: grad_cam(util_model, util_v, image_j,
+                                     x=W // 2, y=H // 2),
+        "occlusion": lambda: occlusion_sensitivity(
+            util_model, util_v, image_j, mask_j,
+            patch=args.occlusion_patch, stride=args.occlusion_stride),
+    })
+    print(json.dumps({"seconds_per_interpretation": timing}, indent=2))
+    with open(os.path.join(out_dir, "timing.json"), "w") as f:
+        json.dump(timing, f)
+
+
+def cmd_unoise_figures(args):
+    """Coverage-vs-dice curves (reference src/make_figures.py)."""
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.models.unet import UNet
+    from adlm_tpu.interpret.figures import coverage_dice_curve, plot_curves
+    from adlm_tpu.interpret.unoise_vis import unoise_importance
+    from adlm_tpu.data.unoise_data import batches, split_datasets
+
+    results = os.environ.get("RESULTS_DIR", "./runs")
+    util_payload = CheckpointStore(
+        os.path.join(results, args.utility_run)).restore("utility", "best")
+    util_cfg = json.load(open(os.path.join(
+        results, args.utility_run, "utility_config.json")))
+    util_model = UNet(out_channels=1, depth=util_cfg["depth"],
+                      cf=util_cfg["channel_factor"])
+    util_v = {"params": util_payload["params"],
+              "batch_stats": util_payload["batch_stats"]}
+
+    imgs = np.load(args.imgs)
+    masks = np.load(args.masks)
+    _, _, test_ds = split_datasets(imgs, masks, None)
+    test_imgs, test_masks = next(iter(batches(test_ds, args.n_images)))
+    test_imgs = jnp.asarray(test_imgs)
+    test_masks = jnp.asarray(test_masks)
+
+    curves = {}
+    params_per_model = {}
+    for run in args.noise_runs.split(","):
+        payload = CheckpointStore(os.path.join(results, run)).restore(
+            "noise", "best")
+        leaves = [np.asarray(x) for x in
+                  __import__("jax").tree_util.tree_leaves(payload["params"])]
+        params_per_model[run] = int(sum(x.size for x in leaves))
+        noise_model = UNet(out_channels=1, depth=args.depth,
+                           cf=args.channel_factor)
+        noise_v = {"params": payload["params"],
+                   "batch_stats": payload["batch_stats"]}
+        imp = unoise_importance(noise_model, noise_v, test_imgs)
+        curves[run] = coverage_dice_curve(util_model, util_v, imp,
+                                          test_imgs, test_masks)
+    out = os.path.join(results, "unoise_coverage_dice.png")
+    plot_curves(curves, out, params_per_model)
+    print(json.dumps({run: curve for run, curve in curves.items()},
+                     indent=2))
+
+
+def cmd_analyze_local(args):
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.dataset import SegmentationDataset
+    from adlm_tpu.interpret.analysis import local_analysis
+    from adlm_tpu.models.ppnet import PPNet
+
+    store = CheckpointStore(args.run_dir)
+    cfg = ExperimentConfig.from_json(store.load_config_json())
+    payload = store.restore(args.stage, args.kind)
+    n_proto = int(np.asarray(
+        payload["params"]["prototype_vectors"]).shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    model = PPNet(cfg=cfg.model)
+    ds = SegmentationDataset(cfg.data, args.split,
+                             data_path=args.data_path, is_eval=True)
+    img, _ = ds.get_eval_item(args.index)
+    res = local_analysis(
+        model, payload["params"], payload["constants"],
+        jnp.asarray(payload["proto_class"]), img[None],
+        top_k=args.top_k,
+        save_dir=os.path.join(args.run_dir, "local_analysis",
+                              ds.img_ids[args.index]))
+    print(json.dumps({
+        "top_prototypes": res["top_prototypes"].tolist(),
+        "top_classes": res["top_classes"].tolist(),
+        "own_class_is_strongest": bool(res["own_class_is_strongest"].all()),
+    }, indent=2))
+
+
+def cmd_analyze_global(args):
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.dataset import SegmentationDataset
+    from adlm_tpu.interpret.analysis import global_analysis
+    from adlm_tpu.models.ppnet import PPNet
+
+    store = CheckpointStore(args.run_dir)
+    cfg = ExperimentConfig.from_json(store.load_config_json())
+    payload = store.restore(args.stage, args.kind)
+    n_proto = int(np.asarray(
+        payload["params"]["prototype_vectors"]).shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    model = PPNet(cfg=cfg.model)
+    ds = SegmentationDataset(cfg.data, args.split,
+                             data_path=args.data_path, is_eval=True,
+                             push_prototypes=True)
+    items = ds.eval_items()
+    if args.max_images:
+        import itertools
+        items = itertools.islice(items, args.max_images)
+    ids = global_analysis(
+        model, payload["params"], payload["constants"],
+        jnp.asarray(payload["proto_class"]), items,
+        cfg.model.num_classes, k=args.k,
+        save_dir=os.path.join(args.run_dir, "global_analysis"))
+    print(f"nearest patch class ids saved; shape {ids.shape}")
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -315,6 +502,46 @@ def main(argv=None):
                 getattr(pre, fn_name)(args.source_path, args.target_path)
             return run
         sp.set_defaults(fn=_mk(module_fn))
+
+    vp = sub.add_parser("unoise-visualize")
+    vp.add_argument("--imgs", default="data/images.npy")
+    vp.add_argument("--masks", default="data/masks.npy")
+    vp.add_argument("--utility-run", default="unoise_util")
+    vp.add_argument("--noise-run", default="unoise_noise")
+    vp.add_argument("--depth", type=int, default=5)
+    vp.add_argument("--channel-factor", type=int, default=6)
+    vp.add_argument("--index", type=int, default=0)
+    vp.add_argument("--occlusion-patch", type=int, default=10)
+    vp.add_argument("--occlusion-stride", type=int, default=4)
+    vp.set_defaults(fn=cmd_unoise_visualize)
+
+    fp = sub.add_parser("unoise-figures")
+    fp.add_argument("--imgs", default="data/images.npy")
+    fp.add_argument("--masks", default="data/masks.npy")
+    fp.add_argument("--utility-run", default="unoise_util")
+    fp.add_argument("--noise-runs", default="unoise_noise",
+                    help="comma-separated noise run names")
+    fp.add_argument("--depth", type=int, default=5)
+    fp.add_argument("--channel-factor", type=int, default=6)
+    fp.add_argument("--n-images", type=int, default=8)
+    fp.set_defaults(fn=cmd_unoise_figures)
+
+    for name, fn in (("analyze-local", cmd_analyze_local),
+                     ("analyze-global", cmd_analyze_global)):
+        ap = sub.add_parser(name)
+        ap.add_argument("run_dir")
+        ap.add_argument("stage", choices=["warmup", "nopush", "push",
+                                          "pruned"])
+        ap.add_argument("--kind", default="last")
+        ap.add_argument("--split", default="val")
+        ap.add_argument("--data-path", default=None)
+        if name == "analyze-local":
+            ap.add_argument("--index", type=int, default=0)
+            ap.add_argument("--top-k", type=int, default=10)
+        else:
+            ap.add_argument("--k", type=int, default=5)
+            ap.add_argument("--max-images", type=int, default=0)
+        ap.set_defaults(fn=fn)
 
     gp = sub.add_parser("gen-image-list")
     gp.add_argument("target_path")
