@@ -39,6 +39,21 @@ H, W = 1024, 2048
 
 
 def main() -> None:
+    # the remote TPU relay occasionally throws transient INTERNAL
+    # errors; retry the whole measurement a few times
+    last_err = None
+    for attempt in range(3):
+        try:
+            return _run()
+        except Exception as e:  # pragma: no cover
+            last_err = e
+            print(f"# bench attempt {attempt + 1} failed: {e}",
+                  flush=True)
+            time.sleep(10)
+    raise last_err
+
+
+def _run() -> None:
     from adlm_tpu.core.config import get_experiment
     from adlm_tpu.models.ppnet import PPNet, default_proto_class
     from adlm_tpu.interpret.evaluate import make_inference_fn
