@@ -404,7 +404,10 @@ def cmd_analyze_global(args):
         model, payload["params"], payload["constants"],
         jnp.asarray(payload["proto_class"]), items,
         cfg.model.num_classes, k=args.k,
-        save_dir=os.path.join(args.run_dir, "global_analysis"))
+        save_dir=os.path.join(args.run_dir, "global_analysis"),
+        full_save=args.full_save,
+        get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
+            *ds.get_eval_item(i)))
     print(f"nearest patch class ids saved; shape {ids.shape}")
 
 
@@ -541,6 +544,8 @@ def main(argv=None):
         else:
             ap.add_argument("--k", type=int, default=5)
             ap.add_argument("--max-images", type=int, default=0)
+            ap.add_argument("--full-save", action="store_true",
+                            help="save nearest-patch image artifacts")
         ap.set_defaults(fn=fn)
 
     gp = sub.add_parser("gen-image-list")

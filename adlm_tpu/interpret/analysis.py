@@ -90,19 +90,29 @@ def global_analysis(model: PPNet, params: Any, constants: Any,
                     proto_class: jnp.ndarray,
                     dataset: Iterable[Tuple[np.ndarray, np.ndarray]],
                     num_classes: int, k: int = 5,
-                    save_dir: Optional[str] = None) -> np.ndarray:
+                    save_dir: Optional[str] = None,
+                    full_save: bool = False,
+                    get_item=None) -> np.ndarray:
     """k nearest patch class ids per prototype; optionally saves
-    per-prototype nearest-patch class id arrays
-    (reference global_analysis.py:120-138 / find_nearest full_save)."""
-    from adlm_tpu.interpret.nearest import find_k_nearest_patches
+    per-prototype class id arrays and, with ``full_save`` (requires
+    ``get_item: idx -> (image, label)``), the full nearest-patch
+    artifact set (reference global_analysis.py:120-138 /
+    find_nearest.py:236-337)."""
+    from adlm_tpu.interpret.nearest import (
+        find_k_nearest_patches, save_nearest_artifacts)
 
-    ids = find_k_nearest_patches(model, params, constants, proto_class,
-                                 dataset, num_classes, k=k)
+    ids, info = find_k_nearest_patches(model, params, constants,
+                                       proto_class, dataset, num_classes,
+                                       k=k, return_info=True)
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
-        np.save(os.path.join(save_dir, "full_class_id.npy"), ids)
-        for j in range(ids.shape[0]):
-            d = os.path.join(save_dir, str(j))
-            os.makedirs(d, exist_ok=True)
-            np.save(os.path.join(d, "class_id.npy"), ids[j])
+        if full_save and get_item is not None:
+            save_nearest_artifacts(model, params, constants, proto_class,
+                                   get_item, ids, info, save_dir)
+        else:
+            np.save(os.path.join(save_dir, "full_class_id.npy"), ids)
+            for j in range(ids.shape[0]):
+                d = os.path.join(save_dir, str(j))
+                os.makedirs(d, exist_ok=True)
+                np.save(os.path.join(d, "class_id.npy"), ids[j])
     return ids

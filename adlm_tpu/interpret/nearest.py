@@ -27,7 +27,7 @@ _VOID_PENALTY = 10e6  # reference find_nearest.py:132
 
 def make_nearest_batch_fn(model: PPNet, num_classes: int) -> Callable:
     """(params, constants, proto_class, image(1,H,W,3), label(1,H,W))
-    → (min_dist (P,), patch_label (P,)).
+    → (min_dist (P,), patch_label (P,), patch_i (P,), patch_j (P,)).
 
     ``label`` is raw (void = 0, class c = c+1); internally shifted by −1
     like the reference (find_nearest.py:117).
@@ -76,7 +76,7 @@ def make_nearest_batch_fn(model: PPNet, num_classes: int) -> Callable:
             return jnp.where(has_target, target, majority)
 
         labels = jax.vmap(label_one)(h0, h1, w0, w1, proto_class)
-        return mind, labels
+        return mind, labels, pi, pj
 
     return fn
 
@@ -89,18 +89,32 @@ def find_k_nearest_patches(
     dataset: Iterable[Tuple[np.ndarray, np.ndarray]],
     num_classes: int,
     k: int = 6,
-) -> np.ndarray:
-    """(P, k) class ids of each prototype's k nearest patches."""
+    return_info: bool = False,
+):
+    """(P, k) class ids of each prototype's k nearest patches.
+
+    With ``return_info=True`` also returns a dict of (P, k) arrays
+    {distances, image_idx, patch_i, patch_j} sorted nearest-first,
+    enabling a second pass that writes the artifact set without holding
+    activation maps for every candidate in RAM (the reference keeps
+    whole heatmaps in its heaps — find_nearest.py:209 "TODO this takes
+    lots of RAM").
+    """
     fn = make_nearest_batch_fn(model, num_classes)
     P = int(np.asarray(params["prototype_vectors"]).shape[0])
     top_d = np.full((P, k), np.inf)
     top_l = np.full((P, k), -1, dtype=np.int64)
+    top_img = np.full((P, k), -1, dtype=np.int64)
+    top_pi = np.full((P, k), -1, dtype=np.int64)
+    top_pj = np.full((P, k), -1, dtype=np.int64)
 
-    for image, label in dataset:
-        mind, labels = fn(params, constants, proto_class,
-                          jnp.asarray(image), jnp.asarray(label))
+    for img_idx, (image, label) in enumerate(dataset):
+        mind, labels, pi, pj = fn(params, constants, proto_class,
+                                  jnp.asarray(image), jnp.asarray(label))
         mind = np.asarray(mind)
         labels = np.asarray(labels)
+        pi = np.asarray(pi)
+        pj = np.asarray(pj)
         # merge into running top-k (heap semantics: strictly smaller
         # replaces the current maximum)
         worst = top_d.max(axis=1)
@@ -109,6 +123,93 @@ def find_k_nearest_patches(
             slot = int(np.argmax(top_d[j]))
             top_d[j, slot] = mind[j]
             top_l[j, slot] = labels[j]
+            top_img[j, slot] = img_idx
+            top_pi[j, slot] = pi[j]
+            top_pj[j, slot] = pj[j]
 
     order = np.argsort(top_d, axis=1)
-    return np.take_along_axis(top_l, order, axis=1)
+    ids = np.take_along_axis(top_l, order, axis=1)
+    if not return_info:
+        return ids
+    info = {
+        "distances": np.take_along_axis(top_d, order, axis=1),
+        "image_idx": np.take_along_axis(top_img, order, axis=1),
+        "patch_i": np.take_along_axis(top_pi, order, axis=1),
+        "patch_j": np.take_along_axis(top_pj, order, axis=1),
+    }
+    return ids, info
+
+
+def save_nearest_artifacts(
+    model: PPNet,
+    params: Any,
+    constants: Any,
+    proto_class: jnp.ndarray,
+    get_item,  # index -> (image (1,H,W,3), label (1,H,W))
+    ids: np.ndarray,
+    info: dict,
+    out_dir: str,
+    raw_image_fn=None,  # index -> (H,W,3) [0,1] image for rendering
+) -> None:
+    """Second pass: re-forward only winner images and write the artifact
+    set per (prototype, rank): original + patch bbox + heatmap overlay +
+    high-activation crop + class_id.npy (reference find_nearest.py:236-337).
+    """
+    import os
+    from adlm_tpu.interpret import visualize as vz
+    from adlm_tpu.ops.prototype import distance_to_similarity
+
+    P, k = ids.shape
+    needed = sorted(set(int(i) for i in info["image_idx"].ravel()
+                        if i >= 0))
+    act_cache = {}
+    img_cache = {}
+    for idx in needed:
+        image, label = get_item(idx)
+        _, d = model.apply({"params": params, "constants": constants},
+                           jnp.asarray(image), method=PPNet.push_forward)
+        act_cache[idx] = np.asarray(distance_to_similarity(
+            d[0], model.cfg.prototype_activation, model.cfg.epsilon))
+        if raw_image_fn is not None:
+            img_cache[idx] = raw_image_fn(idx)
+        else:
+            from adlm_tpu.interpret.analysis import _denorm
+            img_cache[idx] = _denorm(np.asarray(image[0]))
+
+    for j in range(P):
+        d = os.path.join(out_dir, str(j))
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "class_id.npy"), ids[j])
+        for rank in range(k):
+            idx = int(info["image_idx"][j, rank])
+            if idx < 0:
+                continue
+            img = img_cache[idx]
+            act = act_cache[idx][:, :, j]
+            H, W = img.shape[0], img.shape[1]
+            h, w = act.shape
+            pi, pj = int(info["patch_i"][j, rank]), int(
+                info["patch_j"][j, rank])
+            box = ((pi * H) // h, ((pi + 1) * H) // h,
+                   (pj * W) // w, ((pj + 1) * W) // w)
+            label_id = int(ids[j, rank])
+            act_up = vz.upsample_cubic(act, (H, W))
+            lo, hi = act_up.min(), act_up.max()
+            norm = (act_up - lo) / (hi - lo) if hi > lo else act_up * 0
+            prefix = os.path.join(d, f"nearest-{rank + 1}")
+            np.save(prefix + "_act.npy", act)
+            vz._save(prefix + f"_original_{label_id}.png", img)
+            vz._save(prefix + f"_original_with_patch_{label_id}.png",
+                     vz._draw_box(img, box, color=(0.0, 1.0, 1.0)))
+            overlay = vz._overlay(img, norm)
+            vz._save(prefix + f"_original_with_heatmap_{label_id}.png",
+                     overlay)
+            vz._save(
+                prefix + f"_original_with_heatmap_and_patch_{label_id}.png",
+                vz._draw_box(overlay, box, color=(0.0, 1.0, 1.0)))
+            crop = vz.high_activation_crop(act_up)
+            np.save(prefix + f"_high_act_patch_indices_{label_id}.npy",
+                    np.asarray(crop))
+            vz._save(prefix + f"_high_act_patch_{label_id}.png",
+                     img[crop[0]:crop[1], crop[2]:crop[3]])
+    np.save(os.path.join(out_dir, "full_class_id.npy"), ids)

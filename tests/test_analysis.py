@@ -61,6 +61,26 @@ def test_global_analysis(tmp_path):
     assert os.path.exists(tmp_path / "0" / "class_id.npy")
 
 
+def test_global_analysis_full_save(tmp_path):
+    model, params, constants, image = _tiny_model(2)
+    pc = default_proto_class(6, 3)
+    rng = np.random.RandomState(2)
+    data = [(rng.rand(1, 33, 33, 3).astype(np.float32),
+             rng.randint(0, 4, size=(1, 33, 33))) for _ in range(3)]
+    ids = global_analysis(model, params, constants, pc, data, 3, k=2,
+                          save_dir=str(tmp_path), full_save=True,
+                          get_item=lambda i: data[i])
+    assert ids.shape == (6, 2)
+    d0 = tmp_path / "0"
+    files = sorted(os.listdir(d0))
+    # per rank: act.npy + 5 pngs/npys + class_id.npy
+    assert "class_id.npy" in files
+    assert any(f.startswith("nearest-1_original_with_heatmap_and_patch")
+               for f in files)
+    assert any(f.startswith("nearest-2_high_act_patch_") and
+               f.endswith(".png") for f in files)
+
+
 def test_proto_stats_and_plots(tmp_path):
     pc = np.arange(6) // 2
     acc = ProtoStatsAccumulator(6, 3, pc)

@@ -165,10 +165,11 @@ def test_nearest_majority_label_semantics():
     model, params, constants, pc, images, labels = _make_model_and_data(
         seed=5, n_imgs=1)
     fn = make_nearest_batch_fn(model, 3)
-    mind, lab = fn(params, constants, pc, jnp.asarray(images[0]),
-                   jnp.asarray(labels[0]))
+    mind, lab, pi, pj = fn(params, constants, pc, jnp.asarray(images[0]),
+                           jnp.asarray(labels[0]))
     assert lab.shape == (6,)
     assert int(lab.min()) >= -1 and int(lab.max()) < 3
+    assert pi.shape == (6,) and pj.shape == (6,)
 
 
 def test_evaluator_miou_matches_manual():
