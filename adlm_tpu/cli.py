@@ -146,17 +146,9 @@ def cmd_eval_test(args):
     model = PPNet(cfg=cfg.model)
     table = get_class_table(cfg.data.class_table)
 
-    # eval-id → source-dataset-id inverse map (Cityscapes submission
-    # format, reference eval_test.py:27-44)
-    inverse = {}
-    if table.convert:
-        for raw, train_id in table.convert.items():
-            if train_id > 0 and train_id not in inverse:
-                inverse[train_id] = raw
-    lut = np.arange(cfg.model.num_classes, dtype=np.uint8)
-    for train_id, raw in inverse.items():
-        if train_id - 1 < len(lut):
-            lut[train_id - 1] = raw
+    # prediction → source-dataset-id map (Cityscapes submission format,
+    # reference eval_test.py:52-60)
+    lut = table.submission_lut(cfg.model.num_classes)
 
     ds = SegmentationDataset(cfg.data, args.split,
                              data_path=args.data_path, is_eval=True)

@@ -74,6 +74,31 @@ class ClassTable:
     convert: Optional[Dict[int, int]]     # raw value → training id, or None
     class_names: Dict[int, str]           # model class index → name
 
+    def submission_lut(self, num_classes: int) -> np.ndarray:
+        """LUT: model prediction (0..C−1) → source-dataset id, for
+        submission-format test PNGs (reference eval_test.py:52-60).
+
+        Cityscapes: eval id → preprocessed category → original labelId
+        (via the category-name reverse of CITYSCAPES_ID_2_LABEL); other
+        datasets invert their raw→train mapping directly.
+        """
+        lut = np.arange(num_classes, dtype=np.uint8)
+        if self.convert is None:
+            return lut
+        # eval id -> raw/preproc id; duplicate value 0 resolves to the
+        # LAST key like the reference's dict comprehension
+        inv: Dict[int, int] = {}
+        for k, v in self.convert.items():
+            inv[v] = k
+        if self.name == "cityscapes":
+            rev_origin = {v: k for k, v in CITYSCAPES_ID_2_LABEL.items()}
+            inv = {eval_id: rev_origin[CITYSCAPES_CATEGORIES[pre_id]]
+                   for eval_id, pre_id in inv.items()}
+        for c in range(num_classes):
+            if c + 1 in inv:
+                lut[c] = inv[c + 1]
+        return lut
+
     def convert_labels(self, labels: np.ndarray) -> np.ndarray:
         """Remap raw annotation values to training ids (vectorized table
         lookup; the reference uses np.vectorize(dict.get),

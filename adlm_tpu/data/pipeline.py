@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -20,28 +21,43 @@ from adlm_tpu.data.dataset import SegmentationDataset
 
 def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
                         batch_size: int, steps: int,
-                        seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                        seed: int = 0, n_jobs: int = 1
+                        ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yields ``steps`` windows of (iter_size, batch_size, H, W, 3) /
     (iter_size, batch_size, H, W), sampling the dataset cyclically in
-    shuffled epochs."""
+    shuffled epochs.  ``n_jobs`` > 1 loads samples through a thread
+    pool (the native augment path releases the GIL), the analogue of
+    the reference's DataLoader workers (dataloader_n_jobs in its
+    configs, reference data_module.py:26-39)."""
     rng = np.random.RandomState(seed)
     order = rng.permutation(len(dataset))
     pos = 0
     per_window = iter_size * batch_size
-    for _ in range(steps):
-        images, labels = [], []
-        for _ in range(per_window):
-            if pos >= len(order):
-                order = rng.permutation(len(dataset))
-                pos = 0
-            img, lab = dataset[int(order[pos])]
-            pos += 1
-            images.append(img)
-            labels.append(lab)
-        h, w = images[0].shape[:2]
-        img_arr = np.stack(images).reshape(iter_size, batch_size, h, w, 3)
-        lab_arr = np.stack(labels).reshape(iter_size, batch_size, h, w)
-        yield img_arr, lab_arr
+    pool = (ThreadPoolExecutor(max_workers=n_jobs)
+            if n_jobs > 1 else None)
+    try:
+        for _ in range(steps):
+            idxs = []
+            for _ in range(per_window):
+                if pos >= len(order):
+                    order = rng.permutation(len(dataset))
+                    pos = 0
+                idxs.append(int(order[pos]))
+                pos += 1
+            if pool is not None:
+                items = list(pool.map(dataset.__getitem__, idxs))
+            else:
+                items = [dataset[i] for i in idxs]
+            images = [im for im, _ in items]
+            labels = [lb for _, lb in items]
+            h, w = images[0].shape[:2]
+            img_arr = np.stack(images).reshape(iter_size, batch_size,
+                                               h, w, 3)
+            lab_arr = np.stack(labels).reshape(iter_size, batch_size, h, w)
+            yield img_arr, lab_arr
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 class BatchLoader:

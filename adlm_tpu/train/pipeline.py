@@ -70,7 +70,8 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
     n_windows = max(max_steps // t.iter_size, 1)
 
     loader = BatchLoader(superbatch_iterator(
-        train_ds, t.iter_size, batch_size, n_windows, seed=t.random_seed))
+        train_ds, t.iter_size, batch_size, n_windows, seed=t.random_seed,
+        n_jobs=cfg.data.dataloader_n_jobs))
 
     best_acc = -1.0
     stale = 0

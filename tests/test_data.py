@@ -130,3 +130,23 @@ def test_generate_image_list(tmp_path):
     assert out["train"] == sorted(ids)
     with open(os.path.join(root, "all_images.json")) as f:
         assert json.load(f) == out
+
+
+def test_cityscapes_submission_lut_matches_reference_mapping():
+    """Golden vs the reference's OUR_ID_2_SOURCE_ID construction
+    (reference eval_test.py:52-60)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_constants2", "/root/reference/segmentation/constants.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    mapping = {v: k for k, v in ref.CITYSCAPES_19_EVAL_CATEGORIES.items()}
+    mapping[0] = 0
+    rev_origin = {v: k for k, v in ref.CITYSCAPES_ID_2_LABEL.items()}
+    our2source = {k: rev_origin[ref.CITYSCAPES_CATEGORIES[v]]
+                  for k, v in mapping.items()}
+
+    lut = get_class_table("cityscapes").submission_lut(19)
+    for pred in range(19):
+        assert lut[pred] == our2source[pred + 1], pred
