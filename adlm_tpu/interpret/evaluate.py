@@ -50,7 +50,10 @@ def make_inference_fn(model: PPNet, num_classes: int,
         total = jnp.sum(valid)
 
         # per-class I and U with void-ignored union
-        # (reference eval_valid.py:182-189)
+        # (reference eval_valid.py:182-189).  NOTE: one-hot + reduction
+        # is deliberate — a bincount confusion matrix (scatter) benches
+        # 1.6× slower end-to-end on TPU than these VPU-friendly
+        # reductions, despite the extra HBM traffic.
         pred1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.int32)
         gt1 = jax.nn.one_hot(gt, num_classes, dtype=jnp.int32) * \
             valid[..., None].astype(jnp.int32)
