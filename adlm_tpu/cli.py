@@ -97,7 +97,11 @@ def cmd_eval_valid(args):
     acc = ProtoStatsAccumulator(n_proto, cfg.model.num_classes,
                                 np.asarray(proto_class)) if args.stats \
         else None
-    for i, (img, lab) in enumerate(ds.eval_items()):
+    if args.batch_size > 1 and not args.stats:
+        items = ds.eval_batches(args.batch_size)
+    else:
+        items = ds.eval_items()
+    for i, (img, lab) in enumerate(items):
         out = ev.update(params, payload["constants"], proto_class, img, lab)
         if acc is not None:
             # grid-level stats (reference eval_valid.py:191-214)
@@ -445,6 +449,9 @@ def main(argv=None):
         ep.add_argument("--stats", action="store_true",
                         help="also compute prototype interpretability "
                              "stats + plots (eval-valid only)")
+        ep.add_argument("--batch-size", type=int, default=1,
+                        help="full-res eval batch (uniform-shape "
+                             "datasets; ignored with --stats)")
         ep.set_defaults(fn=fn)
 
     pp = sub.add_parser("prune")

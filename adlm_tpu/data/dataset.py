@@ -156,3 +156,22 @@ class SegmentationDataset:
         for i in range(len(self)):
             img, lab = self.get_eval_item(i)
             yield img[None], lab[None]
+
+    def eval_batches(self, batch_size: int
+                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Full-res eval batches; flushes early when image shapes differ
+        (Cityscapes is uniform; PASCAL varies per image)."""
+        imgs: list = []
+        labs: list = []
+        for i in range(len(self)):
+            img, lab = self.get_eval_item(i)
+            if imgs and img.shape != imgs[0].shape:
+                yield np.stack(imgs), np.stack(labs)
+                imgs, labs = [], []
+            imgs.append(img)
+            labs.append(lab)
+            if len(imgs) == batch_size:
+                yield np.stack(imgs), np.stack(labs)
+                imgs, labs = [], []
+        if imgs:
+            yield np.stack(imgs), np.stack(labs)
