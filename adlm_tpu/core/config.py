@@ -132,6 +132,10 @@ class TrainConfig:
     # f32).
     compute_dtype: str = "float32"
 
+    # rematerialize the forward during backprop (jax.checkpoint) —
+    # trades FLOPs for activation memory, enabling larger windows/batches
+    remat: bool = False
+
 
 @dataclass(frozen=True)
 class UNoiseConfig:

@@ -65,7 +65,8 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                                           max_steps)
         state = shard_state(state, mesh)
     else:
-        step_fn = make_train_step(model, cfg, phase, max_steps)
+        step_fn = make_train_step(model, cfg, phase, max_steps,
+                                  donate=True)
     eval_fn = make_eval_step(model, cfg)
     n_windows = max(max_steps // t.iter_size, 1)
 

@@ -136,7 +136,12 @@ def loss_fn(params: Any, constants: Any, model: PPNet,
     else:
         fwd_params = params
     variables = {"params": fwd_params, "constants": constants}
-    outputs = model.apply(variables, images, train=train)
+    if t.remat and train:
+        apply = jax.checkpoint(
+            lambda v, x: model.apply(v, x, train=True))
+        outputs = apply(variables, images)
+    else:
+        outputs = model.apply(variables, images, train=train)
     if not isinstance(outputs, list):
         outputs = [outputs]
 
@@ -162,16 +167,21 @@ def loss_fn(params: Any, constants: Any, model: PPNet,
 
 
 def make_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
-                    max_steps: Optional[int] = None):
+                    max_steps: Optional[int] = None,
+                    donate: bool = False):
     """Jitted step over a (iter_size, micro_bs, H, W, 3) super-batch.
 
     Returns ``step(state, images, labels) -> (state, metrics)``; metrics
     are means over the accumulation window (the reference logs the mean
     of the 5 microbatch losses, module.py:251-259).
+
+    ``donate=True`` updates parameters and optimizer moments in place
+    (halves peak HBM) — the input state must not be reused afterwards.
     """
     tx = _make_tx(cfg, phase, max_steps)
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       donate_argnums=(0,) if donate else ())
     def step(state: ProtoSegState, images: jnp.ndarray,
              labels: jnp.ndarray):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -243,3 +243,20 @@ def test_noise_training_freezes_utility():
     ev = make_noise_eval_step(cfg)
     m = ev(new_noise, images, masks, jax.random.PRNGKey(8))
     assert np.isfinite(float(m["val_loss"]))
+
+
+def test_remat_training_mode_matches_standard():
+    cfg = tiny_experiment(loss_weight_kld=0.25)
+    cfg_r = tiny_experiment(loss_weight_kld=0.25, remat=True)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(12)
+    images, labels = make_batch(rng, cfg)
+    state = init_protoseg_state(model, cfg, 0, 100,
+                                jax.random.PRNGKey(12), images[0])
+    s1, m1 = make_train_step(model, cfg, 0, 100)(state, images, labels)
+    s2, m2 = make_train_step(model, cfg_r, 0, 100)(state, images, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["prototype_vectors"]),
+        np.asarray(s2.params["prototype_vectors"]), rtol=1e-5, atol=1e-6)
