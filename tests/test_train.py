@@ -260,3 +260,35 @@ def test_remat_training_mode_matches_standard():
     np.testing.assert_allclose(
         np.asarray(s1.params["prototype_vectors"]),
         np.asarray(s2.params["prototype_vectors"]), rtol=1e-5, atol=1e-6)
+
+
+def test_msc_multiscale_train_step():
+    """PASCAL-style MSC training: 4 outputs (base, 2 scales, max), loss
+    averaged across them (reference module.py:141-228)."""
+    cfg = ExperimentConfig(
+        name="tiny_msc",
+        model=PPNetConfig(num_prototypes=6, num_classes=3,
+                          prototype_channels=8, deeplab_n_features=8,
+                          deeplab_n_blocks=(1, 1, 1, 1), img_size=64,
+                          msc_scales=(0.5, 0.75)),
+        data=DataConfig(window_size=(64, 64)),
+        train=TrainConfig(iter_size=1, loss_weight_kld=0.25),
+    )
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(13)
+    images = jnp.asarray(rng.rand(1, 2, 64, 64, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=(1, 2, 64, 64)))
+    state = init_protoseg_state(model, cfg, 1, 10,
+                                jax.random.PRNGKey(13), images[0])
+    step = make_train_step(model, cfg, 1, 10)
+    new_state, metrics = step(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["n_patches"]) > 0
+    # eval path (max-merged single output) works too
+    ev = make_eval_step(model, cfg)
+    m = ev(new_state, images[0], labels[0])
+    assert np.isfinite(float(m["loss"]))
+    # push_forward returns single-scale (max-merged) features
+    v = {"params": new_state.params, "constants": new_state.constants}
+    f, d = model.apply(v, images[0], method=PPNet.push_forward)
+    assert f.ndim == 4 and d.ndim == 4
