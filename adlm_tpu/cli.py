@@ -485,6 +485,9 @@ def main(argv=None):
     np_.add_argument("--learning-rate", type=float, default=3e-3)
     np_.add_argument("--batch-size", type=int, default=8)
     np_.add_argument("--epochs", type=int, default=100)
+    np_.add_argument("--pretrained", default=None,
+                     help="utility run name to initialize the noise "
+                          "UNet from (architectures must match)")
     np_.add_argument("--min-scale", type=float, default=1.0)
     np_.add_argument("--max-scale", type=float, default=5.0)
     np_.add_argument("--noise-coeff", type=float, default=0.001)

@@ -57,13 +57,18 @@ def init_utility_state(cfg: UNoiseConfig, rng: jax.Array,
 
 def init_noise_state(cfg: UNoiseConfig, rng: jax.Array,
                      sample: jnp.ndarray, util: UtilityState,
-                     pretrained_params: Any = None) -> NoiseState:
+                     pretrained_params: Any = None,
+                     pretrained_batch_stats: Any = None) -> NoiseState:
+    """A pretrained noise init carries BOTH params and running stats —
+    the reference loads the full UNet state_dict (train_noise.py:115-119)."""
     model = UNet(out_channels=1, depth=cfg.depth, cf=cfg.channel_factor)
     variables = model.init(rng, sample, train=True)
     params = pretrained_params if pretrained_params is not None \
         else variables["params"]
+    batch_stats = pretrained_batch_stats \
+        if pretrained_batch_stats is not None else variables["batch_stats"]
     tx = optax.adam(cfg.learning_rate, eps=1e-8)
-    return NoiseState(params=params, batch_stats=variables["batch_stats"],
+    return NoiseState(params=params, batch_stats=batch_stats,
                       util_params=util.params,
                       util_batch_stats=util.batch_stats,
                       opt_state=tx.init(params),

@@ -120,12 +120,25 @@ def train_noise(args) -> Any:
     train_ds, val_ds, _ = _load_arrays(args)
     sample, _ = train_ds[0]
 
-    # utility architecture is recorded in its run config if present;
-    # fall back to CLI util flags
+    # optional: initialize the noise UNet from a pretrained utility
+    # model (the reference's "pretrained" variants, train_noise.py:115-119
+    # — its best dice@50% results use this)
+    pre_params = pre_bs = None
+    pretrained_run = getattr(args, "pretrained", None)
+    if pretrained_run:
+        pre_payload = CheckpointStore(os.path.join(
+            os.environ.get("RESULTS_DIR", "./runs"),
+            pretrained_run)).restore("utility", "best")
+        pre_params = pre_payload["params"]
+        pre_bs = pre_payload["batch_stats"]
+        logger.log(f"Initializing noise model from pretrained run "
+                   f"{pretrained_run!r}")
+
     state = init_noise_state(
         cfg, jax.random.PRNGKey(0), jnp.asarray(sample[None]),
         util=type("U", (), {"params": util_payload["params"],
-                            "batch_stats": util_payload["batch_stats"]})())
+                            "batch_stats": util_payload["batch_stats"]})(),
+        pretrained_params=pre_params, pretrained_batch_stats=pre_bs)
     step = make_noise_train_step(cfg)
     evaluate = make_noise_eval_step(cfg)
 
