@@ -81,6 +81,41 @@ def make_push_batch_fn(model: PPNet, num_classes: int) -> Callable:
     return fn
 
 
+def make_push_batched_fn(model: PPNet, num_classes: int) -> Callable:
+    """Batched push kernel: (params, constants, proto_class,
+    images (B,H,W,3), labels (B,H,W)) → per-prototype batch winner
+    (min_dist (P,), img_in_batch (P,), patch_i, patch_j, fmap (P,C)).
+
+    The argmin runs B-major over (B·h·w) patches, so ties resolve to
+    the EARLIEST image — batching a sequential scan (and sharding the
+    batch over the mesh ``data`` axis: XLA turns the argmin into a
+    cross-device min+argmin reduction over ICI) reproduces the
+    reference's sequential semantics exactly.
+    """
+
+    @jax.jit
+    def fn(params, constants, proto_class, images, labels):
+        variables = {"params": params, "constants": constants}
+        f, d = model.apply(variables, images, method=PPNet.push_forward)
+        B, h, w, P = d.shape
+
+        elig = jax.vmap(
+            lambda lab: patch_class_eligibility(lab, (h, w), num_classes)
+        )(labels)                                       # (B, h, w, C)
+        elig_p = elig[:, :, :, proto_class]             # (B, h, w, P)
+        masked = jnp.where(elig_p, d, _INF)
+        flat = masked.reshape(B * h * w, P)
+        arg = jnp.argmin(flat, axis=0)                  # B-major order
+        mind = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
+        bi = arg // (h * w)
+        pi = (arg % (h * w)) // w
+        pj = arg % w
+        fmap = f[bi, pi, pj, :]
+        return mind, bi, pi, pj, fmap
+
+    return fn
+
+
 def push_prototypes(
     model: PPNet,
     params: Any,
@@ -93,6 +128,7 @@ def push_prototypes(
     save_visualizations: bool = False,
     class_names: Optional[Dict[int, str]] = None,
     dedup: bool = True,
+    batch_size: int = 1,
     log: Callable[[str], None] = print,
 ) -> Tuple[Any, jnp.ndarray, Dict[str, Any]]:
     """Project each prototype onto its nearest training patch.
@@ -116,9 +152,85 @@ def push_prototypes(
     rf_boxes = np.full((P, 6), -1, dtype=np.int64)
     bound_boxes = np.full((P, 6), -1, dtype=np.int64)
 
-    batch_fn = make_push_batch_fn(model, num_classes)
-
     from adlm_tpu.interpret import visualize as vz
+
+    if batch_size > 1:
+        if save_visualizations:
+            raise ValueError("batched push does not produce per-image "
+                             "visualizations; run with batch_size=1")
+        bfn = make_push_batched_fn(model, num_classes)
+        pending_imgs: list = []
+        pending_labs: list = []
+        offset = 0
+
+        def flush():
+            nonlocal offset
+            if not pending_imgs:
+                return
+            images = np.concatenate(pending_imgs, axis=0)
+            labels = np.concatenate(pending_labs, axis=0)
+            mind, bi, pi, pj, fmap = bfn(params, constants, proto_class,
+                                         jnp.asarray(images),
+                                         jnp.asarray(labels))
+            mind = np.asarray(mind)
+            improved = mind < global_min
+            if improved.any():
+                bi = np.asarray(bi); pi = np.asarray(pi)
+                pj = np.asarray(pj); fmap = np.asarray(fmap)
+                H, W = labels.shape[1], labels.shape[2]
+                # output grid dims for this input shape (abstract eval)
+                _, d_shape = jax.eval_shape(
+                    lambda im: model.apply(
+                        {"params": params, "constants": constants}, im,
+                        method=PPNet.push_forward),
+                    jax.ShapeDtypeStruct(images.shape, jnp.float32))
+                h, w = d_shape.shape[1], d_shape.shape[2]
+                patch_h, patch_w = H / h, W / w
+                for j in np.where(improved)[0]:
+                    global_min[j] = mind[j]
+                    global_fmap[j] = fmap[j]
+                    h0 = int(pi[j] * patch_h)
+                    h1 = int(pi[j] * patch_h + patch_h) + 1
+                    w0 = int(pj[j] * patch_w)
+                    w1 = int(pj[j] * patch_w + patch_w) + 1
+                    rf_boxes[j] = [offset + int(bi[j]), h0, h1, w0, w1,
+                                   pc_host[j]]
+                    bound_boxes[j] = rf_boxes[j]
+            offset += images.shape[0]
+            pending_imgs.clear()
+            pending_labs.clear()
+
+        for image, label in dataset:
+            if pending_imgs and image.shape[1:] != pending_imgs[0].shape[1:]:
+                flush()
+            pending_imgs.append(image)
+            pending_labs.append(label)
+            if len(pending_imgs) == batch_size:
+                flush()
+        flush()
+        log(f"push(batched): "
+            f"{int(np.isfinite(global_min).sum())}/{P} prototypes updated")
+        new_params = dict(params)
+        seen = np.isfinite(global_min)
+        old = np.asarray(params["prototype_vectors"])
+        merged = np.where(seen[:, None], global_fmap, old).astype(np.float32)
+        new_params["prototype_vectors"] = jnp.asarray(merged)
+        new_proto_class = proto_class
+        unique_index = np.arange(P)
+        if dedup:
+            _, unique_index = np.unique(merged, axis=0, return_index=True)
+            keep = sorted(unique_index.tolist())
+            if P - len(keep):
+                log(f"push: removing {P - len(keep)} duplicate prototypes")
+                new_params, new_proto_class = prune_params(
+                    new_params, proto_class, keep)
+        info = {"proto_rf_boxes": rf_boxes,
+                "proto_bound_boxes": bound_boxes,
+                "unique_index": sorted(int(i) for i in unique_index),
+                "min_distances": global_min}
+        return new_params, new_proto_class, info
+
+    batch_fn = make_push_batch_fn(model, num_classes)
 
     for img_idx, (image, label) in enumerate(dataset):
         image_j = jnp.asarray(image)

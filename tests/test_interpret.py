@@ -224,3 +224,24 @@ def test_high_activation_crop_matches_reference_helper():
     ours = high_activation_crop(act, 95)
     theirs = ref.find_high_activation_crop(act, 95)
     assert ours == tuple(theirs)
+
+
+def test_batched_push_matches_sequential():
+    """Batched (shardable) push must equal the sequential scan exactly,
+    including winner image indices (earliest-image tie-break)."""
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=7, n_imgs=4)
+    seq_params, seq_pc, seq_info = push_prototypes(
+        model, params, constants, pc, list(zip(images, labels)), 3,
+        dedup=False, log=lambda *_: None)
+    bat_params, bat_pc, bat_info = push_prototypes(
+        model, params, constants, pc, list(zip(images, labels)), 3,
+        dedup=False, batch_size=2, log=lambda *_: None)
+    np.testing.assert_allclose(bat_info["min_distances"],
+                               seq_info["min_distances"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bat_params["prototype_vectors"]),
+        np.asarray(seq_params["prototype_vectors"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(bat_info["proto_rf_boxes"],
+                                  seq_info["proto_rf_boxes"])
