@@ -154,11 +154,17 @@ def push_prototypes(
 
     from adlm_tpu.interpret import visualize as vz
 
+    # distances ≥ _INF mean "no eligible patch" — must never win nor
+    # count as seen (1e30 is finite, so a plain < np.inf check would
+    # mark never-eligible prototypes as updated with garbage patches)
+    _INF_HOST = float(_INF) * 0.5
+
     if batch_size > 1:
         if save_visualizations:
             raise ValueError("batched push does not produce per-image "
                              "visualizations; run with batch_size=1")
         bfn = make_push_batched_fn(model, num_classes)
+        grid_dims: Dict[Tuple[int, ...], Tuple[int, int]] = {}
         pending_imgs: list = []
         pending_labs: list = []
         offset = 0
@@ -167,24 +173,35 @@ def push_prototypes(
             nonlocal offset
             if not pending_imgs:
                 return
+            n_real = len(pending_imgs)
+            # pad partial batches with all-void (ineligible) images so
+            # every call reuses the one compiled (batch_size, H, W) shape
+            while len(pending_imgs) < batch_size:
+                pending_imgs.append(np.zeros_like(pending_imgs[0]))
+                pending_labs.append(np.zeros_like(pending_labs[0]))
             images = np.concatenate(pending_imgs, axis=0)
             labels = np.concatenate(pending_labs, axis=0)
             mind, bi, pi, pj, fmap = bfn(params, constants, proto_class,
                                          jnp.asarray(images),
                                          jnp.asarray(labels))
             mind = np.asarray(mind)
-            improved = mind < global_min
+            bi = np.asarray(bi)
+            improved = (mind < global_min) & (mind < _INF_HOST) & \
+                (bi < n_real)
             if improved.any():
-                bi = np.asarray(bi); pi = np.asarray(pi)
-                pj = np.asarray(pj); fmap = np.asarray(fmap)
+                pi = np.asarray(pi)
+                pj = np.asarray(pj)
+                fmap = np.asarray(fmap)
                 H, W = labels.shape[1], labels.shape[2]
-                # output grid dims for this input shape (abstract eval)
-                _, d_shape = jax.eval_shape(
-                    lambda im: model.apply(
-                        {"params": params, "constants": constants}, im,
-                        method=PPNet.push_forward),
-                    jax.ShapeDtypeStruct(images.shape, jnp.float32))
-                h, w = d_shape.shape[1], d_shape.shape[2]
+                key = images.shape
+                if key not in grid_dims:
+                    _, d_shape = jax.eval_shape(
+                        lambda im: model.apply(
+                            {"params": params, "constants": constants},
+                            im, method=PPNet.push_forward),
+                        jax.ShapeDtypeStruct(key, jnp.float32))
+                    grid_dims[key] = (d_shape.shape[1], d_shape.shape[2])
+                h, w = grid_dims[key]
                 patch_h, patch_w = H / h, W / w
                 for j in np.where(improved)[0]:
                     global_min[j] = mind[j]
@@ -196,7 +213,7 @@ def push_prototypes(
                     rf_boxes[j] = [offset + int(bi[j]), h0, h1, w0, w1,
                                    pc_host[j]]
                     bound_boxes[j] = rf_boxes[j]
-            offset += images.shape[0]
+            offset += n_real
             pending_imgs.clear()
             pending_labs.clear()
 
@@ -208,27 +225,9 @@ def push_prototypes(
             if len(pending_imgs) == batch_size:
                 flush()
         flush()
-        log(f"push(batched): "
-            f"{int(np.isfinite(global_min).sum())}/{P} prototypes updated")
-        new_params = dict(params)
-        seen = np.isfinite(global_min)
-        old = np.asarray(params["prototype_vectors"])
-        merged = np.where(seen[:, None], global_fmap, old).astype(np.float32)
-        new_params["prototype_vectors"] = jnp.asarray(merged)
-        new_proto_class = proto_class
-        unique_index = np.arange(P)
-        if dedup:
-            _, unique_index = np.unique(merged, axis=0, return_index=True)
-            keep = sorted(unique_index.tolist())
-            if P - len(keep):
-                log(f"push: removing {P - len(keep)} duplicate prototypes")
-                new_params, new_proto_class = prune_params(
-                    new_params, proto_class, keep)
-        info = {"proto_rf_boxes": rf_boxes,
-                "proto_bound_boxes": bound_boxes,
-                "unique_index": sorted(int(i) for i in unique_index),
-                "min_distances": global_min}
-        return new_params, new_proto_class, info
+        return _finalize_push(params, proto_class, global_min, global_fmap,
+                              rf_boxes, bound_boxes, dedup, run_dir, log,
+                              _INF_HOST)
 
     batch_fn = make_push_batch_fn(model, num_classes)
 
@@ -238,7 +237,7 @@ def push_prototypes(
         mind, pi, pj, fmap, dist = batch_fn(params, constants, proto_class,
                                             image_j, label_j)
         mind = np.asarray(mind)
-        improved = mind < global_min
+        improved = (mind < global_min) & (mind < _INF_HOST)
         if not improved.any():
             continue
         pi = np.asarray(pi)
@@ -272,13 +271,23 @@ def push_prototypes(
                     epsilon=model.cfg.epsilon,
                 )
 
-    log(f"push: {int(np.isfinite(global_min).sum())}/{P} prototypes updated")
+    return _finalize_push(params, proto_class, global_min, global_fmap,
+                          rf_boxes, bound_boxes, dedup, run_dir, log,
+                          _INF_HOST)
+
+
+def _finalize_push(params, proto_class, global_min, global_fmap,
+                   rf_boxes, bound_boxes, dedup, run_dir, log,
+                   inf_threshold):
+    """Shared push tail: merge winners, dedup, save bookkeeping."""
+    P = global_min.shape[0]
+    seen = global_min < inf_threshold
+    log(f"push: {int(seen.sum())}/{P} prototypes updated")
 
     new_params = dict(params)
     # prototypes never seen keep their old vector (reference overwrites
     # with the zero-initialized buffer; keeping the trained vector is
     # strictly safer — both are then candidates for dedup/prune)
-    seen = np.isfinite(global_min)
     old = np.asarray(params["prototype_vectors"])
     merged = np.where(seen[:, None], global_fmap, old).astype(np.float32)
     new_params["prototype_vectors"] = jnp.asarray(merged)

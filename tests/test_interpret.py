@@ -245,3 +245,40 @@ def test_batched_push_matches_sequential():
         np.asarray(seq_params["prototype_vectors"]), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(bat_info["proto_rf_boxes"],
                                   seq_info["proto_rf_boxes"])
+
+
+def test_batched_push_partial_batch_and_padding():
+    """batch_size=3 over 4 images exercises the padded trailing flush."""
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=8, n_imgs=4)
+    seq = push_prototypes(model, params, constants, pc,
+                          list(zip(images, labels)), 3, dedup=False,
+                          log=lambda *_: None)
+    bat = push_prototypes(model, params, constants, pc,
+                          list(zip(images, labels)), 3, dedup=False,
+                          batch_size=3, log=lambda *_: None)
+    np.testing.assert_allclose(bat[2]["min_distances"],
+                               seq[2]["min_distances"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(bat[2]["proto_rf_boxes"],
+                                  seq[2]["proto_rf_boxes"])
+
+
+def test_push_never_eligible_class_keeps_trained_vector():
+    """A class absent from the push set must keep its trained prototype
+    vectors (the 1e30 masked-distance sentinel must not count as seen)."""
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=9, n_imgs=2)
+    # wipe class 2 from every label (raw value 3)
+    labels = [np.where(lab == 3, 0, lab) for lab in labels]
+    for bs in (1, 2):
+        new_params, _, info = push_prototypes(
+            model, params, constants, pc, list(zip(images, labels)), 3,
+            dedup=False, batch_size=bs, log=lambda *_: None)
+        old = np.asarray(params["prototype_vectors"])
+        new = np.asarray(new_params["prototype_vectors"])
+        # prototypes of class 2 (indices 4, 5) untouched
+        np.testing.assert_array_equal(new[4:], old[4:])
+        assert (info["proto_rf_boxes"][4:, 0] == -1).all()
+        # other prototypes did update
+        assert not np.array_equal(new[:4], old[:4])
