@@ -61,21 +61,52 @@ def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
 
 
 class BatchLoader:
-    """Wraps an iterator with a one-deep background prefetch thread."""
+    """Wraps an iterator with a background prefetch thread.
+
+    Call :meth:`close` (or break out of iteration and let the caller's
+    ``finally`` close it) to stop the worker — otherwise an abandoned
+    loader pins its prefetched batches in memory behind a blocked
+    ``q.put`` for the life of the process.
+    """
 
     def __init__(self, it: Iterator, prefetch: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._done = object()
+        self._stop = threading.Event()
+        self._it = it
 
         def worker():
             try:
                 for item in it:
-                    self._q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             finally:
-                self._q.put(self._done)
+                try:
+                    self._q.put_nowait(self._done)
+                except queue.Full:
+                    pass
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the prefetch worker and release the wrapped iterator."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+        close_it = getattr(self._it, "close", None)
+        if close_it is not None:
+            close_it()
 
     def __iter__(self):
         while True:

@@ -116,29 +116,30 @@ def _label_cls_params(params: Any) -> Any:
 def make_cls_optimizer(cfg: ClassificationConfig, phase: str,
                        steps_per_epoch: int = 1
                        ) -> optax.GradientTransformation:
-    """warm/joint/last optimizers (reference main.py:60-84 structure:
-    Adam groups, joint wd 1e-3 on features+add_on, StepLR(5, 0.1))."""
+    """warm/joint/last optimizers (reference main.py:110-129):
+    warm = add-ons + prototypes only (last layer stays at its
+    class-connection init); joint = features + add-ons + prototypes
+    with wd 1e-3 and a per-EPOCH StepLR(5, 0.1); last = last layer only.
+
+    ``steps_per_epoch`` converts the reference's per-epoch scheduler
+    stepping to our per-update counting — pass the real batches/epoch.
+    """
+    from adlm_tpu.train.optimizer import _adam
     zero = optax.set_to_zero()
 
     def adam(lr, wd=0.0, sched=False):
-        parts = []
-        if wd:
-            parts.append(optax.add_decayed_weights(wd))
-        parts.append(optax.scale_by_adam())
-        if sched:
-            decay = optax.exponential_decay(
-                init_value=lr, decay_rate=0.1,
-                transition_steps=cfg.joint_lr_step_size * steps_per_epoch,
-                staircase=True)
-            parts.append(optax.scale_by_schedule(lambda c: -decay(c)))
-        else:
-            parts.append(optax.scale(-lr))
-        return optax.chain(*parts)
+        if not sched:
+            return _adam(lr, wd)
+        decay = optax.exponential_decay(
+            init_value=lr, decay_rate=0.1,
+            transition_steps=cfg.joint_lr_step_size * steps_per_epoch,
+            staircase=True)
+        return _adam(decay, wd)
 
     if phase == "warm":
         groups = {"add_on": adam(cfg.warm_lr_add_on, 1e-3),
                   "protos": adam(cfg.warm_lr_protos),
-                  "last": adam(cfg.last_layer_lr),
+                  "last": zero,
                   "features": zero}
     elif phase == "joint":
         groups = {"features": adam(cfg.joint_lr_features, 1e-3, True),
@@ -260,13 +261,14 @@ def push_classification_prototypes(
     boxes = np.full((P, 5), -1, dtype=np.int64)
     offset = 0
     for images, labels in batches:
-        mind, bi, pi, pj, fmap = fn(state, jnp.asarray(images),
-                                    jnp.asarray(labels))
-        mind = np.asarray(mind)
+        out = fn(state, jnp.asarray(images), jnp.asarray(labels))
+        # one transfer per batch — per-element fetches cost a full relay
+        # round-trip each on remote TPU backends
+        mind, bi, pi, pj, fmap = jax.device_get(out)
         improved = mind < gmin
         for j in np.where(improved)[0]:
             gmin[j] = mind[j]
-            gfmap[j] = np.asarray(fmap[j])
+            gfmap[j] = fmap[j]
             img_idx = offset + int(bi[j])
             if rf_info is not None:
                 hw = images.shape[1:3]

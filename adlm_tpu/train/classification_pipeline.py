@@ -69,15 +69,20 @@ def run_classification_training(
     test_batches: BatchIter,
     push_batches: Optional[BatchIter] = None,
     num_epochs: Optional[int] = None,
-    steps_per_epoch: int = 1,
+    steps_per_epoch: Optional[int] = None,
     target_accuracy: float = 0.0,
-    last_layer_iterations: int = 5,
+    last_layer_iterations: int = 20,  # reference main.py:180 runs 20
     push_every: int = 10,  # reference: push_epochs = every 10th epoch
 ) -> ClassifierState:
     logger = RunLogger(run_dir, "classification")
     store = CheckpointStore(run_dir)
     model = PPNet(cfg=cfg.model)
     push_batches = push_batches or train_batches
+
+    if steps_per_epoch is None:
+        # the reference's StepLR steps once per EPOCH; our schedule
+        # counts optimizer updates, so it needs the real batches/epoch
+        steps_per_epoch = max(sum(1 for _ in train_batches()), 1)
 
     sample, _ = next(iter(train_batches()))
     state = init_classifier_state(model, cfg, "warm",
@@ -119,19 +124,23 @@ def run_classification_training(
             acc = _evaluate(eval_fn, state, test_batches())
             best = save_if_better(store, "push", state, acc, best,
                                   target_accuracy, logger.log)
-            # last-layer convex optimization after each push
+            # last-layer convex optimization after each push; the
+            # reference evaluates and conditionally saves after EVERY
+            # iteration (main.py:180-189)
             state_l = init_classifier_state(
                 model, cfg, "last", jax.random.PRNGKey(2),
                 jnp.asarray(sample), params=state.params,
                 batch_stats=state.batch_stats,
                 steps_per_epoch=steps_per_epoch)
-            for _ in range(last_layer_iterations):
+            for it in range(last_layer_iterations):
                 state_l, _ = _epoch(last_step, state_l, train_batches())
+                acc = _evaluate(eval_fn, state_l, test_batches())
+                logger.metrics(epoch, f"push_last_{it}", "test",
+                               {"accuracy": acc})
+                best = save_if_better(store, "push", state_l, acc, best,
+                                      target_accuracy, logger.log)
             state = state.replace(params=state_l.params,
                                   batch_stats=state_l.batch_stats)
-            acc = _evaluate(eval_fn, state, test_batches())
-            best = save_if_better(store, "push", state, acc, best,
-                                  target_accuracy, logger.log)
     store.save("nopush", "last", {"params": dict(state.params),
                                   "batch_stats": dict(state.batch_stats),
                                   "step": state.step})

@@ -76,6 +76,22 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
 
     best_acc = -1.0
     stale = 0
+    try:
+        state = _phase_loop(loader, state, step_fn, eval_fn, val_ds,
+                            batch_size, val_batches, n_windows,
+                            val_every, early_stopping_patience, stage,
+                            store, logger)
+    finally:
+        loader.close()
+    store.save(stage, "last", _ckpt_payload(state))
+    return state
+
+
+def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
+                val_batches, n_windows, val_every,
+                early_stopping_patience, stage, store, logger):
+    best_acc = -1.0
+    stale = 0
     for w, (images, labels) in enumerate(loader):
         state, metrics = step_fn(state, jnp.asarray(images),
                                  jnp.asarray(labels))
@@ -104,7 +120,6 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                     logger.log(f"{stage}: early stopping after {stale} "
                                f"stale validations")
                     break
-    store.save(stage, "last", _ckpt_payload(state))
     return state
 
 

@@ -13,7 +13,7 @@ Reference semantics (src/train_util.py:11-59, src/train_noise.py:12-137):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax
 import jax
@@ -31,6 +31,13 @@ class UtilityState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+class FrozenUtility(NamedTuple):
+    """Just the pieces the noise trainer needs from a utility model."""
+
+    params: Any
+    batch_stats: Any
 
 
 @flax.struct.dataclass

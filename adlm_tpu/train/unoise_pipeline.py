@@ -134,10 +134,11 @@ def train_noise(args) -> Any:
         logger.log(f"Initializing noise model from pretrained run "
                    f"{pretrained_run!r}")
 
+    from adlm_tpu.train.unoise import FrozenUtility
     state = init_noise_state(
         cfg, jax.random.PRNGKey(0), jnp.asarray(sample[None]),
-        util=type("U", (), {"params": util_payload["params"],
-                            "batch_stats": util_payload["batch_stats"]})(),
+        util=FrozenUtility(params=util_payload["params"],
+                           batch_stats=util_payload["batch_stats"]),
         pretrained_params=pre_params, pretrained_batch_stats=pre_bs)
     step = make_noise_train_step(cfg)
     evaluate = make_noise_eval_step(cfg)
