@@ -120,9 +120,12 @@ def _cityscapes_class_names() -> Dict[int, str]:
 
 
 def _pascal_class_names() -> Dict[int, str]:
+    # NOTE: the reference's name map drops the last class via an
+    # off-by-one (push.py:41 bounds check loses 'tvmonitor'); names are
+    # cosmetic, so we fix it here rather than replicate it.
     names = {}
     for raw, train_id in PASCAL_ID_MAPPING.items():
-        if train_id > 0 and raw + 1 < len(PASCAL_CATEGORIES) - 1:
+        if train_id > 0 and raw + 1 < len(PASCAL_CATEGORIES):
             names[train_id - 1] = PASCAL_CATEGORIES[raw + 1]
     # background keeps its own name
     names[0] = PASCAL_CATEGORIES[1]

@@ -157,21 +157,36 @@ class SegmentationDataset:
             img, lab = self.get_eval_item(i)
             yield img[None], lab[None]
 
-    def eval_batches(self, batch_size: int
+    def eval_batches(self, batch_size: int, pad_final: bool = True
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Full-res eval batches; flushes early when image shapes differ
-        (Cityscapes is uniform; PASCAL varies per image)."""
+        (Cityscapes is uniform; PASCAL varies per image).
+
+        ``pad_final`` pads partial batches with zero images and all-void
+        labels (which contribute nothing to valid/I/U metrics), so the
+        jitted eval fn never sees a new batch shape — a fresh shape
+        costs a multi-minute remote compile (see CLAUDE.md).
+        """
         imgs: list = []
         labs: list = []
+
+        def flush():
+            if pad_final:
+                while len(imgs) < batch_size:
+                    imgs.append(np.zeros_like(imgs[0]))
+                    labs.append(np.zeros_like(labs[0]))
+            out = np.stack(imgs), np.stack(labs)
+            imgs.clear()
+            labs.clear()
+            return out
+
         for i in range(len(self)):
             img, lab = self.get_eval_item(i)
             if imgs and img.shape != imgs[0].shape:
-                yield np.stack(imgs), np.stack(labs)
-                imgs, labs = [], []
+                yield flush()
             imgs.append(img)
             labs.append(lab)
             if len(imgs) == batch_size:
-                yield np.stack(imgs), np.stack(labs)
-                imgs, labs = [], []
+                yield flush()
         if imgs:
-            yield np.stack(imgs), np.stack(labs)
+            yield flush()

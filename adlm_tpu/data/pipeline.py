@@ -75,22 +75,25 @@ class BatchLoader:
         self._stop = threading.Event()
         self._it = it
 
+        def put_retry(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in it:
-                    while not self._stop.is_set():
-                        try:
-                            self._q.put(item, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if self._stop.is_set():
+                    if not put_retry(item):
                         return
             finally:
-                try:
-                    self._q.put_nowait(self._done)
-                except queue.Full:
-                    pass
+                # the sentinel must use the same retry loop: a
+                # put_nowait on a full queue would silently drop it and
+                # hang the consumer after it drains the queue
+                put_retry(self._done)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()

@@ -66,9 +66,7 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
         for rank, j in enumerate(order):
             a = np.asarray(act[0, :, :, j])
             a_up = vz.upsample_cubic(a, (H, W))
-            lo, hi = a_up.min(), a_up.max()
-            norm = (a_up - lo) / (hi - lo) if hi > lo else a_up * 0
-            overlay = np.clip(0.5 * img + 0.3 * vz.jet_colormap(norm), 0, 1)
+            overlay = vz._overlay(img, vz.normalize01(a_up))
             vz._save(os.path.join(
                 save_dir,
                 f"top-{rank + 1}_prototype_{j}_class"

@@ -160,16 +160,29 @@ def save_nearest_artifacts(
     from adlm_tpu.ops.prototype import distance_to_similarity
 
     P, k = ids.shape
-    needed = sorted(set(int(i) for i in info["image_idx"].ravel()
-                        if i >= 0))
-    act_cache = {}
+    # group winners by image so each image is forwarded once, and keep
+    # ONLY the (h, w) activation slices that won — caching full (h,w,P)
+    # maps for every winner image would cost gigabytes at Cityscapes
+    # scale (the reference's in-heap heatmaps have the same problem,
+    # find_nearest.py:209)
+    protos_by_image: dict = {}
+    for j in range(P):
+        for rank in range(k):
+            idx = int(info["image_idx"][j, rank])
+            if idx >= 0:
+                protos_by_image.setdefault(idx, set()).add(j)
+    act_cache = {}   # (image_idx, proto_j) -> (h, w) activation
     img_cache = {}
-    for idx in needed:
+    for idx, js in sorted(protos_by_image.items()):
         image, label = get_item(idx)
         _, d = model.apply({"params": params, "constants": constants},
                            jnp.asarray(image), method=PPNet.push_forward)
-        act_cache[idx] = np.asarray(distance_to_similarity(
-            d[0], model.cfg.prototype_activation, model.cfg.epsilon))
+        js_arr = sorted(js)
+        acts = np.asarray(distance_to_similarity(
+            d[0][:, :, np.asarray(js_arr)],
+            model.cfg.prototype_activation, model.cfg.epsilon))
+        for pos, j in enumerate(js_arr):
+            act_cache[(idx, j)] = acts[:, :, pos]
         if raw_image_fn is not None:
             img_cache[idx] = raw_image_fn(idx)
         else:
@@ -185,7 +198,7 @@ def save_nearest_artifacts(
             if idx < 0:
                 continue
             img = img_cache[idx]
-            act = act_cache[idx][:, :, j]
+            act = act_cache[(idx, j)]
             H, W = img.shape[0], img.shape[1]
             h, w = act.shape
             pi, pj = int(info["patch_i"][j, rank]), int(
@@ -194,8 +207,7 @@ def save_nearest_artifacts(
                    (pj * W) // w, ((pj + 1) * W) // w)
             label_id = int(ids[j, rank])
             act_up = vz.upsample_cubic(act, (H, W))
-            lo, hi = act_up.min(), act_up.max()
-            norm = (act_up - lo) / (hi - lo) if hi > lo else act_up * 0
+            norm = vz.normalize01(act_up)
             prefix = os.path.join(d, f"nearest-{rank + 1}")
             np.save(prefix + "_act.npy", act)
             vz._save(prefix + f"_original_{label_id}.png", img)

@@ -56,12 +56,16 @@ class ProtoStatsAccumulator:
         """All arrays at the output grid: pred (h,w), nearest (h,w),
         distances (h,w,P)."""
         nearest_cls = self.pc[nearest_proto]
-        for c in range(self.C):
-            is_cls = (pred_grid == c) & (nearest_cls == c)
-            protos = np.where(self.pc == c)[0]
-            for p in protos:
-                self.counts[c, p] += int(np.sum(is_cls &
-                                                (nearest_proto == p)))
+        # single bincount over pixels where pred class == the nearest
+        # prototype's class (equivalent to the reference's per-class
+        # per-prototype loop, eval_valid.py:191-198, without the C×P
+        # full-grid temporaries)
+        agree = pred_grid == nearest_cls
+        if agree.any():
+            flat = (pred_grid[agree].astype(np.int64) * self.P
+                    + nearest_proto[agree])
+            self.counts += np.bincount(
+                flat, minlength=self.C * self.P).reshape(self.C, self.P)
         # top-K purity on random pixels (reference :200-214)
         h, w = pred_grid.shape
         rows = self.rng.randint(h, size=self.n_random)

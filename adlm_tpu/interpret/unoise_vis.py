@@ -139,12 +139,22 @@ def unoise_importance(noise_model: UNet, variables: Any,
 
 def interpretation_timing(methods: Dict[str, Callable[[], Any]],
                           repeats: int = 3) -> Dict[str, float]:
-    """Wall-clock per method (reference :176-277)."""
+    """Wall-clock per method (reference :176-277).
+
+    Sync is a host fetch of every output leaf — block_until_ready does
+    not reliably wait for remote execution (see CLAUDE.md).
+    """
+    def run_synced(fn):
+        out = fn()
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf)
+        return out
+
     out = {}
     for name, fn in methods.items():
-        fn()  # warm / compile
+        run_synced(fn)  # warm / compile
         t0 = time.perf_counter()
         for _ in range(repeats):
-            jax.block_until_ready(fn())
+            run_synced(fn)
         out[name] = (time.perf_counter() - t0) / repeats
     return out

@@ -91,6 +91,12 @@ def high_activation_crop(act: np.ndarray, percentile: float = 95
     return int(rows[0]), int(rows[-1]) + 1, int(cols[0]), int(cols[-1]) + 1
 
 
+def normalize01(a: np.ndarray) -> np.ndarray:
+    """Min-max normalize to [0,1]; constant maps normalize to zeros."""
+    lo, hi = a.min(), a.max()
+    return (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
+
+
 def _to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
@@ -151,10 +157,7 @@ def save_prototype_artifacts(run_dir: str, proto_idx: int,
 
     bound = grow_high_activation_box(act_gt, rf_box, threshold)
 
-    def norm(a):
-        lo, hi = a.min(), a.max()
-        return (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
-
+    norm = normalize01
     prefix = os.path.join(out_dir, f"prototype-img_{proto_idx}")
     np.save(os.path.join(out_dir, f"prototype-self-act{proto_idx}.npy"), act)
     _save(prefix + "-original.png", image)

@@ -3,9 +3,9 @@
 The reference registers ResNet/DenseNet/VGG feature stems
 (reference model.py:19-36, resnet_features.py / densenet_features.py /
 vgg_features.py), each exposing ``conv_info()`` for the receptive-field
-calculator.  Implemented here: ResNet-18/34/50/101/152 and
-VGG-11/13/16/19 (±BN).  DenseNet stems are planned (registry raises a
-clear error for them until then).
+calculator.  Implemented here: ResNet-18/34/50/101/152,
+VGG-11/13/16/19 (±BN), and DenseNet-121/161/169/201 — the full
+reference registry (plus deeplabv2_resnet101 in models/deeplab.py).
 """
 
 from __future__ import annotations
