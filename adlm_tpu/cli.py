@@ -101,18 +101,25 @@ def cmd_eval_valid(args):
         items = ds.eval_batches(args.batch_size)
     else:
         items = ds.eval_items()
-    for i, (img, lab) in enumerate(items):
+
+    if acc is not None:
+        import jax
+        # jitted grid-level stats forward (reference eval_valid.py:191-214);
+        # an eager apply would run op-by-op through the remote relay
+        stats_fwd = jax.jit(lambda p, c, img: model.apply(
+            {"params": p, "constants": c}, img, train=False))
+
+    n_images = 0
+    for img, lab in items:
         out = ev.update(params, payload["constants"], proto_class, img, lab)
         if acc is not None:
-            # grid-level stats (reference eval_valid.py:191-214)
-            import jax as _jax
-            logits, dist = model.apply(
-                {"params": params, "constants": payload["constants"]},
-                jnp.asarray(img), train=False)
+            logits, dist = stats_fwd(params, payload["constants"],
+                                     jnp.asarray(img))
             pred_grid = np.asarray(jnp.argmax(logits[0], -1))
             nearest = np.asarray(jnp.argmin(dist[0], -1))
             acc.update(pred_grid, nearest, np.asarray(dist[0]))
-        if args.max_images and i + 1 >= args.max_images:
+        n_images += img.shape[0]
+        if args.max_images and n_images >= args.max_images:
             break
     res = ev.results()
     out_dir = os.path.join(args.run_dir, "evaluation", args.stage)
@@ -217,6 +224,18 @@ def cmd_unoise_train_noise(args):
     train_noise(args)
 
 
+def _noise_arch(results: str, run: str, cli_depth: int, cli_cf: int
+                ) -> dict:
+    """Noise-UNet architecture: the run's saved noise_config.json wins
+    over CLI flags (runs of different sizes must rebuild correctly)."""
+    path = os.path.join(results, run, "noise_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            cfgd = json.load(f)
+        return {"depth": cfgd["depth"], "cf": cfgd["channel_factor"]}
+    return {"depth": cli_depth, "cf": cli_cf}
+
+
 def cmd_unoise_visualize(args):
     """Interpretation artifacts for trained U-Noise models: importance
     masks, grad-CAM, occlusion sensitivity, timing comparison
@@ -242,8 +261,8 @@ def cmd_unoise_visualize(args):
         results, args.utility_run, "utility_config.json")))
     util_model = UNet(out_channels=1, depth=util_cfg["depth"],
                       cf=util_cfg["channel_factor"])
-    noise_model = UNet(out_channels=1, depth=args.depth,
-                       cf=args.channel_factor)
+    noise_model = UNet(out_channels=1, **_noise_arch(
+        results, args.noise_run, args.depth, args.channel_factor))
     util_v = {"params": util_payload["params"],
               "batch_stats": util_payload["batch_stats"]}
     noise_v = {"params": noise_payload["params"],
@@ -251,7 +270,11 @@ def cmd_unoise_visualize(args):
 
     imgs = np.load(args.imgs)
     masks = np.load(args.masks)
-    _, _, test_ds = split_datasets(imgs, masks, None)
+    boxes = (np.load(args.boxes, allow_pickle=True)
+             if args.boxes and os.path.exists(args.boxes) else None)
+    # MUST match the training split (which filters by boxes first) —
+    # otherwise the "test" slices overlap the models' training data
+    _, _, test_ds = split_datasets(imgs, masks, boxes)
     image, mask = test_ds[args.index]
     image_j = jnp.asarray(image[None])
     mask_j = jnp.asarray(mask[None])
@@ -313,7 +336,10 @@ def cmd_unoise_figures(args):
 
     imgs = np.load(args.imgs)
     masks = np.load(args.masks)
-    _, _, test_ds = split_datasets(imgs, masks, None)
+    boxes = (np.load(args.boxes, allow_pickle=True)
+             if args.boxes and os.path.exists(args.boxes) else None)
+    # MUST match the training split (box filter first) — see visualize
+    _, _, test_ds = split_datasets(imgs, masks, boxes)
     test_imgs, test_masks = next(iter(batches(test_ds, args.n_images)))
     test_imgs = jnp.asarray(test_imgs)
     test_masks = jnp.asarray(test_masks)
@@ -326,8 +352,9 @@ def cmd_unoise_figures(args):
         leaves = [np.asarray(x) for x in
                   __import__("jax").tree_util.tree_leaves(payload["params"])]
         params_per_model[run] = int(sum(x.size for x in leaves))
-        noise_model = UNet(out_channels=1, depth=args.depth,
-                           cf=args.channel_factor)
+        # per-run architecture: sizes differ across --noise-runs
+        noise_model = UNet(out_channels=1, **_noise_arch(
+            results, run, args.depth, args.channel_factor))
         noise_v = {"params": payload["params"],
                    "batch_stats": payload["batch_stats"]}
         imp = unoise_importance(noise_model, noise_v, test_imgs)
@@ -408,7 +435,14 @@ def cmd_analyze_global(args):
 
 
 def cmd_bench(args):
-    import bench
+    # bench.py lives at the repo root, not inside the package — load it
+    # by path so the command works from any CWD
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
 
 
@@ -511,6 +545,7 @@ def main(argv=None):
     vp = sub.add_parser("unoise-visualize")
     vp.add_argument("--imgs", default="data/images.npy")
     vp.add_argument("--masks", default="data/masks.npy")
+    vp.add_argument("--boxes", default="data/bounding_boxes.npy")
     vp.add_argument("--utility-run", default="unoise_util")
     vp.add_argument("--noise-run", default="unoise_noise")
     vp.add_argument("--depth", type=int, default=5)
@@ -523,6 +558,7 @@ def main(argv=None):
     fp = sub.add_parser("unoise-figures")
     fp.add_argument("--imgs", default="data/images.npy")
     fp.add_argument("--masks", default="data/masks.npy")
+    fp.add_argument("--boxes", default="data/bounding_boxes.npy")
     fp.add_argument("--utility-run", default="unoise_util")
     fp.add_argument("--noise-runs", default="unoise_noise",
                     help="comma-separated noise run names")

@@ -24,7 +24,12 @@ from typing import Any, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from adlm_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from adlm_tpu.core.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    replicated,
+    spatial_sharding,
+)
 from adlm_tpu.core.config import ExperimentConfig
 from adlm_tpu.models.ppnet import PPNet
 
@@ -36,13 +41,16 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
 
 
 def make_sharded_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
-                            mesh: Mesh, max_steps: Optional[int] = None):
+                            mesh: Mesh, max_steps: Optional[int] = None,
+                            donate: bool = False):
     """Train step with explicit shardings: super-batch
-    (iter_size, micro_bs, H, W, C) sharded on micro_bs over ``data``."""
+    (iter_size, micro_bs, H, W, C) sharded on micro_bs over ``data``.
+    ``donate=True`` updates state in place (input state must not be
+    reused), halving peak params+moments HBM."""
     from adlm_tpu.train.protoseg import make_train_step
 
     inner = make_train_step(model, cfg, phase, max_steps)
-    repl = NamedSharding(mesh, P())
+    repl = replicated(mesh)
     batch_img = NamedSharding(mesh, P(None, DATA_AXIS))
     batch_lab = NamedSharding(mesh, P(None, DATA_AXIS))
 
@@ -50,6 +58,7 @@ def make_sharded_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
         inner.__wrapped__,  # re-jit the underlying fn with shardings
         in_shardings=(repl, batch_img, batch_lab),
         out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
     )
 
 
@@ -61,10 +70,11 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
     from adlm_tpu.interpret.evaluate import make_inference_fn
 
     inner = make_inference_fn(model, num_classes, with_stats)
-    repl = NamedSharding(mesh, P())
-    img_spec = P(DATA_AXIS, MODEL_AXIS) if spatial else P(DATA_AXIS)
-    img_shard = NamedSharding(mesh, img_spec)
-    lab_shard = NamedSharding(mesh, img_spec)
+    repl = replicated(mesh)
+    if spatial:
+        img_shard = lab_shard = spatial_sharding(mesh)
+    else:
+        img_shard = lab_shard = NamedSharding(mesh, P(DATA_AXIS))
 
     return jax.jit(
         inner.__wrapped__,

@@ -62,7 +62,7 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
         from adlm_tpu.parallel.sharding import (
             make_sharded_train_step, shard_state)
         step_fn = make_sharded_train_step(model, cfg, phase, mesh,
-                                          max_steps)
+                                          max_steps, donate=True)
         state = shard_state(state, mesh)
     else:
         step_fn = make_train_step(model, cfg, phase, max_steps,
@@ -90,11 +90,17 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
 def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                 val_batches, n_windows, val_every,
                 early_stopping_patience, stage, store, logger):
+    from adlm_tpu.utils.profiling import StepMeter
+
     best_acc = -1.0
     stale = 0
+    meter = None
     for w, (images, labels) in enumerate(loader):
+        if meter is None:
+            meter = StepMeter(images_per_step=int(np.prod(images.shape[:2])))
         state, metrics = step_fn(state, jnp.asarray(images),
                                  jnp.asarray(labels))
+        meter.tick()
         if (w + 1) % 50 == 0 or w == 0:
             acc = float(metrics["n_correct"]) / max(
                 float(metrics["n_patches"]), 1)
@@ -102,7 +108,9 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                            {"loss": float(metrics["loss"]),
                             "cross_entropy": float(metrics["cross_entropy"]),
                             "kld_loss": float(metrics["kld_loss"]),
-                            "accuracy": acc})
+                            "l1": float(metrics["l1"]),
+                            "accuracy": acc,
+                            **meter.rates()})
         if (w + 1) % val_every == 0 or (w + 1) == n_windows:
             val_metrics = _validate(eval_fn, state, val_ds, batch_size,
                                     val_batches)

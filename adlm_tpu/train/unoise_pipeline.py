@@ -143,6 +143,12 @@ def train_noise(args) -> Any:
     step = make_noise_train_step(cfg)
     evaluate = make_noise_eval_step(cfg)
 
+    # record the noise architecture so visualization/figures commands
+    # can rebuild each run's UNet without trusting CLI flags
+    store.save_metadata("noise_config",
+                        {"depth": cfg.depth,
+                         "channel_factor": cfg.channel_factor})
+
     best_loss = np.inf
     rng = jax.random.PRNGKey(1)
     for epoch in range(cfg.epochs):

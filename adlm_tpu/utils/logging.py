@@ -34,12 +34,34 @@ class RunLogger:
                 values: Dict[str, float]) -> None:
         row = {"step": step, "phase": phase, "split": split,
                **{k: float(v) for k, v in values.items()}}
-        write_header = not os.path.exists(self._csv_path)
         if self._csv_fields is None:
-            self._csv_fields = list(row.keys())
+            if os.path.exists(self._csv_path):
+                # resume: columns must match the on-disk header, not
+                # whatever this process's first row happens to contain
+                with open(self._csv_path, newline="") as f:
+                    self._csv_fields = next(csv.reader(f), None)
+            if not self._csv_fields:
+                self._csv_fields = list(row.keys())
+        missing = [k for k in row if k not in self._csv_fields]
+        if missing:
+            self._rewrite_with_fields(self._csv_fields + missing)
         with open(self._csv_path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._csv_fields,
                                extrasaction="ignore")
-            if write_header:
+            if f.tell() == 0:
                 w.writeheader()
             w.writerow(row)
+
+    def _rewrite_with_fields(self, fields) -> None:
+        """Extend the CSV schema in place when a new metric key appears
+        (e.g. val rows carry 'l1' that train rows don't)."""
+        rows = []
+        if os.path.exists(self._csv_path):
+            with open(self._csv_path, newline="") as f:
+                rows = list(csv.DictReader(f))
+        with open(self._csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+        self._csv_fields = fields

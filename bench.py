@@ -106,8 +106,9 @@ def _run() -> None:
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
-    n_chips = max(len(jax.devices()), 1)
-    ips_per_chip = ips / n_chips
+    # the inference fn is unsharded — it runs on ONE chip regardless of
+    # how many are visible, so the measurement is already per-chip
+    ips_per_chip = ips
 
     print(json.dumps({
         "metric": "cityscapes_2048x1024_inference",
