@@ -116,3 +116,28 @@ def test_prune_and_eval_cli(tmp_path):
     pred_dir = os.path.join(run_dir, "evaluation", "pruned",
                             "test_predictions")
     assert len(os.listdir(pred_dir)) == 1
+
+
+def test_msc_pipeline_end_to_end(tmp_path):
+    """PASCAL-style multi-scale (MSC) config through all phases + push."""
+    import dataclasses
+    from adlm_tpu.train.pipeline import run_protoseg_training
+    from adlm_tpu.core.checkpoint import CheckpointStore
+
+    data_root = str(tmp_path / "data")
+    run_dir = str(tmp_path / "run")
+    _write_fake_dataset(data_root, n=2, hw=(48, 48))
+    base = _tiny_experiment("tiny_msc_e2e")
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, msc_scales=(0.5, 0.75),
+                                  img_size=48),
+        data=dataclasses.replace(base.data, window_size=(48, 48)),
+        train=dataclasses.replace(base.train, warmup_steps=2,
+                                  joint_steps=2, finetune_steps=2,
+                                  iter_size=1))
+    state = run_protoseg_training(cfg, run_dir, data_path=data_root,
+                                  val_every=1, val_batches=1)
+    assert CheckpointStore(run_dir).exists("push", "last")
+    P = np.asarray(state.params["prototype_vectors"]).shape[0]
+    assert 1 <= P <= 6

@@ -292,3 +292,27 @@ def test_msc_multiscale_train_step():
     v = {"params": new_state.params, "constants": new_state.constants}
     f, d = model.apply(v, images[0], method=PPNet.push_forward)
     assert f.ndim == 4 and d.ndim == 4
+
+
+def test_kld_raw_label_indexing_quirk():
+    """The reference-compat flag indexes prototype classes with RAW
+    (unshifted) label values (reference module.py:170-178 vs :156-159);
+    the loss must differ from the consistent default on the same batch."""
+    from adlm_tpu.train.protoseg import loss_fn
+    cfg_fix = tiny_experiment(loss_weight_kld=0.25)
+    cfg_raw = tiny_experiment(loss_weight_kld=0.25,
+                              kld_raw_label_indexing=True)
+    model = PPNet(cfg=cfg_fix.model)
+    rng = np.random.RandomState(20)
+    images, labels = make_batch(rng, cfg_fix, n_micro=1)
+    state = init_protoseg_state(model, cfg_fix, 0, 10,
+                                jax.random.PRNGKey(20), images[0])
+    _, m_fix = loss_fn(state.params, state.constants, model,
+                       state.proto_class, cfg_fix,
+                       (images[0], labels[0]), False)
+    _, m_raw = loss_fn(state.params, state.constants, model,
+                       state.proto_class, cfg_raw,
+                       (images[0], labels[0]), False)
+    assert np.isfinite(float(m_fix["kld_loss"]))
+    assert np.isfinite(float(m_raw["kld_loss"]))
+    assert float(m_fix["kld_loss"]) != float(m_raw["kld_loss"])
