@@ -150,3 +150,16 @@ def test_cityscapes_submission_lut_matches_reference_mapping():
     lut = get_class_table("cityscapes").submission_lut(19)
     for pred in range(19):
         assert lut[pred] == our2source[pred + 1], pred
+
+
+def test_eval_resize_pascal_quirk(tmp_path):
+    """eval_resize resizes the INPUT while the label keeps native size
+    (reference eval_valid.py:144-152 PASCAL path)."""
+    root = str(tmp_path)
+    _write_fake_dataset(root)
+    cfg = DataConfig(class_table="cityscapes", window_size=(33, 33),
+                     eval_resize=(24, 32))
+    ds = SegmentationDataset(cfg, "train", data_path=root, is_eval=True)
+    img, lab = ds.get_eval_item(0)
+    assert img.shape == (24, 32, 3)
+    assert lab.shape == (40, 60)  # native label size
