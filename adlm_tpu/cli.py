@@ -372,7 +372,7 @@ def cmd_analyze_local(args):
     from adlm_tpu.core.checkpoint import CheckpointStore
     from adlm_tpu.core.config import ExperimentConfig
     from adlm_tpu.data.dataset import SegmentationDataset
-    from adlm_tpu.interpret.analysis import local_analysis
+    from adlm_tpu.interpret.analysis import local_analysis, make_denorm
     from adlm_tpu.models.ppnet import PPNet
 
     store = CheckpointStore(args.run_dir)
@@ -391,7 +391,8 @@ def cmd_analyze_local(args):
         jnp.asarray(payload["proto_class"]), img[None],
         top_k=args.top_k,
         save_dir=os.path.join(args.run_dir, "local_analysis",
-                              ds.img_ids[args.index]))
+                              ds.img_ids[args.index]),
+        denorm=make_denorm(cfg.data))
     print(json.dumps({
         "top_prototypes": res["top_prototypes"].tolist(),
         "top_classes": res["top_classes"].tolist(),
@@ -405,7 +406,7 @@ def cmd_analyze_global(args):
     from adlm_tpu.core.checkpoint import CheckpointStore
     from adlm_tpu.core.config import ExperimentConfig
     from adlm_tpu.data.dataset import SegmentationDataset
-    from adlm_tpu.interpret.analysis import global_analysis
+    from adlm_tpu.interpret.analysis import global_analysis, make_denorm
     from adlm_tpu.models.ppnet import PPNet
 
     store = CheckpointStore(args.run_dir)
@@ -430,7 +431,8 @@ def cmd_analyze_global(args):
         save_dir=os.path.join(args.run_dir, "global_analysis"),
         full_save=args.full_save,
         get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
-            *ds.get_eval_item(i)))
+            *ds.get_eval_item(i)),
+        denorm=make_denorm(cfg.data))
     print(f"nearest patch class ids saved; shape {ids.shape}")
 
 

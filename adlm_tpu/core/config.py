@@ -215,11 +215,17 @@ _CITYSCAPES_MODEL = PPNetConfig(
 )
 _CITYSCAPES_DATA = DataConfig(class_table="cityscapes", window_size=(513, 513))
 
+# Reference-parity presets with an active KLD loss set
+# kld_raw_label_indexing=True: the reference's KLD loop indexes
+# prototype-class columns with the RAW label (off by one from the CE
+# targets when void is dropped) — reproducing its published runs
+# requires the same alignment.  Flip to False for the corrected
+# semantics (see TrainConfig.kld_raw_label_indexing).
 register_experiment(ExperimentConfig(
     name="cityscapes_kld_imnet",
     model=_CITYSCAPES_MODEL,
     data=_CITYSCAPES_DATA,
-    train=TrainConfig(loss_weight_kld=0.25),
+    train=TrainConfig(loss_weight_kld=0.25, kld_raw_label_indexing=True),
 ))
 
 register_experiment(ExperimentConfig(
@@ -233,7 +239,7 @@ register_experiment(ExperimentConfig(
     name="cityscapes_kld_coco",
     model=_CITYSCAPES_MODEL,
     data=_CITYSCAPES_DATA,
-    train=TrainConfig(loss_weight_kld=0.25),
+    train=TrainConfig(loss_weight_kld=0.25, kld_raw_label_indexing=True),
     load_coco=True,
 ))
 
@@ -248,7 +254,7 @@ register_experiment(ExperimentConfig(
     name="pascal_kld_imnet",
     model=_PASCAL_MODEL,
     data=_PASCAL_DATA,
-    train=TrainConfig(loss_weight_kld=0.25),
+    train=TrainConfig(loss_weight_kld=0.25, kld_raw_label_indexing=True),
 ))
 
 register_experiment(ExperimentConfig(
@@ -262,7 +268,7 @@ register_experiment(ExperimentConfig(
     name="pascal_kld_coco",
     model=_PASCAL_MODEL,
     data=_PASCAL_DATA,
-    train=TrainConfig(loss_weight_kld=0.25),
+    train=TrainConfig(loss_weight_kld=0.25, kld_raw_label_indexing=True),
     load_coco=True,
 ))
 
@@ -295,5 +301,5 @@ register_experiment(ExperimentConfig(
                       add_on_layers_type="deeplab_simple", msc_scales=(0.5, 0.75)),
     data=DataConfig(class_table="cells", window_size=(321, 321), cells=True,
                     mean=(106.51, 106.51, 106.51), std=(7.25, 7.25, 7.25)),
-    train=TrainConfig(loss_weight_kld=0.25, ignore_void_class=False),
+    train=TrainConfig(loss_weight_kld=0.25, kld_raw_label_indexing=True, ignore_void_class=False),
 ))

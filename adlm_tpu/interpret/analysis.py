@@ -13,7 +13,7 @@
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,8 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
                    proto_class: jnp.ndarray, image: np.ndarray,
                    top_k: int = 10,
                    save_dir: Optional[str] = None,
-                   raw_image: Optional[np.ndarray] = None
+                   raw_image: Optional[np.ndarray] = None,
+                   denorm: Optional[Callable] = None
                    ) -> Dict[str, Any]:
     """Analyze one (1, H, W, 3) normalized image.
 
@@ -61,7 +62,10 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
 
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
-        img = raw_image if raw_image is not None else _denorm(image[0])
+        if raw_image is not None:
+            img = raw_image
+        else:
+            img = (denorm or _denorm)(image[0])
         H, W = img.shape[0], img.shape[1]
         for rank, j in enumerate(order):
             a = np.asarray(act[0, :, :, j])
@@ -79,9 +83,25 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
 
 
 def _denorm(img: np.ndarray,
-            mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)
-            ) -> np.ndarray:
-    return np.clip(img * np.asarray(std) + np.asarray(mean), 0, 1)
+            mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+            cells: bool = False) -> np.ndarray:
+    """Invert dataset normalization to a [0,1] RGB image for rendering.
+
+    ``cells=True`` marks raw-float datasets (no /255 at load, see
+    DataConfig.cells): the un-normalized values live on an arbitrary
+    scale, so they are min-max normalized for display instead of clipped.
+    """
+    out = img * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
+    if cells:
+        return vz.normalize01(out)
+    return np.clip(out, 0, 1)
+
+
+def make_denorm(data_cfg) -> "Callable[[np.ndarray], np.ndarray]":
+    """Denormalizer bound to a DataConfig's mean/std/cells — use this at
+    every artifact-rendering site instead of assuming ImageNet stats."""
+    return lambda img: _denorm(img, mean=data_cfg.mean, std=data_cfg.std,
+                               cells=data_cfg.cells)
 
 
 def global_analysis(model: PPNet, params: Any, constants: Any,
@@ -90,7 +110,8 @@ def global_analysis(model: PPNet, params: Any, constants: Any,
                     num_classes: int, k: int = 5,
                     save_dir: Optional[str] = None,
                     full_save: bool = False,
-                    get_item=None) -> np.ndarray:
+                    get_item=None,
+                    denorm: Optional[Callable] = None) -> np.ndarray:
     """k nearest patch class ids per prototype; optionally saves
     per-prototype class id arrays and, with ``full_save`` (requires
     ``get_item: idx -> (image, label)``), the full nearest-patch
@@ -106,7 +127,8 @@ def global_analysis(model: PPNet, params: Any, constants: Any,
         os.makedirs(save_dir, exist_ok=True)
         if full_save and get_item is not None:
             save_nearest_artifacts(model, params, constants, proto_class,
-                                   get_item, ids, info, save_dir)
+                                   get_item, ids, info, save_dir,
+                                   denorm=denorm)
         else:
             np.save(os.path.join(save_dir, "full_class_id.npy"), ids)
             for j in range(ids.shape[0]):

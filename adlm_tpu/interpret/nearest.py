@@ -150,6 +150,7 @@ def save_nearest_artifacts(
     info: dict,
     out_dir: str,
     raw_image_fn=None,  # index -> (H,W,3) [0,1] image for rendering
+    denorm=None,  # normalized (H,W,3) -> [0,1] image (cfg-aware)
 ) -> None:
     """Second pass: re-forward only winner images and write the artifact
     set per (prototype, rank): original + patch bbox + heatmap overlay +
@@ -187,7 +188,7 @@ def save_nearest_artifacts(
             img_cache[idx] = raw_image_fn(idx)
         else:
             from adlm_tpu.interpret.analysis import _denorm
-            img_cache[idx] = _denorm(np.asarray(image[0]))
+            img_cache[idx] = (denorm or _denorm)(np.asarray(image[0]))
 
     for j in range(P):
         d = os.path.join(out_dir, str(j))

@@ -130,12 +130,16 @@ def push_prototypes(
     dedup: bool = True,
     batch_size: int = 1,
     log: Callable[[str], None] = print,
+    denorm: Optional[Callable] = None,
 ) -> Tuple[Any, jnp.ndarray, Dict[str, Any]]:
     """Project each prototype onto its nearest training patch.
 
     Args:
       dataset: iterable of (normalized image (1,H,W,3) float32,
         raw label (1,H,W) int) pairs, in a fixed order.
+      denorm: inverts dataset normalization for visualization rendering
+        ((H,W,3) normalized -> [0,1] RGB); defaults to ImageNet stats —
+        pass ``analysis.make_denorm(cfg.data)`` for non-ImageNet presets.
 
     Returns:
       (new_params, new_proto_class, info) where info carries the
@@ -153,6 +157,8 @@ def push_prototypes(
     bound_boxes = np.full((P, 6), -1, dtype=np.int64)
 
     from adlm_tpu.interpret import visualize as vz
+    if denorm is None:
+        from adlm_tpu.interpret.analysis import _denorm as denorm
 
     # distances ≥ _INF mean "no eligible patch" — must never win nor
     # count as seen (1e30 is finite, so a plain < np.inf check would
@@ -261,7 +267,7 @@ def push_prototypes(
             if save_visualizations and run_dir is not None:
                 bound_boxes[j, 1:5] = vz.save_prototype_artifacts(
                     run_dir=run_dir, proto_idx=j,
-                    image=np.asarray(image[0]),
+                    image=denorm(np.asarray(image[0])),
                     label=np.asarray(label[0]),
                     dist_map=dist_host[:, :, j],
                     rf_box=(h0, h1, w0, w1),

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from adlm_tpu.models.layers import ConvBN, FrozenBatchNorm, max_pool_ceil
-from adlm_tpu.ops.resize import resize_bilinear
+from adlm_tpu.ops.resize import resize_bilinear, resize_bilinear_factor
 
 
 class Bottleneck(nn.Module):
@@ -139,9 +139,9 @@ class MSC(nn.Module):
         h, w = logits.shape[-3], logits.shape[-2]
         pyramid = []
         for s in self.scales:
-            sh = int(x.shape[-3] * s)
-            sw = int(x.shape[-2] * s)
-            xs = resize_bilinear(x, (sh, sw))
+            # torch scale_factor coordinate semantics (see
+            # resize_bilinear_factor) — reference utils.py:91
+            xs = resize_bilinear_factor(x, s)
             pyramid.append(self.base(xs))
         interp = [resize_bilinear(p, (h, w)) for p in pyramid]
         logits_max = jnp.max(jnp.stack([logits] + interp), axis=0)

@@ -52,4 +52,30 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
         out_shape = (*x.shape[:-3], *size, x.shape[-1])
     else:
         out_shape = (*x.shape[:-2], *size)
-    return jax.image.resize(x, out_shape, method="linear")
+    # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+    # does not antialias, and the MSC pyramid DOWNSCALES inputs — the
+    # jax.image.resize default (antialias=True) would diverge there.
+    return jax.image.resize(x, out_shape, method="linear", antialias=False)
+
+
+def resize_bilinear_factor(x: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Bilinear resize by a SCALE FACTOR with torch semantics.
+
+    torch ``F.interpolate(x, scale_factor=s)`` maps output coordinate
+    ``o`` to input ``(o + 0.5)/s − 0.5`` using the GIVEN ``s`` — not the
+    realized ``out/in`` ratio that ``jax.image.resize`` would use (for
+    33px at s=0.5 those differ: 0.5 vs 16/33).  The reference's MSC
+    input pyramid (reference segmentation/utils.py:91) relies on this,
+    so the pyramid downscale goes through ``scale_and_translate``
+    (verified bit-close vs torch in tests/test_train_step_golden.py).
+
+    Args:
+      x: (B, H, W, C).
+      factor: scale factor; output is (B, int(H·s), int(W·s), C).
+    """
+    b, h, w, c = x.shape
+    oh, ow = int(h * factor), int(w * factor)
+    return jax.image.scale_and_translate(
+        x, (b, oh, ow, c), (1, 2),
+        jnp.array([factor, factor], jnp.float32),
+        jnp.zeros((2,), jnp.float32), method="linear", antialias=False)

@@ -265,6 +265,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
 
     # push
     logger.log("SAVING PROTOTYPES (push)")
+    from adlm_tpu.interpret.analysis import make_denorm
     from adlm_tpu.interpret.push import push_prototypes
     push_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
                                   data_path=data_path, is_eval=True,
@@ -274,7 +275,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         push_ds.eval_items(), cfg.model.num_classes,
         run_dir=os.path.join(run_dir, "prototypes"),
         save_visualizations=save_push_visualizations,
-        class_names=table.class_names, log=logger.log)
+        class_names=table.class_names, log=logger.log,
+        denorm=make_denorm(cfg.data))
 
     pushed_cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(
