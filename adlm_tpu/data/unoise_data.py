@@ -3,10 +3,11 @@
 Reference semantics (reference src/data.py:41-93): keep only slices
 with bounding boxes, ORDERED 80/10/10 split (no shuffle — consecutive
 slices belong to the same patient, so shuffling would leak), tile 1→3
-channels, ImageNet-normalize.  Training augmentation: horizontal flip +
-light photometric jitter (the reference's albumentations
-elastic/grid/optical distortions are approximated by flip + contrast /
-gamma / brightness; geometric warps are a TODO noted here).
+channels, ImageNet-normalize.  Training augmentation mirrors the
+reference's albumentations pipeline (src/data.py:14-38): horizontal
+flip, OneOf{contrast, gamma, brightness} at p=0.3,
+OneOf{elastic, grid, optical distortion} at p=0.3 (see data/warps.py),
+and ShiftScaleRotate at p=0.5.
 """
 
 from __future__ import annotations
@@ -49,6 +50,8 @@ class UNoiseDataset:
                     img = np.clip(img, 0, 1) ** g
                 else:            # brightness
                     img = np.clip(img + self.rng.uniform(-0.2, 0.2), 0, 1)
+            from adlm_tpu.data.warps import reference_geometric_augment
+            img, mask = reference_geometric_augment(img, mask, self.rng)
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
         return img.astype(np.float32), mask[..., None]
 
