@@ -58,8 +58,10 @@ def cmd_train(args):
     run_protoseg_training(
         cfg, run_dir, data_path=args.data_path, pruned=args.pruned,
         start_checkpoint=args.start_checkpoint,
-        val_every=args.val_every, steps_scale=args.steps_scale,
+        val_every=args.val_every, val_batches=args.val_batches,
+        steps_scale=args.steps_scale,
         save_push_visualizations=args.save_push_visualizations,
+        push_batch_size=args.push_batch_size,
         pretrained_path=args.pretrained,
         pretrained_naming="deeplab" if cfg.load_coco else "torchvision",
         mesh=mesh)
@@ -93,31 +95,33 @@ def cmd_eval_valid(args):
 
     ds = SegmentationDataset(cfg.data, args.split,
                              data_path=args.data_path, is_eval=True)
-    ev = SegEvaluator(model, cfg.model.num_classes)
+    if args.windowed:
+        from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+        wh, ww = (int(x) for x in args.windowed.split(","))
+        ev = WindowedSegEvaluator(model, cfg.model.num_classes, (wh, ww))
+        if args.stats:
+            raise SystemExit("--stats is not supported with --windowed")
+    else:
+        ev = SegEvaluator(model, cfg.model.num_classes,
+                          with_stats=args.stats,
+                          stats_upsampled=args.stats_upsampled)
     acc = ProtoStatsAccumulator(n_proto, cfg.model.num_classes,
                                 np.asarray(proto_class)) if args.stats \
         else None
-    if args.batch_size > 1 and not args.stats:
+    if args.batch_size > 1:
         items = ds.eval_batches(args.batch_size)
     else:
         items = ds.eval_items()
 
-    if acc is not None:
-        import jax
-        # jitted grid-level stats forward (reference eval_valid.py:191-214);
-        # an eager apply would run op-by-op through the remote relay
-        stats_fwd = jax.jit(lambda p, c, img: model.apply(
-            {"params": p, "constants": c}, img, train=False))
-
     n_images = 0
     for img, lab in items:
+        # one jitted forward per batch: metrics AND (with --stats) the
+        # interpretability statistics (reference eval_valid.py:158-214)
         out = ev.update(params, payload["constants"], proto_class, img, lab)
         if acc is not None:
-            logits, dist = stats_fwd(params, payload["constants"],
-                                     jnp.asarray(img))
-            pred_grid = np.asarray(jnp.argmax(logits[0], -1))
-            nearest = np.asarray(jnp.argmin(dist[0], -1))
-            acc.update(pred_grid, nearest, np.asarray(dist[0]))
+            acc.update(np.asarray(out["stat_pred"]),
+                       np.asarray(out["nearest_proto"]),
+                       topk_purity=np.asarray(out["topk_purity"]))
         n_images += img.shape[0]
         if args.max_images and n_images >= args.max_images:
             break
@@ -130,6 +134,28 @@ def cmd_eval_valid(args):
         pair_stats=prototype_pair_distances(
             jnp.asarray(params["prototype_vectors"]), proto_class),
         class_names=table.class_names)
+
+    if args.examples:
+        # qualitative prediction / nearest-prototype overlays on random
+        # val images (reference eval_valid.py:270-343)
+        from adlm_tpu.interpret.evaluate import make_overlay_fn
+        from adlm_tpu.interpret.stats import save_example_overlays
+        ov_fn = make_overlay_fn(model)
+        rng = np.random.RandomState(0)
+        idxs = rng.choice(len(ds), size=min(args.examples, len(ds)),
+                          replace=False)
+        ppc = int(np.bincount(np.asarray(proto_class)).max())
+        run_name = os.path.basename(os.path.normpath(args.run_dir))
+        for ei, idx in enumerate(idxs):
+            img_n, _ = ds.get_eval_item(int(idx))
+            raw, lab = ds.get_overlay_item(int(idx))
+            pred, nearest = ov_fn(params, payload["constants"],
+                                  jnp.asarray(img_n[None]))
+            save_example_overlays(
+                out_dir, ei, raw, np.asarray(pred[0]),
+                np.asarray(nearest[0]), (lab == 0).astype(np.float32),
+                protos_per_class=ppc,
+                title=f"{run_name} ({args.stage})")
     print(json.dumps(res, indent=2, default=float))
 
 
@@ -210,6 +236,141 @@ def cmd_prune(args):
     np.save(os.path.join(args.run_dir, "prune_info.npy"), prune_info)
     print(f"pruned {prune_info.shape[0]} prototypes; finetune with "
           f"`train ... --pruned`")
+
+
+def cmd_cls_train(args):
+    """ProtoPNet image-classification training (reference main.py:107-189
+    over ImageFolder datasets from settings.py:14-17 env vars)."""
+    _enable_compile_cache()
+    from adlm_tpu.core.config import PPNetConfig
+    from adlm_tpu.data.image_folder import ImageFolderDataset
+    from adlm_tpu.train.classification import ClassificationConfig
+    from adlm_tpu.train.classification_pipeline import (
+        run_classification_training)
+
+    train_dir = args.train_dir or os.environ.get("TRAIN_DIR")
+    test_dir = args.test_dir or os.environ.get("TEST_DIR")
+    push_dir = args.push_dir or os.environ.get("TRAIN_PUSH_DIR") \
+        or train_dir
+    if not train_dir or not test_dir:
+        raise SystemExit("--train-dir/--test-dir (or TRAIN_DIR/TEST_DIR "
+                         "env) required")
+    train_ds = ImageFolderDataset(train_dir, args.img_size)
+    test_ds = ImageFolderDataset(test_dir, args.img_size)
+    # push images stay un-normalized for visualization; the push fn
+    # normalizes on the fly in the reference (main.py:86-105) — our push
+    # forward expects normalized inputs, so keep normalize=True here
+    push_ds = ImageFolderDataset(push_dir, args.img_size)
+
+    num_classes = args.num_classes or len(train_ds.classes)
+    cfg = ClassificationConfig(
+        model=PPNetConfig(
+            base_architecture=args.arch, img_size=args.img_size,
+            num_prototypes=args.prototypes,
+            prototype_channels=args.proto_channels,
+            num_classes=num_classes, add_on_layers_type="regular",
+            patch_classification=False),
+        num_warm_epochs=args.warm_epochs,
+        num_train_epochs=args.epochs,
+        push_start=args.push_start)
+
+    run_dir = _results_dir(args.run_name)
+    run_classification_training(
+        cfg, run_dir,
+        train_batches=lambda: train_ds.batches(args.batch_size,
+                                               shuffle=True, seed=0),
+        test_batches=lambda: test_ds.batches(args.test_batch_size),
+        push_batches=lambda: push_ds.batches(args.push_batch_size),
+        target_accuracy=args.target_accuracy,
+        last_layer_iterations=args.last_layer_iterations,
+        push_every=args.push_every,
+        pretrained_path=args.pretrained)
+
+
+def cmd_cls_prune(args):
+    """Classification pruning + optional last-layer finetune
+    (reference run_pruning.py root:113-158)."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.data.image_folder import ImageFolderDataset
+    from adlm_tpu.models.ppnet import PPNet
+    from adlm_tpu.train.classification import (
+        ClassifierState,
+        init_classifier_state,
+        make_cls_eval_step,
+        make_cls_train_step,
+        prune_classification_prototypes,
+    )
+    from adlm_tpu.train.classification_pipeline import (
+        _cls_payload,
+        _epoch,
+        _evaluate,
+        load_cls_config,
+    )
+
+    run_dir = args.run_dir
+    cfg = load_cls_config(run_dir)
+    store = CheckpointStore(run_dir)
+    stage, kind = ("push", "best") if store.exists("push", "best") \
+        else ("nopush", "last")
+    payload = store.restore(stage, kind)
+    model = PPNet(cfg=cfg.model)
+    state = ClassifierState(
+        params=payload["params"], batch_stats=payload["batch_stats"],
+        opt_state=None, proto_class=jnp.asarray(payload["proto_class"]),
+        step=jnp.asarray(payload["step"]))
+
+    train_dir = args.train_dir or os.environ.get("TRAIN_DIR")
+    push_dir = args.push_dir or os.environ.get("TRAIN_PUSH_DIR") \
+        or train_dir
+    push_ds = ImageFolderDataset(push_dir, cfg.model.img_size)
+    new_params, new_pc, prune_info = prune_classification_prototypes(
+        model, state, push_ds.batches(args.batch_size),
+        k=args.k, prune_threshold=args.threshold)
+    np.save(os.path.join(run_dir, "cls_prune_info.npy"), prune_info)
+
+    import dataclasses as dc
+    pruned_cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model,
+        num_prototypes=int(np.asarray(
+            new_params["prototype_vectors"]).shape[0])))
+    model = PPNet(cfg=pruned_cfg.model)
+
+    if args.last_layer_iterations > 0 and train_dir:
+        test_dir = args.test_dir or os.environ.get("TEST_DIR")
+        train_ds = ImageFolderDataset(train_dir, cfg.model.img_size)
+        test_ds = ImageFolderDataset(test_dir or train_dir,
+                                     cfg.model.img_size)
+        sample, _ = next(train_ds.batches(args.batch_size))
+        steps_per_epoch = -(-len(train_ds) // args.batch_size)
+        state_l = init_classifier_state(
+            model, pruned_cfg, "last", jax.random.PRNGKey(0),
+            jnp.asarray(sample), params=new_params,
+            batch_stats=payload["batch_stats"],
+            steps_per_epoch=steps_per_epoch)
+        state_l = state_l.replace(proto_class=new_pc)
+        last_step = make_cls_train_step(model, pruned_cfg, "last",
+                                        steps_per_epoch)
+        eval_fn = make_cls_eval_step(model, pruned_cfg)
+        for it in range(args.last_layer_iterations):
+            state_l, _ = _epoch(last_step, state_l,
+                                train_ds.batches(args.batch_size,
+                                                 shuffle=True, seed=it))
+            acc = _evaluate(eval_fn, state_l,
+                            test_ds.batches(args.batch_size))
+            print(f"pruned last-layer iter {it}: accuracy {acc:.4f}")
+        final = state_l
+    else:
+        final = ClassifierState(
+            params=new_params, batch_stats=payload["batch_stats"],
+            opt_state=None, proto_class=new_pc,
+            step=jnp.asarray(payload["step"]))
+    store.save("pruned", "last", _cls_payload(final))
+    print(f"pruned {prune_info.shape[0]} prototypes → "
+          f"{int(np.asarray(new_pc).shape[0])} remain; saved "
+          f"pruned_last")
 
 
 def cmd_unoise_train_util(args):
@@ -462,8 +623,15 @@ def main(argv=None):
                          "torchvision (ImageNet) or deeplab (COCO) keys")
     tp.add_argument("--data-path", default=None)
     tp.add_argument("--val-every", type=int, default=500)
+    tp.add_argument("--val-batches", type=int, default=None,
+                    help="cap validation to the first N ordered batches "
+                         "(default: the FULL val split, matching the "
+                         "reference's best-checkpoint selection)")
     tp.add_argument("--steps-scale", type=float, default=1.0)
     tp.add_argument("--save-push-visualizations", action="store_true")
+    tp.add_argument("--push-batch-size", type=int, default=1,
+                    help="batch the push scan (mesh-shardable; artifact "
+                         "output identical via a two-pass re-forward)")
     tp.add_argument("--mesh-data", type=int, default=0,
                     help="data-parallel mesh axis size (0 = single device)")
     tp.add_argument("--mesh-model", type=int, default=1,
@@ -482,12 +650,25 @@ def main(argv=None):
         ep.add_argument("--split", default="val")
         ep.add_argument("--data-path", default=None)
         ep.add_argument("--max-images", type=int, default=0)
-        ep.add_argument("--stats", action="store_true",
-                        help="also compute prototype interpretability "
-                             "stats + plots (eval-valid only)")
         ep.add_argument("--batch-size", type=int, default=1,
                         help="full-res eval batch (uniform-shape "
-                             "datasets; ignored with --stats)")
+                             "datasets)")
+        if name == "eval-valid":
+            ep.add_argument("--stats", action="store_true",
+                            help="also compute prototype "
+                                 "interpretability stats + plots "
+                                 "(same single forward per batch)")
+            ep.add_argument("--stats-upsampled", action="store_true",
+                            help="reference-exact statistics on "
+                                 "bilinearly upsampled distance maps "
+                                 "(eval_valid.py:172-214); slower")
+            ep.add_argument("--examples", type=int, default=5,
+                            help="number of qualitative prediction/"
+                                 "prototype overlay examples (0 = off)")
+            ep.add_argument("--windowed", default=None, metavar="WH,WW",
+                            help="sliding-window inference with the "
+                                 "given window size instead of "
+                                 "whole-image forwards")
         ep.set_defaults(fn=fn)
 
     pp = sub.add_parser("prune")
@@ -497,6 +678,44 @@ def main(argv=None):
     pp.add_argument("--k", type=int, default=6)
     pp.add_argument("--threshold", type=int, default=3)
     pp.set_defaults(fn=cmd_prune)
+
+    cp = sub.add_parser("cls-train")
+    cp.add_argument("run_name")
+    cp.add_argument("--arch", default="vgg19",
+                    help="resnet18/34/50/101/152, vggNN[_bn], "
+                         "densenet121/161/169/201")
+    cp.add_argument("--train-dir", default=None)
+    cp.add_argument("--test-dir", default=None)
+    cp.add_argument("--push-dir", default=None)
+    cp.add_argument("--img-size", type=int, default=224)
+    cp.add_argument("--num-classes", type=int, default=0,
+                    help="default: inferred from train-dir subfolders")
+    cp.add_argument("--prototypes", type=int, default=2000)
+    cp.add_argument("--proto-channels", type=int, default=128)
+    cp.add_argument("--batch-size", type=int, default=80)
+    cp.add_argument("--test-batch-size", type=int, default=100)
+    cp.add_argument("--push-batch-size", type=int, default=75)
+    cp.add_argument("--epochs", type=int, default=1000)
+    cp.add_argument("--warm-epochs", type=int, default=5)
+    cp.add_argument("--push-start", type=int, default=10)
+    cp.add_argument("--push-every", type=int, default=10)
+    cp.add_argument("--last-layer-iterations", type=int, default=20)
+    cp.add_argument("--target-accuracy", type=float, default=0.0)
+    cp.add_argument("--pretrained", default=None,
+                    help="torchvision .pth state_dict (or .npz) with "
+                         "ImageNet stem weights")
+    cp.set_defaults(fn=cmd_cls_train)
+
+    cq = sub.add_parser("cls-prune")
+    cq.add_argument("run_dir")
+    cq.add_argument("--train-dir", default=None)
+    cq.add_argument("--test-dir", default=None)
+    cq.add_argument("--push-dir", default=None)
+    cq.add_argument("--batch-size", type=int, default=75)
+    cq.add_argument("--k", type=int, default=6)
+    cq.add_argument("--threshold", type=int, default=3)
+    cq.add_argument("--last-layer-iterations", type=int, default=0)
+    cq.set_defaults(fn=cmd_cls_prune)
 
     up = sub.add_parser("unoise-train-util")
     up.add_argument("--imgs", default="data/images.npy")

@@ -85,6 +85,23 @@ class SegmentationDataset:
             img = np.stack(chans, axis=-1)
         return img, label
 
+    def get_overlay_item(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw uint8 image + label at the EVAL size, for qualitative
+        overlays (reference eval_valid.py:277-298: raw image bilinearly
+        resized to the eval shape, label nearest-resized)."""
+        image, label = self._load_raw(self.img_ids[index])
+        if self.cfg.eval_resize is not None and not self.push_prototypes:
+            h, w = self.cfg.eval_resize
+            chans = [np.asarray(Image.fromarray(
+                image[:, :, c].astype(np.float32)).resize(
+                (w, h), resample=Image.BILINEAR)) for c in range(3)]
+            image = np.clip(np.stack(chans, axis=-1), 0, 255).astype(
+                np.uint8)
+            label = np.asarray(Image.fromarray(
+                label.astype(np.int32), mode="I").resize(
+                (w, h), resample=Image.NEAREST), dtype=np.int32)
+        return image, label
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         image, label = self._load_raw(self.img_ids[index])
         h, w = label.shape

@@ -4,12 +4,24 @@ Reference: ``segmentation/eval_valid.py`` — batched full-image forward,
 bilinear upsample of logits (and distances) to label size, pixel
 accuracy and per-class intersection/union ignoring void
 (eval_valid.py:158-219), plus interpretability statistics
-(nearest-prototype counts :191-198, top-K same-class purity :200-214).
+(nearest-prototype counts :191-198, top-K same-class purity :200-214)
+and example prediction/nearest-prototype overlays (:270-343).
 
-TPU-first: the forward, upsample, argmax, and confusion accumulation
-all run in one jit call; only a (C+1)² confusion matrix and small stat
-vectors return to the host per batch.  This is the headline-benchmark
-path: full-resolution 2048×1024 inference never round-trips logits.
+TPU-first: the forward, upsample, argmax, confusion accumulation, and
+all prototype statistics run in ONE jit call; only a few small count
+vectors (plus, in stats mode, two int maps) return to the host per
+batch.  This is the headline-benchmark path: full-resolution 2048×1024
+inference never round-trips logits.
+
+Two stats resolutions are supported:
+
+* grid (default): nearest-prototype / purity computed at the model's
+  output grid — the same statistic family, ~64× cheaper at 2048×1024.
+* upsampled (``stats_upsampled=True``): bit-parity with the reference,
+  which bilinearly upsamples the (B,h,w,P) distance maps to label size
+  before the argmin / random-pixel sampling (eval_valid.py:172-214).
+  The full-res argmin runs as a chunked scan over prototypes so the
+  (H·W·P) tensor never materializes.
 """
 
 from __future__ import annotations
@@ -24,23 +36,137 @@ from adlm_tpu.models.ppnet import PPNet
 from adlm_tpu.ops.resize import resize_bilinear
 
 
+def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
+                      chunk: int = 16) -> jnp.ndarray:
+    """argmin over prototypes of the bilinearly-upsampled distance maps.
+
+    Equals ``argmin(resize(dist, size), -1)`` (reference
+    eval_valid.py:172-174) but scans prototype chunks with a running
+    (min, argmin) so peak memory is O(H·W·chunk) instead of O(H·W·P).
+    First-occurrence tie-break (numpy/torch argmin semantics): strict
+    ``<`` against the running best.
+
+    Args:
+      dist: (B, h, w, P) distances at the output grid.
+      size: (H, W) target resolution.
+
+    Returns:
+      (B, H, W) int32 prototype indices.
+    """
+    B, h, w, P = dist.shape
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        # large FINITE sentinel: inf would turn into NaN inside the
+        # bilinear weighting (0·inf) and poison the chunk's min
+        dist = jnp.pad(dist, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                       constant_values=1e30)
+
+    def body(i, carry):
+        best, best_i = carry
+        sl = jax.lax.dynamic_slice_in_dim(dist, i * chunk, chunk, axis=3)
+        up = resize_bilinear(sl, size)
+        cmin = jnp.min(up, axis=-1)
+        cidx = jnp.argmin(up, axis=-1).astype(jnp.int32) + i * chunk
+        take = cmin < best
+        return (jnp.where(take, cmin, best),
+                jnp.where(take, cidx, best_i))
+
+    best0 = jnp.full((B, *size), jnp.asarray(1e30, dist.dtype) * 2,
+                     dist.dtype)
+    idx0 = jnp.zeros((B, *size), jnp.int32)
+    _, best_i = jax.lax.fori_loop(0, n_chunks, body, (best0, idx0))
+    return best_i
+
+
+def _bilinear_gather(x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+                     out_h: int, out_w: int) -> jnp.ndarray:
+    """Sample the bilinear upsample of ``x`` to (out_h, out_w) at output
+    pixels (rows, cols) without materializing the upsample.
+
+    Half-pixel-centered mapping (torch ``align_corners=False`` /
+    ``resize_bilinear`` semantics): src = (o + 0.5)·in/out − 0.5,
+    clamped to the valid range (edge pixels replicate).
+
+    Args:
+      x: (B, h, w, P).
+      rows, cols: (n,) int32 output coordinates.
+
+    Returns:
+      (B, n, P) sampled values.
+    """
+    h, w = x.shape[1], x.shape[2]
+    sy = jnp.clip((rows.astype(jnp.float32) + 0.5) * (h / out_h) - 0.5,
+                  0.0, h - 1.0)
+    sx = jnp.clip((cols.astype(jnp.float32) + 0.5) * (w / out_w) - 0.5,
+                  0.0, w - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (sy - y0)[None, :, None]
+    wx = (sx - x0)[None, :, None]
+    v00 = x[:, y0, x0]
+    v01 = x[:, y0, x1]
+    v10 = x[:, y1, x0]
+    v11 = x[:, y1, x1]
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+            v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+def _topk_purity(sample_d: jnp.ndarray, sample_pred: jnp.ndarray,
+                 proto_class: jnp.ndarray) -> jnp.ndarray:
+    """Per-image top-K same-class purity contribution.
+
+    Reference eval_valid.py:200-214: for each of n random pixels, sort
+    prototypes by distance; purity at K = fraction of the K nearest
+    whose class equals the pixel's predicted class; contribution is
+    summed over pixels × 100 / n.
+
+    Args:
+      sample_d: (B, n, P) distances at sampled pixels.
+      sample_pred: (B, n) predicted classes at those pixels.
+      proto_class: (P,) prototype class ids.
+
+    Returns:
+      (B, P) purity-percent vectors (one entry per K−1).
+    """
+    n, P = sample_d.shape[1], sample_d.shape[2]
+    order = jnp.argsort(sample_d, axis=-1)
+    is_cls = (proto_class[order] == sample_pred[..., None]).astype(
+        jnp.float32)
+    cum = jnp.cumsum(is_cls, axis=-1)
+    purity = cum / jnp.arange(1, P + 1, dtype=jnp.float32)
+    return purity.sum(axis=1) * 100.0 / n
+
+
 def make_inference_fn(model: PPNet, num_classes: int,
-                      with_stats: bool = False) -> Callable:
-    """jitted: (params, constants, proto_class, images (B,H,W,3),
-    labels (B,H,W) raw) → dict with confusion (C,C), correct/total
-    pixel counts, and optional nearest-prototype stats.
+                      with_stats: bool = False,
+                      stats_upsampled: bool = False,
+                      proto_chunk: int = 16) -> Callable:
+    """jitted eval step.
+
+    Without stats: ``fn(params, constants, proto_class, images, labels)``
+    → dict with per-class intersection/union, correct/total pixel
+    counts, and the full-res prediction.
+
+    With stats, the signature gains ``(u, v)`` — two (n,) float arrays
+    in [0, 1) locating the reference's random sample pixels
+    (eval_valid.py:201-204); they are scaled to the stats grid inside
+    the jit (whose size depends on ``stats_upsampled``).  The output
+    gains ``stat_pred``/``nearest_proto``/``nearest_proto_class`` maps
+    at the stats resolution and a ``topk_purity`` (B, P) vector.
 
     ``labels`` are raw annotations: 0 = void, class c at value c+1
     (reference eval_valid.py:178-189).
     """
 
-    @jax.jit
-    def fn(params, constants, proto_class, images, labels):
+    def fn(params, constants, proto_class, images, labels, *uv):
         variables = {"params": params, "constants": constants}
-        logits, dist = model.apply(variables, images, train=False,
-                                   return_distances=with_stats)
+        grid_logits, dist = model.apply(variables, images, train=False,
+                                        return_distances=with_stats)
         H, W = labels.shape[1], labels.shape[2]
-        logits = resize_bilinear(logits, (H, W))
+        logits = resize_bilinear(grid_logits, (H, W))
         pred = jnp.argmax(logits, axis=-1)                     # (B,H,W)
 
         valid = labels > 0
@@ -65,15 +191,50 @@ def make_inference_fn(model: PPNet, num_classes: int,
                "correct": correct, "total": total, "pred": pred}
 
         if with_stats:
-            # nearest prototype per pixel at the output grid, upsampled
-            # via nearest gather (the reference upsamples distances
-            # bilinearly then argmins; we argmin at the grid — same
-            # statistic family, far cheaper at 2048×1024)
-            nearest = jnp.argmin(dist, axis=-1)               # (B,h,w)
-            nearest_cls = proto_class[nearest]
+            u, v = uv
+            if stats_upsampled:
+                # reference parity: statistics on bilinearly upsampled
+                # distances at label resolution (eval_valid.py:172-214)
+                sh, sw = H, W
+                stat_pred = pred
+                nearest = upsampled_nearest(dist, (H, W), proto_chunk)
+                rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
+                cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
+                sample_d = _bilinear_gather(dist, rows, cols, sh, sw)
+            else:
+                # cheap default: everything at the model's output grid
+                sh, sw = dist.shape[1], dist.shape[2]
+                stat_pred = jnp.argmax(grid_logits, axis=-1)
+                nearest = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+                rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
+                cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
+                sample_d = dist[:, rows, cols]                # (B,n,P)
+            sample_pred = stat_pred[:, rows, cols]            # (B,n)
+            out["stat_pred"] = stat_pred
             out["nearest_proto"] = nearest
-            out["nearest_proto_class"] = nearest_cls
+            out["nearest_proto_class"] = proto_class[nearest]
+            out["topk_purity"] = _topk_purity(
+                sample_d, sample_pred, proto_class)
         return out
+
+    return jax.jit(fn)
+
+
+def make_overlay_fn(model: PPNet, proto_chunk: int = 16) -> Callable:
+    """jitted forward for the qualitative example overlays (reference
+    eval_valid.py:270-343): full-image forward, logits AND distances
+    bilinearly upsampled to the input resolution, returning the
+    prediction map and the nearest-prototype map."""
+
+    @jax.jit
+    def fn(params, constants, images):
+        variables = {"params": params, "constants": constants}
+        logits, dist = model.apply(variables, images, train=False,
+                                   return_distances=True)
+        H, W = images.shape[1], images.shape[2]
+        pred = jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1)
+        nearest = upsampled_nearest(dist, (H, W), proto_chunk)
+        return pred, nearest
 
     return fn
 
@@ -89,13 +250,25 @@ def mean_iou_from_confusion(intersection: np.ndarray, union: np.ndarray
 
 
 class SegEvaluator:
-    """Accumulates metrics over batches; mirrors eval_valid outputs."""
+    """Accumulates metrics over batches; mirrors eval_valid outputs.
+
+    With ``with_stats`` the single jitted forward also returns the
+    interpretability-stat maps (feed them to ``ProtoStatsAccumulator``)
+    — no second forward per batch.  Random sample-pixel locations are
+    drawn host-side per batch from a seeded RNG and passed into the jit
+    as [0,1) floats (scaled to the stats grid inside, so the same fn
+    serves both grid and upsampled resolutions).
+    """
 
     def __init__(self, model: PPNet, num_classes: int,
-                 with_stats: bool = False):
+                 with_stats: bool = False, stats_upsampled: bool = False,
+                 n_random_pixels: int = 100, seed: int = 0):
         self.num_classes = num_classes
-        self.fn = make_inference_fn(model, num_classes, with_stats)
+        self.fn = make_inference_fn(model, num_classes, with_stats,
+                                    stats_upsampled)
         self.with_stats = with_stats
+        self.n_random = n_random_pixels
+        self.rng = np.random.RandomState(seed)
         self.reset()
 
     def reset(self):
@@ -106,8 +279,14 @@ class SegEvaluator:
 
     def update(self, params, constants, proto_class, images, labels
                ) -> Dict[str, Any]:
+        args = ()
+        if self.with_stats:
+            args = (jnp.asarray(self.rng.random_sample(self.n_random),
+                                jnp.float32),
+                    jnp.asarray(self.rng.random_sample(self.n_random),
+                                jnp.float32))
         out = self.fn(params, constants, proto_class,
-                      jnp.asarray(images), jnp.asarray(labels))
+                      jnp.asarray(images), jnp.asarray(labels), *args)
         self.intersection += np.asarray(out["intersection"], np.int64)
         self.union += np.asarray(out["union"], np.int64)
         self.correct += int(out["correct"])

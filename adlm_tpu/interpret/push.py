@@ -131,6 +131,7 @@ def push_prototypes(
     batch_size: int = 1,
     log: Callable[[str], None] = print,
     denorm: Optional[Callable] = None,
+    get_item: Optional[Callable] = None,
 ) -> Tuple[Any, jnp.ndarray, Dict[str, Any]]:
     """Project each prototype onto its nearest training patch.
 
@@ -140,6 +141,12 @@ def push_prototypes(
       denorm: inverts dataset normalization for visualization rendering
         ((H,W,3) normalized -> [0,1] RGB); defaults to ImageNet stats —
         pass ``analysis.make_denorm(cfg.data)`` for non-ImageNet presets.
+      get_item: index → (image (1,H,W,3), label (1,H,W)) random access
+        into ``dataset``'s order; required for visualizations with
+        ``batch_size`` > 1 (the batched scan re-forwards only the ≤P
+        winner images in a second pass to render artifacts and grow the
+        95th-percentile bound boxes, like
+        ``nearest.save_nearest_artifacts``).
 
     Returns:
       (new_params, new_proto_class, info) where info carries the
@@ -166,9 +173,9 @@ def push_prototypes(
     _INF_HOST = float(_INF) * 0.5
 
     if batch_size > 1:
-        if save_visualizations:
-            raise ValueError("batched push does not produce per-image "
-                             "visualizations; run with batch_size=1")
+        if save_visualizations and (get_item is None or run_dir is None):
+            raise ValueError("batched push visualizations need "
+                             "get_item= random access and run_dir=")
         bfn = make_push_batched_fn(model, num_classes)
         grid_dims: Dict[Tuple[int, ...], Tuple[int, int]] = {}
         pending_imgs: list = []
@@ -231,6 +238,36 @@ def push_prototypes(
             if len(pending_imgs) == batch_size:
                 flush()
         flush()
+
+        if save_visualizations:
+            # second pass: re-forward only the winner images (≤P) to
+            # render artifacts + grow the bound boxes — the fast scan
+            # and the artifact set are no longer mutually exclusive
+            single_fn = make_push_batch_fn(model, num_classes)
+            winners: Dict[int, list] = {}
+            for j in range(P):
+                if global_min[j] < _INF_HOST:
+                    winners.setdefault(int(rf_boxes[j, 0]), []).append(j)
+            for img_idx in sorted(winners):
+                image, label = get_item(img_idx)
+                _, _, _, _, dist = single_fn(
+                    params, constants, proto_class,
+                    jnp.asarray(image), jnp.asarray(label))
+                dist_host = np.asarray(dist[0])
+                for j in winners[img_idx]:
+                    h0, h1, w0, w1 = (int(x) for x in rf_boxes[j, 1:5])
+                    bound_boxes[j, 1:5] = vz.save_prototype_artifacts(
+                        run_dir=run_dir, proto_idx=j,
+                        image=denorm(np.asarray(image[0])),
+                        label=np.asarray(label[0]),
+                        dist_map=dist_host[:, :, j],
+                        rf_box=(h0, h1, w0, w1),
+                        target_class=int(pc_host[j]),
+                        class_names=class_names,
+                        activation=model.cfg.prototype_activation,
+                        epsilon=model.cfg.epsilon,
+                    )
+
         return _finalize_push(params, proto_class, global_min, global_fmap,
                               rf_boxes, bound_boxes, dedup, run_dir, log,
                               _INF_HOST)

@@ -51,33 +51,55 @@ class ProtoStatsAccumulator:
         self.n_random = n_random_pixels
         self.rng = np.random.RandomState(seed)
 
-    def update(self, pred_grid: np.ndarray, nearest_proto: np.ndarray,
-               distances: np.ndarray) -> None:
-        """All arrays at the output grid: pred (h,w), nearest (h,w),
-        distances (h,w,P)."""
+    def update(self, pred: np.ndarray, nearest_proto: np.ndarray,
+               distances: Optional[np.ndarray] = None,
+               topk_purity: Optional[np.ndarray] = None) -> None:
+        """Accumulate one image or one batch.
+
+        Args:
+          pred: (h, w) or (B, h, w) predicted classes at the stats grid.
+          nearest_proto: same shape, nearest-prototype indices.
+          distances: (h, w, P) / (B, h, w, P) — host-side random-pixel
+            sampling (legacy single-image path).
+          topk_purity: (B, P) per-image purity vectors already computed
+            on device (``make_inference_fn(with_stats=True)`` output) —
+            preferred; exactly one of ``distances``/``topk_purity``.
+        """
+        pred = np.asarray(pred)
+        nearest_proto = np.asarray(nearest_proto)
+        if pred.ndim == 2:
+            pred = pred[None]
+            nearest_proto = nearest_proto[None]
+            if distances is not None and distances.ndim == 3:
+                distances = distances[None]
         nearest_cls = self.pc[nearest_proto]
         # single bincount over pixels where pred class == the nearest
         # prototype's class (equivalent to the reference's per-class
         # per-prototype loop, eval_valid.py:191-198, without the C×P
         # full-grid temporaries)
-        agree = pred_grid == nearest_cls
+        agree = pred == nearest_cls
         if agree.any():
-            flat = (pred_grid[agree].astype(np.int64) * self.P
+            flat = (pred[agree].astype(np.int64) * self.P
                     + nearest_proto[agree])
             self.counts += np.bincount(
                 flat, minlength=self.C * self.P).reshape(self.C, self.P)
         # top-K purity on random pixels (reference :200-214)
-        h, w = pred_grid.shape
-        rows = self.rng.randint(h, size=self.n_random)
-        cols = self.rng.randint(w, size=self.n_random)
-        sample_d = distances[rows, cols, :]           # (n, P)
-        sample_pred = pred_grid[rows, cols]           # (n,)
-        order = np.argsort(sample_d, axis=1)          # nearest first
-        is_cls = self.pc[order] == sample_pred[:, None]
-        for k in range(self.P):
-            self.top_k[k] += (np.sum(is_cls[:, :k + 1]) / (k + 1)
-                              * 100.0 / self.n_random)
-        self.n_images += 1
+        if topk_purity is not None:
+            self.top_k += np.asarray(topk_purity, np.float64).sum(axis=0)
+        else:
+            ks = np.arange(1, self.P + 1, dtype=np.float64)
+            for b in range(pred.shape[0]):
+                h, w = pred.shape[1], pred.shape[2]
+                rows = self.rng.randint(h, size=self.n_random)
+                cols = self.rng.randint(w, size=self.n_random)
+                sample_d = distances[b, rows, cols, :]      # (n, P)
+                sample_pred = pred[b, rows, cols]           # (n,)
+                order = np.argsort(sample_d, axis=1)        # nearest 1st
+                is_cls = self.pc[order] == sample_pred[:, None]
+                cum = np.cumsum(is_cls, axis=1)             # (n, P)
+                self.top_k += ((cum / ks).sum(axis=0)
+                               * 100.0 / self.n_random)
+        self.n_images += pred.shape[0]
 
     def results(self) -> Dict[str, Any]:
         top_k = self.top_k / max(self.n_images, 1)
@@ -144,3 +166,54 @@ def save_eval_plots(out_dir: str, iou_per_class: Dict[int, float],
                   f"(mean {pair_stats['mean']:.3f})")
         plt.savefig(os.path.join(out_dir, "proto_distance_hist.png"))
         plt.close()
+
+
+def save_example_overlays(out_dir: str, example_i: int,
+                          image: np.ndarray, pred: np.ndarray,
+                          nearest_proto: np.ndarray,
+                          void_mask: np.ndarray,
+                          protos_per_class: int = 10,
+                          title: str = "") -> None:
+    """Qualitative eval overlays (reference eval_valid.py:270-343).
+
+    Writes ``example_<i>_prediction.png`` (image + predicted-class map
+    at alpha 0.5, void grayed out) and ``example_<i>_prototypes.png``
+    (image + nearest-prototype-within-class map, i.e. prototype index
+    mod protos-per-class, from the bilinearly upsampled distances).
+
+    Args:
+      image: (H, W, 3) uint8 raw image.
+      pred: (H, W) predicted class ids.
+      nearest_proto: (H, W) nearest prototype indices (absolute).
+      void_mask: (H, W) float in [0, 1], 1 where ground truth is void.
+      protos_per_class: modulo for the prototype map (reference
+        hardcodes 10, eval_valid.py:311).
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    dpi = 100
+    h, w = pred.shape
+
+    def _fig(overlay, vmax, name, subtitle):
+        plt.figure(figsize=(w / dpi, h / dpi))
+        if title or subtitle:
+            plt.title(f"{title}\nExample {example_i}. {subtitle}")
+        plt.imshow(image)
+        plt.imshow(overlay, alpha=0.5, vmin=0, vmax=vmax)
+        plt.imshow(np.zeros_like(pred), alpha=void_mask, vmin=0, vmax=1,
+                   cmap="gray")
+        plt.axis("off")
+        plt.tight_layout()
+        plt.savefig(os.path.join(out_dir,
+                                 f"example_{example_i}_{name}.png"))
+        plt.close()
+
+    _fig(pred, max(int(pred.max()), 1),
+         "prediction", "Prediction (from interpolated logits)")
+    _fig(nearest_proto % max(protos_per_class, 1), protos_per_class - 1,
+         "prototypes", "Nearest prototypes (from interpolated distances)")

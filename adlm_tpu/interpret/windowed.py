@@ -63,9 +63,9 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
         return up * taper, taper
 
     def fn(params, constants, image):
-        _, H, W, _ = image.shape
-        acc = np.zeros((1, H, W, model.cfg.num_classes), np.float32)
-        norm = np.zeros((1, H, W, 1), np.float32)
+        B, H, W, _ = image.shape
+        acc = np.zeros((B, H, W, model.cfg.num_classes), np.float32)
+        norm = np.zeros((B, H, W, 1), np.float32)
         for sh in _window_grid(H, wh, stride_h):
             for sw in _window_grid(W, ww, stride_w):
                 patch = image[:, sh:sh + wh, sw:sw + ww, :]
@@ -82,3 +82,56 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
         return acc / np.maximum(norm, 1e-8)
 
     return fn
+
+
+class WindowedSegEvaluator:
+    """``SegEvaluator``-compatible eval driver over windowed inference
+    (CLI: ``eval-valid --windowed WH,WW``).
+
+    Metric semantics are identical to ``evaluate.make_inference_fn``
+    (reference eval_valid.py:178-189); logits are resized to the label
+    size before argmax when the input was resized for eval.
+    """
+
+    def __init__(self, model: PPNet, num_classes: int,
+                 window: Tuple[int, int], overlap: float = 0.25):
+        self.num_classes = num_classes
+        self.fn = make_windowed_inference_fn(model, window, overlap)
+        self.reset()
+
+    def reset(self):
+        self.intersection = np.zeros(self.num_classes, np.int64)
+        self.union = np.zeros(self.num_classes, np.int64)
+        self.correct = 0
+        self.total = 0
+
+    def update(self, params, constants, proto_class, images, labels
+               ) -> dict:
+        labels = np.asarray(labels)
+        logits = self.fn(params, constants, np.asarray(images))
+        H, W = labels.shape[1], labels.shape[2]
+        if logits.shape[1:3] != (H, W):
+            logits = np.asarray(resize_bilinear(jnp.asarray(logits),
+                                                (H, W)))
+        pred = np.argmax(logits, axis=-1)
+        valid = labels > 0
+        gt = np.clip(labels.astype(np.int64) - 1, 0, self.num_classes - 1)
+        agree = valid & (pred == gt)
+        self.correct += int(np.sum(agree))
+        self.total += int(np.sum(valid))
+        C = self.num_classes
+        inter = np.bincount(gt[agree], minlength=C)
+        # a valid pixel joins union[pred] and union[gt]; subtract the
+        # double count where they coincide
+        union = (np.bincount(pred[valid], minlength=C)
+                 + np.bincount(gt[valid], minlength=C) - inter)
+        self.intersection += inter
+        self.union += union
+        return {"pred": pred, "intersection": inter, "union": union}
+
+    def results(self) -> dict:
+        from adlm_tpu.interpret.evaluate import mean_iou_from_confusion
+        miou, ious = mean_iou_from_confusion(self.intersection, self.union)
+        acc = self.correct * 100.0 / max(self.total, 1)
+        return {"mean_iou": miou, "iou_per_class": ious,
+                "pixel_accuracy": acc}

@@ -281,3 +281,69 @@ def push_classification_prototypes(
     new_params = dict(state.params)
     new_params["prototype_vectors"] = jnp.asarray(gfmap.astype(np.float32))
     return new_params, {"min_distances": gmin, "rf_boxes": boxes}
+
+
+def find_k_nearest_patches_classification(
+    model: PPNet, state: ClassifierState,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    k: int = 6,
+) -> np.ndarray:
+    """(P, k) image-class labels of each prototype's k nearest patches
+    over the push set — the classification front end of pruning
+    (reference find_nearest.py:66-236 driven by root
+    run_pruning.py:113-158).  A classification image carries one class,
+    so the patch label is the image label.
+    """
+
+    @jax.jit
+    def fn(state: ClassifierState, images: jnp.ndarray) -> jnp.ndarray:
+        f = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, method=PPNet.conv_features)
+        from adlm_tpu.ops.prototype import l2_distances
+        d = l2_distances(f, state.params["prototype_vectors"])
+        return jnp.min(d, axis=(1, 2))                        # (B, P)
+
+    P = int(np.asarray(state.params["prototype_vectors"]).shape[0])
+    top_d = np.full((P, k), np.inf)
+    top_l = np.full((P, k), -1, dtype=np.int64)
+    for images, labels in batches:
+        md = np.asarray(fn(state, jnp.asarray(images)))       # (B, P)
+        cat_d = np.concatenate([top_d, md.T], axis=1)         # (P, k+B)
+        cat_l = np.concatenate(
+            [top_l, np.broadcast_to(np.asarray(labels, np.int64),
+                                    (P, len(labels)))], axis=1)
+        order = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+        top_d = np.take_along_axis(cat_d, order, axis=1)
+        top_l = np.take_along_axis(cat_l, order, axis=1)
+    return top_l
+
+
+def prune_classification_prototypes(
+    model: PPNet, state: ClassifierState,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    k: int = 6, prune_threshold: int = 3, log=print,
+) -> Tuple[Any, jnp.ndarray, np.ndarray]:
+    """Prune prototypes with < ``prune_threshold`` of their ``k``
+    nearest patches in their own class (reference prune.py:11-60).
+
+    Returns (pruned_params, pruned_proto_class, prune_info[n,2]).
+    """
+    from adlm_tpu.models.ppnet import prune_params
+
+    nearest = find_k_nearest_patches_classification(model, state,
+                                                    batches, k=k)
+    pc = np.asarray(state.proto_class)
+    P = pc.shape[0]
+    to_prune = [j for j in range(P)
+                if int(np.sum(nearest[j] == pc[j])) < prune_threshold]
+    keep = sorted(set(range(P)) - set(to_prune))
+    log(f"cls-prune: k={k} threshold={prune_threshold} — pruning "
+        f"{len(to_prune)}/{P} prototypes")
+    if not keep:
+        raise ValueError("pruning would remove every prototype")
+    prune_info = np.asarray([[j, pc[j]] for j in to_prune],
+                            dtype=np.int64).reshape(-1, 2)
+    new_params, new_pc = prune_params(state.params, state.proto_class,
+                                      keep)
+    return new_params, new_pc, prune_info

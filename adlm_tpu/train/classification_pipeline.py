@@ -50,13 +50,18 @@ def _evaluate(eval_fn, state, batches):
     return n_correct / max(n_total, 1)
 
 
+def _cls_payload(state) -> dict:
+    return {"params": dict(state.params),
+            "batch_stats": dict(state.batch_stats),
+            "proto_class": state.proto_class,
+            "step": state.step}
+
+
 def save_if_better(store: CheckpointStore, stage: str, state, acc: float,
                    best: float, threshold: float, log) -> float:
     """Accuracy-threshold-gated save (reference save.py:4-11)."""
     if acc > threshold and acc > best:
-        store.save(stage, "best", {"params": dict(state.params),
-                                   "batch_stats": dict(state.batch_stats),
-                                   "step": state.step})
+        store.save(stage, "best", _cls_payload(state))
         log(f"{stage}: saved at accuracy {acc:.4f}")
         return acc
     return best
@@ -73,11 +78,13 @@ def run_classification_training(
     target_accuracy: float = 0.0,
     last_layer_iterations: int = 20,  # reference main.py:180 runs 20
     push_every: int = 10,  # reference: push_epochs = every 10th epoch
+    pretrained_path: Optional[str] = None,
 ) -> ClassifierState:
     logger = RunLogger(run_dir, "classification")
     store = CheckpointStore(run_dir)
     model = PPNet(cfg=cfg.model)
     push_batches = push_batches or train_batches
+    _save_cls_config(run_dir, cfg)
 
     if steps_per_epoch is None:
         # the reference's StepLR steps once per EPOCH; our schedule
@@ -89,6 +96,28 @@ def run_classification_training(
                                   jax.random.PRNGKey(0),
                                   jnp.asarray(sample),
                                   steps_per_epoch=steps_per_epoch)
+
+    if pretrained_path:
+        # ImageNet stem init (reference resnet/vgg/densenet_features
+        # load model-zoo weights for every pretrained=True stem)
+        logger.log(f"Loading pretrained stem from {pretrained_path}")
+        from adlm_tpu.utils.torch_import import (
+            load_classification_backbone)
+        if pretrained_path.endswith(".npz"):
+            sd = dict(np.load(pretrained_path))
+        else:
+            import torch
+            sd = torch.load(pretrained_path, map_location="cpu",
+                            weights_only=True)
+        p_host = jax.tree.map(np.asarray, dict(state.params))
+        b_host = jax.tree.map(np.asarray, dict(state.batch_stats))
+        report = load_classification_backbone(
+            p_host, b_host, sd, cfg.model.base_architecture)
+        logger.log(f"Loaded {len(report['loaded'])} tensors "
+                   f"({len(report['unexpected_keys'])} unexpected)")
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, p_host),
+            batch_stats=jax.tree.map(jnp.asarray, b_host))
     warm_step = make_cls_train_step(model, cfg, "warm", steps_per_epoch)
     joint_step = make_cls_train_step(model, cfg, "joint", steps_per_epoch)
     last_step = make_cls_train_step(model, cfg, "last", steps_per_epoch)
@@ -141,7 +170,25 @@ def run_classification_training(
                                       target_accuracy, logger.log)
             state = state.replace(params=state_l.params,
                                   batch_stats=state_l.batch_stats)
-    store.save("nopush", "last", {"params": dict(state.params),
-                                  "batch_stats": dict(state.batch_stats),
-                                  "step": state.step})
+    store.save("nopush", "last", _cls_payload(state))
     return state
+
+
+def _save_cls_config(run_dir: str, cfg: ClassificationConfig) -> None:
+    import dataclasses
+    import json
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "cls_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_cls_config(run_dir: str) -> ClassificationConfig:
+    import json
+    from adlm_tpu.core.config import PPNetConfig
+    with open(os.path.join(run_dir, "cls_config.json")) as f:
+        d = json.load(f)
+    model_d = d.pop("model")
+    for k in ("deeplab_n_blocks", "atrous_rates", "msc_scales"):
+        if k in model_d and isinstance(model_d[k], list):
+            model_d[k] = tuple(model_d[k])
+    return ClassificationConfig(model=PPNetConfig(**model_d), **d)

@@ -52,7 +52,7 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                state: ProtoSegState, train_ds, val_ds,
                store: CheckpointStore, logger: RunLogger,
                max_steps: int, batch_size: int,
-               val_every: int, val_batches: int,
+               val_every: int, val_batches: Optional[int],
                early_stopping_patience: Optional[int] = None,
                stage_key: Optional[str] = None,
                mesh=None) -> ProtoSegState:
@@ -74,8 +74,6 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
         train_ds, t.iter_size, batch_size, n_windows, seed=t.random_seed,
         n_jobs=cfg.data.dataloader_n_jobs))
 
-    best_acc = -1.0
-    stale = 0
     try:
         state = _phase_loop(loader, state, step_fn, eval_fn, val_ds,
                             batch_size, val_batches, n_windows,
@@ -132,18 +130,35 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
 
 
 def _validate(eval_fn, state: ProtoSegState, val_ds, batch_size: int,
-              val_batches: int) -> Dict[str, float]:
+              val_batches: Optional[int] = None) -> Dict[str, float]:
+    """Validation pass over the ENTIRE val split, in dataset order.
+
+    The reference checkpoints best-by-val-accuracy against the full val
+    split every val epoch (reference segmentation/module.py:280-297);
+    a shuffled subset would make best-checkpoint selection noisy.
+    The final partial batch wraps around to the start so the jitted
+    eval fn never sees a new batch shape (a fresh shape is a
+    multi-minute remote compile); the handful of double-counted images
+    is deterministic.
+
+    Args:
+      val_batches: optional cap on the number of (ordered) batches —
+        quick mode for smoke tests / mid-phase logging.  None = full.
+    """
     totals: Dict[str, float] = {}
-    it = superbatch_iterator(val_ds, 1, batch_size,
-                             min(val_batches, max(len(val_ds) // batch_size, 1)),
-                             seed=0)
-    n = 0
-    for images, labels in it:
-        m = eval_fn(state, jnp.asarray(images[0]), jnp.asarray(labels[0]))
+    val_ds.rng.seed(0)  # deterministic crops for over-window images
+    n_batches = -(-len(val_ds) // batch_size)
+    if val_batches is not None:
+        n_batches = min(val_batches, n_batches)
+    for b in range(n_batches):
+        items = [val_ds[(b * batch_size + j) % len(val_ds)]
+                 for j in range(batch_size)]
+        images = np.stack([im for im, _ in items])
+        labels = np.stack([lb for _, lb in items])
+        m = eval_fn(state, jnp.asarray(images), jnp.asarray(labels))
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v)
-        n += 1
-    out = {k: v / max(n, 1) for k, v in totals.items()
+    out = {k: v / max(n_batches, 1) for k, v in totals.items()
            if k not in ("n_correct", "n_patches")}
     out["accuracy"] = totals.get("n_correct", 0.0) / max(
         totals.get("n_patches", 1.0), 1.0)
@@ -154,9 +169,11 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                           data_path: Optional[str] = None,
                           pruned: bool = False,
                           start_checkpoint: Optional[str] = None,
-                          val_every: int = 500, val_batches: int = 20,
+                          val_every: int = 500,
+                          val_batches: Optional[int] = None,
                           steps_scale: float = 1.0,
                           save_push_visualizations: bool = False,
+                          push_batch_size: int = 1,
                           pretrained_path: Optional[str] = None,
                           pretrained_naming: str = "torchvision",
                           mesh=None
@@ -275,6 +292,9 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         push_ds.eval_items(), cfg.model.num_classes,
         run_dir=os.path.join(run_dir, "prototypes"),
         save_visualizations=save_push_visualizations,
+        batch_size=push_batch_size,
+        get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
+            *push_ds.get_eval_item(i)),
         class_names=table.class_names, log=logger.log,
         denorm=make_denorm(cfg.data))
 

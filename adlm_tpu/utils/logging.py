@@ -1,8 +1,10 @@
-"""Run logging: append-mode file log + CSV metric history.
+"""Run logging: append-mode file log + CSV metric history + TensorBoard.
 
-Replaces the reference's TensorBoard/CSV/Neptune trio
-(reference train.py:97-131) with a dependency-free CSV metrics file and
-an fsynced text log (reference log.py:2-15).
+Mirrors the reference's TensorBoard/CSV logger pair (reference
+train.py:97-131; Neptune is opt-in there and out of scope) with a
+dependency-free CSV metrics file, an fsynced text log (reference
+log.py:2-15), and hand-encoded TensorBoard event files
+(``utils/tensorboard.py``).
 """
 
 from __future__ import annotations
@@ -14,12 +16,17 @@ from typing import Dict, Optional
 
 
 class RunLogger:
-    def __init__(self, run_dir: str, name: str = "train"):
+    def __init__(self, run_dir: str, name: str = "train",
+                 tensorboard: bool = True):
         self.run_dir = run_dir
         os.makedirs(os.path.join(run_dir, "logs"), exist_ok=True)
         self._log_path = os.path.join(run_dir, "logs", f"{name}.log")
         self._csv_path = os.path.join(run_dir, "logs", f"{name}_metrics.csv")
         self._csv_fields: Optional[list] = None
+        self._tb = None
+        if tensorboard:
+            from adlm_tpu.utils.tensorboard import TBEventWriter
+            self._tb = TBEventWriter(os.path.join(run_dir, "logs", "tb"))
 
     def log(self, msg: str) -> None:
         stamp = datetime.datetime.now().isoformat(timespec="seconds")
@@ -34,6 +41,14 @@ class RunLogger:
                 values: Dict[str, float]) -> None:
         row = {"step": step, "phase": phase, "split": split,
                **{k: float(v) for k, v in values.items()}}
+        if self._tb is not None:
+            # scalar naming mirrors the reference's self.log calls
+            # (reference segmentation/module.py:246-256): <split>/<key>,
+            # with the stage disambiguating re-used step counters
+            self._tb.add_scalars(step, {
+                f"{split}/{phase}/{k}": float(v)
+                for k, v in values.items()})
+            self._tb.flush()
         if self._csv_fields is None:
             if os.path.exists(self._csv_path):
                 # resume: columns must match the on-disk header, not

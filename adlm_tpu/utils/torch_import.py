@@ -149,3 +149,171 @@ def load_deeplab_backbone(params: Dict[str, Any],
                                      if hasattr(v, "numpy") else v) < 0)]
     return {"loaded": loaded, "unexpected_keys": unexpected,
             "negative_variance_keys": bad_var}
+
+
+# ---------------------------------------------------------------------------
+# Classification stems (torchvision-style ImageNet weights)
+#
+# The reference loads model-zoo ImageNet weights for every classification
+# feature stem (reference resnet_features.py:227-296,
+# densenet_features.py:178-311, vgg_features.py:104-271).  These mappers
+# translate torchvision state_dict keys onto the trees of
+# models/backbones.py (trainable BN → params{scale,bias} +
+# batch_stats{mean,var}, unlike the frozen deeplab backbone).
+# ---------------------------------------------------------------------------
+
+
+def _bn_paths(prefix: Tuple[str, ...], leaf: str):
+    name = {"weight": "scale", "bias": "bias"}.get(leaf)
+    if name is not None:
+        return [("params", (*prefix, name))]
+    name = {"running_mean": "mean", "running_var": "var"}.get(leaf)
+    if name is not None:
+        return [("batch_stats", (*prefix, name))]
+    return []
+
+
+def _tv_resnet_paths(key: str):
+    seg = key.split(".")
+    if key.endswith("num_batches_tracked") or seg[0] == "fc":
+        return []
+    if seg[0] == "conv1":
+        return [("params", ("conv1", "kernel"))]
+    if seg[0] == "bn1":
+        return _bn_paths(("bn1",), seg[-1])
+    if seg[0].startswith("layer"):
+        block = f"layer{int(seg[0][5:])}_block{int(seg[1])}"
+        if seg[2] == "downsample":
+            if seg[3] == "0":
+                return [("params", (block, "proj_conv", "kernel"))]
+            return _bn_paths((block, "proj_bn"), seg[-1])
+        if seg[2].startswith("conv"):
+            return [("params", (block, seg[2], "kernel"))]
+        if seg[2].startswith("bn"):
+            return _bn_paths((block, seg[2]), seg[-1])
+    return []
+
+
+def _vgg_index_maps(arch: str):
+    """Sequential-index → (stage, conv) maps for torchvision VGG
+    ``features.N.*`` keys (convs interleave with ReLU/BN/MaxPool)."""
+    from adlm_tpu.models.backbones import _VGG_SPECS
+    use_bn = arch.endswith("_bn")
+    conv_map, bn_map = {}, {}
+    idx = 0
+    for si, n in enumerate(_VGG_SPECS[arch.replace("_bn", "")]):
+        for ci in range(n):
+            conv_map[idx] = (si, ci)
+            idx += 1
+            if use_bn:
+                bn_map[idx] = (si, ci)
+                idx += 1
+            idx += 1  # ReLU
+        idx += 1      # MaxPool
+    return conv_map, bn_map
+
+
+def _tv_vgg_paths(key: str, arch: str):
+    seg = key.split(".")
+    if seg[0] != "features" or key.endswith("num_batches_tracked"):
+        return []
+    conv_map, bn_map = _vgg_index_maps(arch)
+    idx = int(seg[1])
+    if idx in conv_map:
+        si, ci = conv_map[idx]
+        leaf = {"weight": "kernel", "bias": "bias"}[seg[-1]]
+        return [("params", (f"stage{si}_conv{ci}", leaf))]
+    if idx in bn_map:
+        si, ci = bn_map[idx]
+        return _bn_paths((f"stage{si}_bn{ci}",), seg[-1])
+    return []
+
+
+def _tv_densenet_paths(key: str):
+    seg = key.split(".")
+    if seg[0] == "classifier" or key.endswith("num_batches_tracked"):
+        return []
+    if seg[0] == "features":
+        seg = seg[1:]
+    if seg[0] == "conv0":
+        return [("params", ("conv0", "kernel"))]
+    if seg[0] == "norm0":
+        return _bn_paths(("bn0",), seg[-1])
+    if seg[0] == "norm5":
+        return _bn_paths(("bn_final",), seg[-1])
+    if seg[0].startswith("denseblock"):
+        bi = int(seg[0][len("denseblock"):]) - 1
+        li = int(seg[1][len("denselayer"):]) - 1
+        half = {"1": "a", "2": "b"}[seg[2][-1]]
+        base = f"block{bi}_layer{li}_{half}"
+        if seg[2].startswith("conv"):
+            return [("params", (f"{base}_conv", "kernel"))]
+        return _bn_paths((f"{base}_bn",), seg[-1])
+    if seg[0].startswith("transition"):
+        ti = int(seg[0][len("transition"):]) - 1
+        if seg[1] == "conv":
+            return [("params", (f"transition{ti}_conv", "kernel"))]
+        return _bn_paths((f"transition{ti}_bn",), seg[-1])
+    return []
+
+
+def load_classification_backbone(params: Dict[str, Any],
+                                 batch_stats: Dict[str, Any],
+                                 state_dict: Mapping[str, np.ndarray],
+                                 arch: str,
+                                 backbone_path: Tuple[str, ...] = (
+                                     "features",),
+                                 ) -> Dict[str, Any]:
+    """Copy torchvision-style ImageNet stem weights into a
+    classification PPNet's (params, batch_stats) trees in place.
+
+    Args:
+      arch: 'resnet18/34/50/101/152', 'vggNN[_bn]', 'densenetNNN'.
+
+    Returns:
+      report dict {loaded, unexpected_keys, negative_variance_keys}
+      (same contract as :func:`load_deeplab_backbone`).
+    """
+    if arch.startswith("resnet"):
+        mapper = _tv_resnet_paths
+    elif arch.startswith("vgg"):
+        def mapper(key):
+            return _tv_vgg_paths(key, arch)
+    elif arch.startswith("densenet"):
+        mapper = _tv_densenet_paths
+    else:
+        raise NotImplementedError(f"no importer for arch {arch!r}")
+
+    def sub(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    p_root = sub(params, backbone_path)
+    b_root = sub(batch_stats, backbone_path)
+
+    loaded, unexpected = [], []
+    for key, value in state_dict.items():
+        v = np.asarray(getattr(value, "numpy", lambda: value)()
+                       if hasattr(value, "numpy") else value)
+        paths = mapper(key)
+        if not paths:
+            if not (key.endswith("num_batches_tracked")
+                    or key.split(".")[0] in ("fc", "classifier")):
+                unexpected.append(key)
+            continue
+        ok = False
+        for collection, path in paths:
+            v_t = (np.transpose(v, (2, 3, 1, 0))
+                   if path[-1] == "kernel" and v.ndim == 4 else v)
+            tree = p_root if collection == "params" else b_root
+            if _set_nested(tree, path, v_t):
+                ok = True
+        (loaded if ok else unexpected).append(key)
+
+    bad_var = [k for k, v in state_dict.items()
+               if k.endswith("running_var")
+               and np.any(np.asarray(getattr(v, "numpy", lambda: v)()
+                                     if hasattr(v, "numpy") else v) < 0)]
+    return {"loaded": loaded, "unexpected_keys": unexpected,
+            "negative_variance_keys": bad_var}

@@ -148,3 +148,46 @@ def test_classification_epoch_pipeline(tmp_path):
     # push happened at epoch 2
     logs = open(tmp_path / "logs" / "classification.log").read()
     assert "prototype push" in logs
+
+
+def test_cls_cli_train_and_prune(tmp_path, monkeypatch):
+    """cls-train / cls-prune CLI over an image-folder layout
+    (reference main.py:107-189 + root run_pruning.py:113-158)."""
+    from PIL import Image
+    from adlm_tpu.cli import main as cli_main
+
+    rng = np.random.RandomState(0)
+    for split in ("train", "test"):
+        for cname in ("alpha", "beta", "gamma"):
+            d = tmp_path / split / cname
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray(rng.randint(
+                    0, 255, size=(40, 40, 3)).astype(np.uint8)).save(
+                    d / f"{i}.png")
+    monkeypatch.setenv("RESULTS_DIR", str(tmp_path / "runs"))
+
+    cli_main(["cls-train", "clsrun", "--arch", "resnet18",
+              "--img-size", "64", "--prototypes", "6",
+              "--proto-channels", "8", "--batch-size", "2",
+              "--test-batch-size", "2", "--push-batch-size", "2",
+              "--epochs", "2", "--warm-epochs", "1",
+              "--push-start", "1", "--push-every", "1",
+              "--last-layer-iterations", "1",
+              "--train-dir", str(tmp_path / "train"),
+              "--test-dir", str(tmp_path / "test")])
+    run_dir = tmp_path / "runs" / "clsrun"
+    assert (run_dir / "cls_config.json").exists()
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    store = CheckpointStore(str(run_dir))
+    assert store.exists("nopush", "last")
+    assert store.exists("push", "best")  # push happened at epoch 1
+
+    cli_main(["cls-prune", str(run_dir),
+              "--train-dir", str(tmp_path / "train"),
+              "--test-dir", str(tmp_path / "test"),
+              "--batch-size", "2", "--k", "2", "--threshold", "0",
+              "--last-layer-iterations", "1"])
+    assert store.exists("pruned", "last")
+    payload = store.restore("pruned", "last")
+    assert np.asarray(payload["proto_class"]).shape[0] <= 6

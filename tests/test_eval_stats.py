@@ -1,0 +1,244 @@
+"""Eval statistics: single-forward stats, upsampled-distance parity
+mode, windowed evaluator, and example overlays.
+
+Reference semantics: segmentation/eval_valid.py:158-343 (metrics,
+nearest-prototype counts, top-K purity on random pixels, qualitative
+overlays).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.core.config import PPNetConfig
+from adlm_tpu.interpret.evaluate import (
+    SegEvaluator,
+    _bilinear_gather,
+    make_inference_fn,
+    make_overlay_fn,
+    upsampled_nearest,
+)
+from adlm_tpu.interpret.stats import (
+    ProtoStatsAccumulator,
+    save_example_overlays,
+)
+from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+from adlm_tpu.models.ppnet import PPNet, default_proto_class
+from adlm_tpu.ops.resize import resize_bilinear
+
+
+def _tiny(seed=0, img=33):
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=img)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(seed)
+    image = rng.rand(1, img, img, 3).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(seed), jnp.asarray(image))
+    return model, v["params"], v.get("constants", {}), image, rng
+
+
+def test_upsampled_nearest_matches_full_resize():
+    rng = np.random.RandomState(0)
+    dist = jnp.asarray(rng.rand(2, 5, 7, 11).astype(np.float32))
+    size = (19, 23)
+    want = jnp.argmin(resize_bilinear(dist, size), axis=-1)
+    # chunk smaller than P to exercise the scan + padding path
+    got = upsampled_nearest(dist, size, chunk=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_upsampled_nearest_tie_break_first_index():
+    # two identical distance maps → argmin must pick the lower index,
+    # including across chunk boundaries (chunk=1)
+    d = jnp.asarray(np.ones((1, 3, 3, 4), np.float32))
+    got = upsampled_nearest(d, (6, 6), chunk=1)
+    assert (np.asarray(got) == 0).all()
+
+
+def test_bilinear_gather_matches_resize():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 5, 6, 3).astype(np.float32))
+    H, W = 17, 13
+    full = np.asarray(resize_bilinear(x, (H, W)))
+    rows = jnp.asarray([0, 1, 8, 16, 5])   # include borders
+    cols = jnp.asarray([0, 12, 3, 6, 11])
+    got = np.asarray(_bilinear_gather(x, rows, cols, H, W))
+    want = full[:, np.asarray(rows), np.asarray(cols), :]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _reference_stats(pred, nearest, dist, pc, rows, cols, P):
+    """numpy re-simulation of eval_valid.py:191-214 for one image."""
+    C = pc.max() + 1
+    counts = np.zeros((C, P), np.int64)
+    nearest_cls = pc[nearest]
+    for c in range(C):
+        is_cp = (pred == c) & (nearest_cls == c)
+        for p in range(P):
+            if pc[p] == c:
+                counts[c, p] += np.sum(is_cp & (nearest == p))
+    sample_d = dist[rows, cols, :]
+    sample_pred = pred[rows, cols]
+    order = np.argsort(sample_d, axis=1)
+    is_cls = pc[order] == sample_pred[:, None]
+    top_k = np.zeros(P)
+    for k in range(P):
+        top_k[k] = np.sum(is_cls[:, :k + 1]) / (k + 1) * 100.0 / len(rows)
+    return counts, top_k
+
+
+def test_single_forward_stats_match_reference_math():
+    model, params, constants, image, rng = _tiny()
+    pc = default_proto_class(6, 3)
+    labels = rng.randint(0, 4, size=(1, 33, 33))
+    fn = make_inference_fn(model, 3, with_stats=True)
+    n = 16
+    u = jnp.asarray(rng.random_sample(n).astype(np.float32))
+    v = jnp.asarray(rng.random_sample(n).astype(np.float32))
+    out = fn(params, constants, pc, jnp.asarray(image),
+             jnp.asarray(labels), u, v)
+
+    # grid-resolution maps
+    logits, dist = model.apply({"params": params, "constants": constants},
+                               jnp.asarray(image), train=False,
+                               return_distances=True)
+    pred = np.asarray(jnp.argmax(logits[0], -1))
+    nearest = np.asarray(jnp.argmin(dist[0], -1))
+    np.testing.assert_array_equal(np.asarray(out["stat_pred"][0]), pred)
+    np.testing.assert_array_equal(np.asarray(out["nearest_proto"][0]),
+                                  nearest)
+
+    h = dist.shape[1]
+    rows = np.minimum((np.asarray(u) * h).astype(np.int64), h - 1)
+    cols = np.minimum((np.asarray(v) * h).astype(np.int64), h - 1)
+    counts, top_k = _reference_stats(pred, nearest, np.asarray(dist[0]),
+                                     np.asarray(pc), rows, cols, 6)
+    # scale: device fn uses ×100/n with n = len(rows)
+    np.testing.assert_allclose(np.asarray(out["topk_purity"][0]), top_k,
+                               rtol=1e-5)
+
+    acc = ProtoStatsAccumulator(6, 3, np.asarray(pc))
+    acc.update(np.asarray(out["stat_pred"]),
+               np.asarray(out["nearest_proto"]),
+               topk_purity=np.asarray(out["topk_purity"]))
+    res = acc.results()
+    np.testing.assert_array_equal(res["nearest_proto_counts"], counts)
+    np.testing.assert_allclose(res["mean_top_k_purity"], top_k, rtol=1e-5)
+
+
+def test_upsampled_stats_match_direct_computation():
+    model, params, constants, image, rng = _tiny(2)
+    pc = default_proto_class(6, 3)
+    H = W = 50  # label size differs from input to force real upsampling
+    labels = rng.randint(0, 4, size=(1, H, W))
+    fn = make_inference_fn(model, 3, with_stats=True,
+                           stats_upsampled=True, proto_chunk=4)
+    n = 12
+    u = jnp.asarray(rng.random_sample(n).astype(np.float32))
+    v = jnp.asarray(rng.random_sample(n).astype(np.float32))
+    out = fn(params, constants, pc, jnp.asarray(image),
+             jnp.asarray(labels), u, v)
+
+    logits, dist = model.apply({"params": params, "constants": constants},
+                               jnp.asarray(image), train=False,
+                               return_distances=True)
+    # the reference's direct route: upsample everything, then argmin
+    dist_up = np.asarray(resize_bilinear(dist, (H, W)))[0]
+    pred_up = np.asarray(
+        jnp.argmax(resize_bilinear(logits, (H, W))[0], -1))
+    nearest_up = np.argmin(dist_up, axis=-1)
+    np.testing.assert_array_equal(np.asarray(out["stat_pred"][0]),
+                                  pred_up)
+    np.testing.assert_array_equal(np.asarray(out["nearest_proto"][0]),
+                                  nearest_up)
+
+    rows = np.minimum((np.asarray(u) * H).astype(np.int64), H - 1)
+    cols = np.minimum((np.asarray(v) * W).astype(np.int64), W - 1)
+    _, top_k = _reference_stats(pred_up, nearest_up, dist_up,
+                                np.asarray(pc), rows, cols, 6)
+    np.testing.assert_allclose(np.asarray(out["topk_purity"][0]), top_k,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_seg_evaluator_stats_and_metrics_consistent():
+    model, params, constants, image, rng = _tiny(3)
+    pc = default_proto_class(6, 3)
+    labels = rng.randint(0, 4, size=(1, 33, 33))
+    plain = SegEvaluator(model, 3)
+    withst = SegEvaluator(model, 3, with_stats=True)
+    plain.update(params, constants, pc, image, labels)
+    out = withst.update(params, constants, pc, image, labels)
+    assert "topk_purity" in out
+    assert plain.results() == withst.results()
+
+
+def test_accumulator_legacy_host_path_matches_device_path():
+    rng = np.random.RandomState(4)
+    P, C = 6, 3
+    pc = np.arange(P) // 2
+    pred = rng.randint(0, C, size=(9, 9))
+    nearest = rng.randint(0, P, size=(9, 9))
+    dist = rng.rand(9, 9, P).astype(np.float32)
+
+    legacy = ProtoStatsAccumulator(P, C, pc, n_random_pixels=20, seed=7)
+    legacy.update(pred, nearest, dist)
+
+    # replay the same sample pixels through the device-path math
+    rng2 = np.random.RandomState(7)
+    rows = rng2.randint(9, size=20)
+    cols = rng2.randint(9, size=20)
+    from adlm_tpu.interpret.evaluate import _topk_purity
+    topk = np.asarray(_topk_purity(
+        jnp.asarray(dist[None, rows, cols, :]),
+        jnp.asarray(pred[None, rows, cols]), jnp.asarray(pc)))
+    device = ProtoStatsAccumulator(P, C, pc, n_random_pixels=20)
+    device.update(pred[None], nearest[None], topk_purity=topk)
+
+    a, b = legacy.results(), device.results()
+    np.testing.assert_array_equal(a["nearest_proto_counts"],
+                                  b["nearest_proto_counts"])
+    np.testing.assert_allclose(a["mean_top_k_purity"],
+                               b["mean_top_k_purity"], rtol=1e-5)
+
+
+def test_windowed_evaluator_matches_whole_image_interior():
+    model, params, constants, image, rng = _tiny(5)
+    pc = default_proto_class(6, 3)
+    labels = rng.randint(0, 4, size=(1, 33, 33))
+    whole = SegEvaluator(model, 3)
+    whole.update(params, constants, pc, image, labels)
+    win = WindowedSegEvaluator(model, 3, window=(33, 33))
+    win.update(params, constants, pc, image, labels)
+    # window == image size → identical results
+    assert win.results() == whole.results()
+
+
+def test_windowed_evaluator_smaller_window_runs():
+    model, params, constants, image, rng = _tiny(6)
+    pc = default_proto_class(6, 3)
+    labels = rng.randint(0, 4, size=(1, 33, 33))
+    win = WindowedSegEvaluator(model, 3, window=(17, 17))
+    win.update(params, constants, pc, image, labels)
+    res = win.results()
+    assert 0.0 <= res["pixel_accuracy"] <= 100.0
+    assert int(win.total) == int(np.sum(labels > 0))
+
+
+def test_overlay_fn_and_save(tmp_path):
+    model, params, constants, image, rng = _tiny(7)
+    fn = make_overlay_fn(model, proto_chunk=4)
+    pred, nearest = fn(params, constants, jnp.asarray(image))
+    assert pred.shape == (1, 33, 33)
+    assert nearest.shape == (1, 33, 33)
+    assert int(jnp.max(nearest)) < 6
+
+    raw = (image[0] * 255).astype(np.uint8)
+    void = (rng.rand(33, 33) > 0.8).astype(np.float32)
+    save_example_overlays(str(tmp_path), 0, raw, np.asarray(pred[0]),
+                          np.asarray(nearest[0]), void,
+                          protos_per_class=2, title="t (push)")
+    assert os.path.exists(tmp_path / "example_0_prediction.png")
+    assert os.path.exists(tmp_path / "example_0_prototypes.png")

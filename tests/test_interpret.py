@@ -1,5 +1,6 @@
 """Interpretability tests: push/nearest/prune/eval vs reference semantics."""
 
+import os
 import importlib.util
 import sys
 
@@ -282,3 +283,43 @@ def test_push_never_eligible_class_keeps_trained_vector():
         assert (info["proto_rf_boxes"][4:, 0] == -1).all()
         # other prototypes did update
         assert not np.array_equal(new[:4], old[:4])
+
+
+def test_batched_push_visualizations_match_sequential(tmp_path):
+    """Batched push + two-pass artifact rendering emits the identical
+    bb.npy / PNG set to the batch=1 path (fast scan and artifacts are
+    no longer mutually exclusive)."""
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=9, n_imgs=4)
+    data = list(zip(images, labels))
+    seq_dir = tmp_path / "seq"
+    bat_dir = tmp_path / "bat"
+    seq = push_prototypes(model, params, constants, pc, data, 3,
+                          dedup=False, run_dir=str(seq_dir),
+                          save_visualizations=True, log=lambda *_: None)
+    bat = push_prototypes(model, params, constants, pc, data, 3,
+                          dedup=False, batch_size=2,
+                          run_dir=str(bat_dir), save_visualizations=True,
+                          get_item=lambda i: data[i], log=lambda *_: None)
+    np.testing.assert_array_equal(bat[2]["proto_bound_boxes"],
+                                  seq[2]["proto_bound_boxes"])
+    def tree(root):
+        return sorted(os.path.relpath(os.path.join(d, f), root)
+                      for d, _, fs in os.walk(root) for f in fs)
+
+    seq_files = tree(seq_dir)
+    bat_files = tree(bat_dir)
+    assert seq_files == bat_files
+    assert any(f.endswith(".png") for f in seq_files)
+    np.testing.assert_array_equal(np.load(seq_dir / "bb.npy"),
+                                  np.load(bat_dir / "bb.npy"))
+
+
+def test_batched_push_visualizations_require_get_item(tmp_path):
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=10, n_imgs=2)
+    with pytest.raises(ValueError):
+        push_prototypes(model, params, constants, pc,
+                        list(zip(images, labels)), 3, batch_size=2,
+                        run_dir=str(tmp_path), save_visualizations=True,
+                        log=lambda *_: None)

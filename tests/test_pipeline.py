@@ -92,12 +92,30 @@ def test_prune_and_eval_cli(tmp_path):
                           val_every=2, val_batches=1)
 
     # eval-valid CLI writes mean_iou.txt / iou_scores.json + stat plots
+    # + qualitative example overlays (reference eval_valid.py:270-343)
     cli_main(["eval-valid", run_dir, "push", "--split", "val",
-              "--data-path", data_root, "--max-images", "2", "--stats"])
+              "--data-path", data_root, "--max-images", "2", "--stats",
+              "--examples", "1"])
     out_dir = os.path.join(run_dir, "evaluation", "push")
     assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
     assert os.path.exists(os.path.join(out_dir, "iou_scores.json"))
     assert os.path.exists(os.path.join(out_dir, "top_k_purity.png"))
+    assert os.path.exists(os.path.join(out_dir, "example_0_prediction.png"))
+    assert os.path.exists(os.path.join(out_dir, "example_0_prototypes.png"))
+    miou_whole = float(open(os.path.join(out_dir, "mean_iou.txt")).read())
+
+    # reference-exact upsampled statistics mode
+    cli_main(["eval-valid", run_dir, "push", "--split", "val",
+              "--data-path", data_root, "--max-images", "1", "--stats",
+              "--stats-upsampled", "--examples", "0"])
+
+    # windowed inference reaches the same artifact set; window = full
+    # image size → identical mIoU to the whole-image forward
+    cli_main(["eval-valid", run_dir, "push", "--split", "val",
+              "--data-path", data_root, "--max-images", "2",
+              "--windowed", "40,48", "--examples", "0"])
+    miou_win = float(open(os.path.join(out_dir, "mean_iou.txt")).read())
+    assert abs(miou_win - miou_whole) < 1e-6
 
     # prune (threshold 0 keeps everything but exercises the path)
     cli_main(["prune", run_dir, "--data-path", data_root,
@@ -141,3 +159,48 @@ def test_msc_pipeline_end_to_end(tmp_path):
     assert CheckpointStore(run_dir).exists("push", "last")
     P = np.asarray(state.params["prototype_vectors"]).shape[0]
     assert 1 <= P <= 6
+
+
+def test_validate_covers_full_val_split_deterministically(tmp_path):
+    """Best-checkpoint selection validates the ENTIRE val split in
+    dataset order (reference segmentation/module.py:280-297), wrapping
+    the final partial batch instead of changing the batch shape."""
+    from adlm_tpu.train.pipeline import _validate
+    from adlm_tpu.data.dataset import SegmentationDataset
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root, n=5, hw=(33, 33))
+    cfg = _tiny_experiment("tiny_validate")
+    val_ds = SegmentationDataset(cfg.data, "val", data_path=data_root,
+                                 is_eval=True)
+
+    seen = []
+
+    def fake_eval(state, images, labels):
+        seen.append(np.asarray(images))
+        return {"n_correct": 1.0, "n_patches": 2.0, "loss": 0.5}
+
+    out = _validate(fake_eval, None, val_ds, batch_size=2)
+    # ceil(5/2)=3 batches of 2 → 6 items, last wraps to index 0
+    assert len(seen) == 3
+    assert all(b.shape == (2, 33, 33, 3) for b in seen)
+    np.testing.assert_allclose(seen[2][1], seen[0][0])  # wrap-around
+    assert out["accuracy"] == 0.5
+    assert out["loss"] == 0.5
+
+    seen2 = []
+
+    def fake_eval2(state, images, labels):
+        seen2.append(np.asarray(images))
+        return {"n_correct": 0.0, "n_patches": 1.0}
+
+    _validate(fake_eval2, None, val_ds, batch_size=2)
+    for a, b in zip(seen, seen2):
+        np.testing.assert_allclose(a, b)  # deterministic across calls
+
+    # quick mode caps the batch count (ordered prefix)
+    seen3 = []
+    _validate(lambda s, i, l: seen3.append(1) or
+              {"n_correct": 0.0, "n_patches": 1.0},
+              None, val_ds, batch_size=2, val_batches=1)
+    assert len(seen3) == 1
