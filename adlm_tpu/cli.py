@@ -109,20 +109,22 @@ def cmd_eval_valid(args):
                                 np.asarray(proto_class)) if args.stats \
         else None
     if args.batch_size > 1:
-        items = ds.eval_batches(args.batch_size)
+        items = ds.eval_batches(args.batch_size, with_counts=True)
     else:
-        items = ds.eval_items()
+        items = ((img, lab, 1) for img, lab in ds.eval_items())
 
     n_images = 0
-    for img, lab in items:
+    for img, lab, n_real in items:
         # one jitted forward per batch: metrics AND (with --stats) the
         # interpretability statistics (reference eval_valid.py:158-214)
         out = ev.update(params, payload["constants"], proto_class, img, lab)
         if acc is not None:
-            acc.update(np.asarray(out["stat_pred"]),
-                       np.asarray(out["nearest_proto"]),
-                       topk_purity=np.asarray(out["topk_purity"]))
-        n_images += img.shape[0]
+            # padded tail images (all-void, zero image) are excluded —
+            # nearest-prototype counts have no void mask to drop them
+            acc.update(np.asarray(out["stat_pred"])[:n_real],
+                       np.asarray(out["nearest_proto"])[:n_real],
+                       topk_purity=np.asarray(out["topk_purity"])[:n_real])
+        n_images += n_real
         if args.max_images and n_images >= args.max_images:
             break
     res = ev.results()
@@ -762,6 +764,19 @@ def main(argv=None):
                 getattr(pre, fn_name)(args.source_path, args.target_path)
             return run
         sp.set_defaults(fn=_mk(module_fn))
+
+    itn = sub.add_parser(
+        "img-to-numpy",
+        help="PNG->npy pass over existing img_with_margin dirs "
+             "(reference segmentation/img_to_numpy.py)")
+    itn.add_argument("data_path")
+    itn.add_argument("--margin", type=int, default=0)
+
+    def _img_to_numpy(args):
+        from adlm_tpu.data.preprocess import convert_images_to_numpy
+        n = convert_images_to_numpy(args.data_path, margin=args.margin)
+        print(f"converted {n} images")
+    itn.set_defaults(fn=_img_to_numpy)
 
     vp = sub.add_parser("unoise-visualize")
     vp.add_argument("--imgs", default="data/images.npy")

@@ -174,8 +174,9 @@ class SegmentationDataset:
             img, lab = self.get_eval_item(i)
             yield img[None], lab[None]
 
-    def eval_batches(self, batch_size: int, pad_final: bool = True
-                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def eval_batches(self, batch_size: int, pad_final: bool = True,
+                     with_counts: bool = False
+                     ) -> Iterator[Tuple[np.ndarray, ...]]:
         """Full-res eval batches; flushes early when image shapes differ
         (Cityscapes is uniform; PASCAL varies per image).
 
@@ -183,11 +184,16 @@ class SegmentationDataset:
         labels (which contribute nothing to valid/I/U metrics), so the
         jitted eval fn never sees a new batch shape — a fresh shape
         costs a multi-minute remote compile (see CLAUDE.md).
+
+        ``with_counts`` yields (images, labels, n_real) triples — the
+        padded tail images MUST be excluded from statistics that don't
+        go through the void-label mask (e.g. nearest-prototype counts).
         """
         imgs: list = []
         labs: list = []
 
         def flush():
+            n_real = len(imgs)
             if pad_final:
                 while len(imgs) < batch_size:
                     imgs.append(np.zeros_like(imgs[0]))
@@ -195,6 +201,8 @@ class SegmentationDataset:
             out = np.stack(imgs), np.stack(labs)
             imgs.clear()
             labs.clear()
+            if with_counts:
+                return out + (n_real,)
             return out
 
         for i in range(len(self)):

@@ -12,6 +12,7 @@ and ShiftScaleRotate at p=0.5.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -34,24 +35,30 @@ class UNoiseDataset:
         return self.images.shape[0]
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.load(idx, self.rng)
+
+    def load(self, idx: int, rng: np.random.RandomState
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """Like ``__getitem__`` with an explicit RandomState — parallel
+        loaders pass a per-item RNG (RandomState is not thread-safe)."""
         img = self.images[idx]
         mask = self.masks[idx]
         if self.augment:
-            if self.rng.rand() < 0.5:
+            if rng.rand() < 0.5:
                 img = img[:, ::-1].copy()
                 mask = mask[:, ::-1].copy()
-            if self.rng.rand() < 0.3:
-                mode = self.rng.randint(3)
+            if rng.rand() < 0.3:
+                mode = rng.randint(3)
                 if mode == 0:    # contrast
-                    c = self.rng.uniform(0.8, 1.2)
+                    c = rng.uniform(0.8, 1.2)
                     img = np.clip((img - 0.5) * c + 0.5, 0, 1)
                 elif mode == 1:  # gamma
-                    g = self.rng.uniform(0.8, 1.2)
+                    g = rng.uniform(0.8, 1.2)
                     img = np.clip(img, 0, 1) ** g
                 else:            # brightness
-                    img = np.clip(img + self.rng.uniform(-0.2, 0.2), 0, 1)
+                    img = np.clip(img + rng.uniform(-0.2, 0.2), 0, 1)
             from adlm_tpu.data.warps import reference_geometric_augment
-            img, mask = reference_geometric_augment(img, mask, self.rng)
+            img, mask = reference_geometric_augment(img, mask, rng)
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
         return img.astype(np.float32), mask[..., None]
 
@@ -75,15 +82,33 @@ def split_datasets(images: np.ndarray, masks: np.ndarray,
 
 
 def batches(ds: UNoiseDataset, batch_size: int, shuffle: bool = False,
-            seed: int = 0, drop_last: bool = False
+            seed: int = 0, drop_last: bool = False, n_jobs: int = 1
             ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """``n_jobs`` > 1 loads samples through a thread pool — the native
+    warp/remap calls release the GIL, so the geometric augmentations
+    parallelize across cores (the reference relies on torch DataLoader
+    workers, src/train_util.py:30-36)."""
     order = np.arange(len(ds))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
-    for i in range(0, len(order), batch_size):
-        idx = order[i:i + batch_size]
-        if drop_last and len(idx) < batch_size:
-            return
-        items = [ds[int(j)] for j in idx]
-        yield (np.stack([x for x, _ in items]),
-               np.stack([y for _, y in items]))
+    pool = ThreadPoolExecutor(max_workers=n_jobs) if n_jobs > 1 else None
+    seeder = np.random.RandomState(seed ^ 0x5EED)
+    try:
+        for i in range(0, len(order), batch_size):
+            idx = order[i:i + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            if pool is not None:
+                # per-item RNGs: RandomState is not thread-safe
+                seeds = seeder.randint(0, 2 ** 31, size=len(idx))
+                items = list(pool.map(
+                    lambda t: ds.load(int(t[0]),
+                                      np.random.RandomState(int(t[1]))),
+                    zip(idx, seeds)))
+            else:
+                items = [ds[int(j)] for j in idx]
+            yield (np.stack([x for x, _ in items]),
+                   np.stack([y for _, y in items]))
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)

@@ -68,9 +68,26 @@ def _sample_nearest(img: np.ndarray, map_y: np.ndarray,
 
 def remap_pair(image: np.ndarray, mask: np.ndarray, map_y: np.ndarray,
                map_x: np.ndarray) -> Arrays:
-    """cv2.remap semantics: linear for the image, nearest for the mask."""
+    """cv2.remap semantics: linear for the image, nearest for the mask.
+
+    Uses the native C library when built (same math — see
+    tests/test_native.py for the equality check); numpy otherwise.
+    """
+    from adlm_tpu import native
+    if (native.available() and image.dtype == np.float32
+            and mask.dtype == np.float32):
+        return (native.remap_bilinear(image, map_y, map_x),
+                native.remap_nearest(mask, map_y, map_x))
     return (_sample_bilinear(image, map_y, map_x),
             _sample_nearest(mask, map_y, map_x))
+
+
+def _gaussian(field: np.ndarray, sigma: float) -> np.ndarray:
+    """gaussian_filter(mode='constant') — native fast path when built."""
+    from adlm_tpu import native
+    if native.available() and field.dtype == np.float32:
+        return native.gaussian_blur(field, sigma)
+    return gaussian_filter(field, sigma, mode="constant", cval=0)
 
 
 def _affine_maps(matrix: np.ndarray, h: int, w: int
@@ -121,10 +138,10 @@ def elastic_transform(image: np.ndarray, mask: np.ndarray,
         my, mx = _affine_maps(m, h, w)
         image, mask = remap_pair(image, mask, my, mx)
 
-    dx = gaussian_filter((rs.rand(h, w) * 2 - 1), sigma,
-                         mode="constant", cval=0) * alpha
-    dy = gaussian_filter((rs.rand(h, w) * 2 - 1), sigma,
-                         mode="constant", cval=0) * alpha
+    dx = _gaussian((rs.rand(h, w) * 2 - 1).astype(np.float32),
+                   sigma) * alpha
+    dy = _gaussian((rs.rand(h, w) * 2 - 1).astype(np.float32),
+                   sigma) * alpha
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     return remap_pair(image, mask, ys + dy.astype(np.float32),
                       xs + dx.astype(np.float32))

@@ -47,6 +47,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, f32p, f32p, i32p, f32p, i32p,
     ]
+    lib.remap_bilinear_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, ctypes.c_int, ctypes.c_int, f32p,
+    ]
+    lib.remap_nearest_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, ctypes.c_int, ctypes.c_int, f32p,
+    ]
+    lib.gaussian_blur_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p, f32p,
+    ]
     _lib = lib
     return lib
 
@@ -105,3 +116,54 @@ def augment_sample(img: np.ndarray, label: np.ndarray,
                        scratch_img.reshape(-1), scratch_label.reshape(-1),
                        out_img.reshape(-1), out_label.reshape(-1))
     return out_img, out_label
+
+
+def remap_bilinear(img: np.ndarray, map_y: np.ndarray,
+                   map_x: np.ndarray) -> np.ndarray:
+    """cv2.remap(INTER_LINEAR, BORDER_REFLECT_101) for float32
+    (H, W[, C]) images."""
+    lib = _load()
+    assert lib is not None
+    squeeze = img.ndim == 2
+    img3 = np.ascontiguousarray(
+        img[..., None] if squeeze else img, np.float32)
+    h, w, c = img3.shape
+    oh, ow = map_y.shape
+    out = np.empty((oh, ow, c), np.float32)
+    lib.remap_bilinear_f32(
+        img3.reshape(-1), h, w, c,
+        np.ascontiguousarray(map_y, np.float32).reshape(-1),
+        np.ascontiguousarray(map_x, np.float32).reshape(-1),
+        oh, ow, out.reshape(-1))
+    return out[..., 0] if squeeze else out
+
+
+def remap_nearest(mask: np.ndarray, map_y: np.ndarray,
+                  map_x: np.ndarray) -> np.ndarray:
+    """cv2.remap(INTER_NEAREST, BORDER_REFLECT_101) for float32 masks."""
+    lib = _load()
+    assert lib is not None
+    mask = np.ascontiguousarray(mask, np.float32)
+    h, w = mask.shape
+    oh, ow = map_y.shape
+    out = np.empty((oh, ow), np.float32)
+    lib.remap_nearest_f32(
+        mask.reshape(-1), h, w,
+        np.ascontiguousarray(map_y, np.float32).reshape(-1),
+        np.ascontiguousarray(map_x, np.float32).reshape(-1),
+        oh, ow, out.reshape(-1))
+    return out
+
+
+def gaussian_blur(src: np.ndarray, sigma: float) -> np.ndarray:
+    """scipy.ndimage.gaussian_filter(mode='constant', truncate=4)
+    equivalent for float32 (H, W)."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(src, np.float32)
+    h, w = src.shape
+    tmp = np.empty((h, w), np.float32)
+    out = np.empty((h, w), np.float32)
+    lib.gaussian_blur_f32(src.reshape(-1), h, w, ctypes.c_float(sigma),
+                          tmp.reshape(-1), out.reshape(-1))
+    return out

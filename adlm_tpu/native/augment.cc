@@ -128,4 +128,100 @@ void augment_sample(const uint8_t* img, const int32_t* label,
   }
 }
 
+// ---------------------------------------------------------------------
+// U-Noise geometric warps (data/warps.py fast path): cv2.remap-style
+// coordinate resampling with BORDER_REFLECT_101 and a separable
+// gaussian blur (scipy gaussian_filter mode="constant" semantics) for
+// the elastic displacement field.
+// ---------------------------------------------------------------------
+
+static inline int reflect101(int p, int n) {
+  if (n == 1) return 0;
+  const int period = 2 * (n - 1);
+  p = std::abs(p) % period;
+  return p >= n ? period - p : p;
+}
+
+// Bilinear remap float32 (H, W, C) at float coords, reflect-101 edges.
+void remap_bilinear_f32(const float* img, int h, int w, int c,
+                        const float* map_y, const float* map_x,
+                        int oh, int ow, float* out) {
+  for (int i = 0; i < oh * ow; ++i) {
+    const float my = map_y[i];
+    const float mx = map_x[i];
+    const int y0 = static_cast<int>(std::floor(my));
+    const int x0 = static_cast<int>(std::floor(mx));
+    const float fy = my - y0;
+    const float fx = mx - x0;
+    const int y0r = reflect101(y0, h);
+    const int y1r = reflect101(y0 + 1, h);
+    const int x0r = reflect101(x0, w);
+    const int x1r = reflect101(x0 + 1, w);
+    const float* p00 = img + (y0r * w + x0r) * c;
+    const float* p01 = img + (y0r * w + x1r) * c;
+    const float* p10 = img + (y1r * w + x0r) * c;
+    const float* p11 = img + (y1r * w + x1r) * c;
+    float* o = out + i * c;
+    for (int ch = 0; ch < c; ++ch) {
+      const float top = p00[ch] * (1.0f - fx) + p01[ch] * fx;
+      const float bot = p10[ch] * (1.0f - fx) + p11[ch] * fx;
+      o[ch] = top * (1.0f - fy) + bot * fy;
+    }
+  }
+}
+
+// Nearest remap float32 (masks): round-half-to-even like np.round.
+void remap_nearest_f32(const float* img, int h, int w,
+                       const float* map_y, const float* map_x,
+                       int oh, int ow, float* out) {
+  for (int i = 0; i < oh * ow; ++i) {
+    const int y = reflect101(
+        static_cast<int>(std::nearbyintf(map_y[i])), h);
+    const int x = reflect101(
+        static_cast<int>(std::nearbyintf(map_x[i])), w);
+    out[i] = img[y * w + x];
+  }
+}
+
+// Separable gaussian blur, zero ("constant") borders — matches
+// scipy.ndimage.gaussian_filter(mode="constant", cval=0, truncate=4).
+// `tmp` is a caller-provided (h*w) scratch buffer.
+void gaussian_blur_f32(const float* src, int h, int w, float sigma,
+                       float* tmp, float* dst) {
+  const int radius = static_cast<int>(4.0f * sigma + 0.5f);
+  const int ksize = 2 * radius + 1;
+  double* kern = new double[ksize];
+  double ksum = 0.0;
+  for (int i = -radius; i <= radius; ++i) {
+    const double v = std::exp(-0.5 * (double)i * i / (sigma * sigma));
+    kern[i + radius] = v;
+    ksum += v;
+  }
+  for (int i = 0; i < ksize; ++i) kern[i] /= ksum;
+
+  // horizontal pass: src -> tmp
+  for (int y = 0; y < h; ++y) {
+    const float* row = src + y * w;
+    for (int x = 0; x < w; ++x) {
+      double acc = 0.0;
+      const int lo = std::max(-radius, -x);
+      const int hi = std::min(radius, w - 1 - x);
+      for (int k = lo; k <= hi; ++k) acc += row[x + k] * kern[k + radius];
+      tmp[y * w + x] = static_cast<float>(acc);
+    }
+  }
+  // vertical pass: tmp -> dst
+  for (int x = 0; x < w; ++x) {
+    for (int y = 0; y < h; ++y) {
+      double acc = 0.0;
+      const int lo = std::max(-radius, -y);
+      const int hi = std::min(radius, h - 1 - y);
+      for (int k = lo; k <= hi; ++k)
+        acc += tmp[(y + k) * w + x] * kern[k + radius];
+      dst[y * w + x] = static_cast<float>(acc);
+    }
+  }
+  delete[] kern;
+}
+
 }  // extern "C"

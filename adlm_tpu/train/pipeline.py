@@ -184,6 +184,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     logger = RunLogger(run_dir)
     store = CheckpointStore(run_dir)
     store.save_config(cfg.to_json())
+    import json as _json
+    logger.log_hyperparams(_json.loads(cfg.to_json()))
     table = get_class_table(cfg.data.class_table)
 
     model = PPNet(cfg=cfg.model)

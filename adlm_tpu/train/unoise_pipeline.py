@@ -73,9 +73,15 @@ def train_utility(args) -> Any:
 
     best_dice = -1.0
     for epoch in range(cfg.epochs):
-        for imgs, masks in batches(train_ds, cfg.batch_size, shuffle=True,
-                                   seed=epoch):
-            state, loss = step(state, jnp.asarray(imgs), jnp.asarray(masks))
+        from adlm_tpu.data.pipeline import BatchLoader
+        loader = BatchLoader(batches(train_ds, cfg.batch_size,
+                                     shuffle=True, seed=epoch, n_jobs=4))
+        try:
+            for imgs, masks in loader:
+                state, loss = step(state, jnp.asarray(imgs),
+                                   jnp.asarray(masks))
+        finally:
+            loader.close()
         dices, losses = [], []
         for imgs, masks in batches(val_ds, cfg.batch_size):
             m = evaluate(state, jnp.asarray(imgs), jnp.asarray(masks))
@@ -152,11 +158,16 @@ def train_noise(args) -> Any:
     best_loss = np.inf
     rng = jax.random.PRNGKey(1)
     for epoch in range(cfg.epochs):
-        for imgs, masks in batches(train_ds, cfg.batch_size, shuffle=True,
-                                   seed=epoch):
-            rng, sub = jax.random.split(rng)
-            state, m = step(state, jnp.asarray(imgs), jnp.asarray(masks),
-                            sub)
+        from adlm_tpu.data.pipeline import BatchLoader
+        loader = BatchLoader(batches(train_ds, cfg.batch_size,
+                                     shuffle=True, seed=epoch, n_jobs=4))
+        try:
+            for imgs, masks in loader:
+                rng, sub = jax.random.split(rng)
+                state, m = step(state, jnp.asarray(imgs),
+                                jnp.asarray(masks), sub)
+        finally:
+            loader.close()
         losses, dices = [], []
         for imgs, masks in batches(val_ds, cfg.batch_size):
             rng, sub = jax.random.split(rng)

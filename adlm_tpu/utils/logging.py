@@ -27,6 +27,36 @@ class RunLogger:
         if tensorboard:
             from adlm_tpu.utils.tensorboard import TBEventWriter
             self._tb = TBEventWriter(os.path.join(run_dir, "logs", "tb"))
+        # Neptune is opt-in exactly like the reference (train.py:111-131:
+        # USE_NEPTUNE env + NEPTUNE_PROJECT); degrades to a warning when
+        # the package is not installed
+        self._neptune = None
+        if os.environ.get("USE_NEPTUNE", "").lower() in ("1", "true"):
+            try:
+                import neptune
+                self._neptune = neptune.init_run(
+                    project=os.environ.get("NEPTUNE_PROJECT"),
+                    name=os.path.basename(os.path.normpath(run_dir)))
+            except Exception as e:  # pragma: no cover
+                print(f"[logging] USE_NEPTUNE set but neptune "
+                      f"unavailable ({e}); continuing with CSV/TB only",
+                      flush=True)
+
+    def log_hyperparams(self, params: Dict) -> None:
+        """Attach run hyperparameters (reference logs the gin operative
+        config as logger hyperparams, train.py:105-108)."""
+        with open(os.path.join(self.run_dir, "logs",
+                               "hyperparams.json"), "w") as f:
+            import json
+            json.dump(params, f, indent=2, default=str)
+        if self._neptune is not None:
+            self._neptune["parameters"] = params
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        if self._neptune is not None:
+            self._neptune.stop()
 
     def log(self, msg: str) -> None:
         stamp = datetime.datetime.now().isoformat(timespec="seconds")
@@ -49,6 +79,10 @@ class RunLogger:
                 f"{split}/{phase}/{k}": float(v)
                 for k, v in values.items()})
             self._tb.flush()
+        if self._neptune is not None:
+            for k, v in values.items():
+                self._neptune[f"{split}/{phase}/{k}"].append(
+                    float(v), step=step)
         if self._csv_fields is None:
             if os.path.exists(self._csv_path):
                 # resume: columns must match the on-disk header, not

@@ -102,3 +102,55 @@ def test_native_faster_than_python_path():
                               (0.229, 0.224, 0.225))
     native_t = (time.perf_counter() - t0) / 3
     assert native_t < 0.5, f"native augment too slow: {native_t:.3f}s"
+
+
+def test_remap_matches_numpy_warps():
+    """Native remap (bilinear + nearest, reflect-101) is bit-equal to
+    the numpy implementation in data/warps.py."""
+    from adlm_tpu.data import warps
+    rng = np.random.RandomState(1)
+    img = rng.rand(33, 47).astype(np.float32)
+    img3 = rng.rand(33, 47, 3).astype(np.float32)
+    mask = (rng.rand(33, 47) > 0.6).astype(np.float32)
+    # coords well outside the image exercise the reflection
+    my = (rng.rand(21, 29) * 90 - 25).astype(np.float32)
+    mx = (rng.rand(21, 29) * 120 - 30).astype(np.float32)
+    np.testing.assert_array_equal(
+        native.remap_bilinear(img, my, mx),
+        warps._sample_bilinear(img, my, mx))
+    np.testing.assert_array_equal(
+        native.remap_bilinear(img3, my, mx),
+        warps._sample_bilinear(img3, my, mx))
+    np.testing.assert_array_equal(
+        native.remap_nearest(mask, my, mx),
+        warps._sample_nearest(mask, my, mx))
+
+
+def test_gaussian_blur_matches_scipy():
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(2)
+    f = (rng.rand(64, 80).astype(np.float32) * 2 - 1)
+    for sigma in (1.5, 6.0):
+        got = native.gaussian_blur(f, sigma)
+        want = gaussian_filter(f, sigma, mode="constant", cval=0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_unoise_threaded_batches_match_samples():
+    """n_jobs>1 loading yields well-formed batches with augmentation
+    applied (per-item RNGs; RandomState is not thread-safe)."""
+    from adlm_tpu.data.unoise_data import UNoiseDataset, batches
+    rng = np.random.RandomState(3)
+    ds = UNoiseDataset(rng.rand(10, 32, 32).astype(np.float32),
+                       (rng.rand(10, 32, 32) > 0.5).astype(np.float32),
+                       augment=True)
+    got = list(batches(ds, 4, shuffle=True, seed=0, n_jobs=4))
+    assert len(got) == 3
+    assert got[0][0].shape == (4, 32, 32, 3)
+    assert got[0][1].shape == (4, 32, 32, 1)
+    assert all(np.isfinite(b[0]).all() for b in got)
+    # unaugmented threaded batches are exactly reproducible
+    ds2 = UNoiseDataset(ds.images[..., 0], ds.masks)
+    a = np.concatenate([b[0] for b in batches(ds2, 4, n_jobs=4)])
+    b = np.concatenate([b[0] for b in batches(ds2, 4)])
+    np.testing.assert_array_equal(a, b)

@@ -52,3 +52,52 @@ def test_run_logger_writes_tb_events(tmp_path):
     assert scalars["val/warmup/loss"] == [(5, 0.8000000119209290)]
     # CSV still written alongside
     assert os.path.exists(tmp_path / "logs" / "train_metrics.csv")
+
+
+def test_neptune_optin_wiring(tmp_path, monkeypatch):
+    """USE_NEPTUNE gates a neptune run exactly like the reference
+    (train.py:111-131); verified against a stub module."""
+    import sys
+    import types
+
+    records = {}
+
+    class _Series:
+        def __init__(self, key):
+            self.key = key
+
+        def append(self, value, step=None):
+            records.setdefault(self.key, []).append((step, value))
+
+    class _Run(dict):
+        def __getitem__(self, key):
+            return _Series(key)
+
+        def __setitem__(self, key, value):
+            records[key] = value
+
+        def stop(self):
+            records["stopped"] = True
+
+    stub = types.ModuleType("neptune")
+    stub.init_run = lambda project=None, name=None: _Run()
+    monkeypatch.setitem(sys.modules, "neptune", stub)
+    monkeypatch.setenv("USE_NEPTUNE", "1")
+    monkeypatch.setenv("NEPTUNE_PROJECT", "org/proj")
+
+    lg = RunLogger(str(tmp_path))
+    lg.log_hyperparams({"lr": 0.1})
+    lg.metrics(3, "joint", "train", {"loss": 0.5})
+    lg.close()
+    assert records["parameters"] == {"lr": 0.1}
+    assert records["train/joint/loss"] == [(3, 0.5)]
+    assert records["stopped"]
+    assert os.path.exists(tmp_path / "logs" / "hyperparams.json")
+
+
+def test_no_neptune_by_default(tmp_path, monkeypatch):
+    monkeypatch.delenv("USE_NEPTUNE", raising=False)
+    lg = RunLogger(str(tmp_path))
+    assert lg._neptune is None
+    lg.metrics(0, "warmup", "train", {"loss": 1.0})
+    lg.close()
