@@ -16,6 +16,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 STAGES = ("warmup", "nopush", "push", "pruned")
@@ -43,7 +44,16 @@ class CheckpointStore:
         if target is not None:
             abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
             return self._ckptr.restore(path, abstract)
-        return self._ckptr.restore(path)
+        # Target-free restore is device-agnostic: leaves come back as
+        # host numpy arrays, ignoring the sharding metadata recorded at
+        # save time.  Without this, a checkpoint written on TPU refuses
+        # to load in a CPU process ("Device TPU v5 lite0 was not found")
+        # — eval/analysis tooling must be able to read any checkpoint.
+        with ocp.PyTreeCheckpointer() as ckptr:
+            tree = ckptr.metadata(path).item_metadata.tree
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+            return ckptr.restore(path, restore_args=restore_args)
 
     def exists(self, stage: str, kind: str) -> bool:
         return os.path.isdir(self._path(stage, kind))

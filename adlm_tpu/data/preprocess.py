@@ -301,3 +301,37 @@ def prepare_unoise_data(source_path: str, target_path: str,
     np.save(os.path.join(target_path, "masks.npy"), np.stack(masks))
     np.save(os.path.join(target_path, "bounding_boxes.npy"),
             np.stack(boxes))
+
+
+def convert_images_to_numpy(data_path: str, margin: int = 0,
+                            splits: Tuple[str, ...] = ("train", "train_aug",
+                                                       "val", "test")) -> int:
+    """Standalone PNG→npy pass over existing ``img_with_margin_<m>``
+    directories (reference segmentation/img_to_numpy.py:13-29 — numpy
+    files load much faster than PNGs).
+
+    The online preprocessors above already write .npy alongside each
+    PNG; this covers datasets laid out by other tools (or the
+    reference's own preprocessing) where only PNGs exist.  Existing
+    .npy files are not overwritten.
+
+    Returns the number of images converted.
+    """
+    n = 0
+    for split in splits:
+        img_dir = os.path.join(data_path, f"img_with_margin_{margin}",
+                               split)
+        if not os.path.isdir(img_dir):
+            continue
+        for fname in sorted(os.listdir(img_dir)):
+            if not fname.endswith(".png"):
+                continue
+            stem = fname[: -len(".png")]
+            out = os.path.join(img_dir, stem + ".npy")
+            if os.path.exists(out):
+                continue
+            with Image.open(os.path.join(img_dir, fname)) as im:
+                arr = np.asarray(im.convert("RGB"), np.uint8)
+            np.save(out, arr)
+            n += 1
+    return n

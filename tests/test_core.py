@@ -65,3 +65,23 @@ def test_checkpoint_roundtrip(tmp_path):
     cfg = get_experiment("mds_new")
     store.save_config(cfg.to_json())
     assert ExperimentConfig.from_json(store.load_config_json()) == cfg
+
+
+def test_checkpoint_targetfree_restore_is_device_agnostic(tmp_path):
+    """Target-free restore must return host numpy, ignoring the saved
+    sharding metadata — a checkpoint written on TPU must load in a CPU
+    process (eval/analysis tooling reads any checkpoint)."""
+    store = CheckpointStore(str(tmp_path / "run"))
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "pc": jnp.asarray([0, 1, 2]),
+        "step": jnp.asarray(7),
+    }
+    store.save("push", "last", state)
+    out = store.restore("push", "last")
+    flat = jax.tree.leaves(out)
+    assert all(isinstance(x, np.ndarray) for x in flat), \
+        [type(x) for x in flat]
+    np.testing.assert_array_equal(out["params"]["w"],
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(out["pc"], [0, 1, 2])

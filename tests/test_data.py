@@ -163,3 +163,45 @@ def test_eval_resize_pascal_quirk(tmp_path):
     img, lab = ds.get_eval_item(0)
     assert img.shape == (24, 32, 3)
     assert lab.shape == (40, 60)  # native label size
+
+
+def test_convert_images_to_numpy(tmp_path):
+    """PNG->npy pass (reference segmentation/img_to_numpy.py:13-29):
+    converts every PNG, skips existing npy, returns the count."""
+    from PIL import Image
+    from adlm_tpu.data.preprocess import convert_images_to_numpy
+    rng = np.random.RandomState(4)
+    d = tmp_path / "img_with_margin_0" / "test"
+    d.mkdir(parents=True)
+    arrs = {}
+    for name in ("a", "b"):
+        arr = rng.randint(0, 255, size=(8, 9, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{name}.png")
+        arrs[name] = arr
+    # pre-existing npy must not be overwritten
+    np.save(d / "a.npy", np.zeros((1,), np.uint8))
+    n = convert_images_to_numpy(str(tmp_path))
+    assert n == 1
+    np.testing.assert_array_equal(np.load(d / "b.npy"), arrs["b"])
+    assert np.load(d / "a.npy").shape == (1,)
+    # second run: nothing left to convert
+    assert convert_images_to_numpy(str(tmp_path)) == 0
+
+
+def test_eval_batches_with_counts_pads_tail(tmp_path):
+    """with_counts=True yields (imgs, labs, n_real); the padded tail is
+    zero images + all-void labels and n_real excludes them (the CLI
+    slices per-image statistics by n_real)."""
+    root = str(tmp_path)
+    _write_fake_dataset(root, n=5)
+    cfg = DataConfig(class_table="cityscapes", window_size=(33, 33))
+    ds = SegmentationDataset(cfg, "train", data_path=root, is_eval=True)
+    got = list(ds.eval_batches(2, with_counts=True))
+    assert [b[2] for b in got] == [2, 2, 1]
+    last_imgs, last_labs, n_real = got[-1]
+    assert last_imgs.shape[0] == 2 and last_labs.shape[0] == 2
+    np.testing.assert_array_equal(last_imgs[1], 0)
+    np.testing.assert_array_equal(last_labs[1], 0)  # all void
+    # 2-tuple contract unchanged without the flag
+    plain = list(ds.eval_batches(2))
+    assert len(plain[0]) == 2

@@ -81,3 +81,43 @@ def test_sharded_inference_2d_mesh():
     np.testing.assert_array_equal(np.asarray(out["union"]),
                                   np.asarray(ref["union"]))
     assert int(out["correct"]) == int(ref["correct"])
+
+
+def test_sharded_push_reduction_matches_unsharded():
+    """The batched push argmin, with its batch sharded over the mesh
+    ``data`` axis, equals the unsharded result exactly (XLA lowers the
+    B-major argmin to a cross-device min+argmin over ICI; the B-major
+    order keeps the sequential earliest-image tie-break)."""
+    from adlm_tpu.interpret.push import make_push_batched_fn
+
+    cfg = tiny_experiment()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(8, 33, 33, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=(8, 33, 33)))
+
+    v = model.init(jax.random.PRNGKey(2), images[:1])
+    params, constants = v["params"], v.get("constants", {})
+    pc = jnp.arange(cfg.model.num_prototypes) % cfg.model.num_classes
+
+    fn = make_push_batched_fn(model, cfg.model.num_classes)
+    ref = fn(params, constants, pc, images, labels)
+
+    mesh = make_mesh(MeshSpec(data=8))
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    dp = jax.sharding.NamedSharding(mesh,
+                                    jax.sharding.PartitionSpec("data"))
+    params_r, constants_r, pc_r = jax.device_put(
+        (params, constants, pc), rep)
+    out = fn(params_r, constants_r, pc_r,
+             jax.device_put(images, dp), jax.device_put(labels, dp))
+
+    mind, bi, pi, pj, fmap = (np.asarray(x) for x in out)
+    rmind, rbi, rpi, rpj, rfmap = (np.asarray(x) for x in ref)
+    # conv scheduling differs per shard layout → last-ulp float drift;
+    # the winner indices must be exact
+    np.testing.assert_allclose(mind, rmind, rtol=1e-6)
+    np.testing.assert_array_equal(bi, rbi)
+    np.testing.assert_array_equal(pi, rpi)
+    np.testing.assert_array_equal(pj, rpj)
+    np.testing.assert_allclose(fmap, rfmap, rtol=1e-6)
