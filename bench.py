@@ -54,7 +54,10 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_IPS = 2.5  # derived estimate, see module docstring
-BATCH = 8
+# batch 16 measures 41.4 img/s vs 33.8 at batch 8 (67% vs 54% MXU).
+# batch 32 at 2048x1024 exceeds v5e HBM — the device-side failure
+# wedges the axon relay for ~40 min, so don't probe above 16 casually.
+BATCH = 16
 WARMUP = 2
 ITERS = 8
 H, W = 1024, 2048
@@ -214,6 +217,7 @@ def _run() -> None:
     except Exception as e:  # pragma: no cover
         print(f"# unoise extra metric skipped: {e}", flush=True)
     extra["flops_per_image_tflop"] = 3.17  # measured, see docstring
+    extra["batch"] = BATCH
 
     print(json.dumps({
         "metric": "cityscapes_2048x1024_inference",
