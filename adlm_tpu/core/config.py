@@ -136,6 +136,14 @@ class TrainConfig:
     # trades FLOPs for activation memory, enabling larger windows/batches
     remat: bool = False
 
+    # fuse the iter_size gradient-accumulation scan into ONE
+    # (iter_size·batch)-sized forward/backward with group-normalized
+    # losses — gradient-identical to the scan (mean over microbatches of
+    # per-microbatch-mean losses) but tiles the MXU far better at the
+    # reference's tiny batch 2 (see PERF.md).  Costs iter_size× the
+    # activation memory; combine with remat if needed.
+    fused_accumulation: bool = False
+
 
 @dataclass(frozen=True)
 class UNoiseConfig:

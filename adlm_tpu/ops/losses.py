@@ -23,7 +23,8 @@ _NEG_INF = -1e30
 
 def cross_entropy_ignore(logits: jnp.ndarray,
                          labels: jnp.ndarray,
-                         valid: jnp.ndarray | None = None
+                         valid: jnp.ndarray | None = None,
+                         groups: int | None = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean softmax cross-entropy over valid positions.
 
@@ -31,6 +32,11 @@ def cross_entropy_ignore(logits: jnp.ndarray,
       logits: (N, C) float.
       labels: (N,) int in [0, C); ignored where ``valid`` is False.
       valid: (N,) bool, or None for all-valid.
+      groups: with an int G, positions are split into G equal
+        contiguous groups and the loss is the mean over groups of the
+        per-group valid-mean — the fused-accumulation equivalent of
+        averaging G microbatch losses (each a mean over its own valid
+        patches).  None keeps the single global mean.
 
     Returns:
       (scalar loss, scalar n_correct) — n_correct counts valid argmax hits
@@ -44,8 +50,14 @@ def cross_entropy_ignore(logits: jnp.ndarray,
     logz = jax.nn.logsumexp(logits, axis=-1)
     ll = jnp.take_along_axis(logits, safe_labels[:, None], axis=-1)[:, 0]
     ce = logz - ll
-    denom = jnp.maximum(jnp.sum(valid), 1)
-    loss = jnp.sum(jnp.where(valid, ce, 0.0)) / denom
+    ce_masked = jnp.where(valid, ce, 0.0)
+    if groups is None:
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        loss = jnp.sum(ce_masked) / denom
+    else:
+        g_sum = jnp.sum(ce_masked.reshape(groups, -1), axis=1)
+        g_n = jnp.sum(valid.reshape(groups, -1), axis=1)
+        loss = jnp.mean(g_sum / jnp.maximum(g_n, 1))
     pred = jnp.argmax(logits, axis=-1)
     n_correct = jnp.sum(jnp.where(valid, pred == safe_labels, False))
     return loss, n_correct
@@ -53,7 +65,8 @@ def cross_entropy_ignore(logits: jnp.ndarray,
 
 def kld_prototype_loss(activations: jnp.ndarray,
                        labels: jnp.ndarray,
-                       proto_class: jnp.ndarray) -> jnp.ndarray:
+                       proto_class: jnp.ndarray,
+                       groups: int | None = None) -> jnp.ndarray:
     """Symmetric-KLD prototype-diversity loss, vectorized.
 
     For each image and each class present in it, the activations of that
@@ -74,6 +87,11 @@ def kld_prototype_loss(activations: jnp.ndarray,
       labels: (B, N) int class indices; anything not matching a
         prototype class (e.g. void = -1) contributes to no distribution.
       proto_class: (P,) int class id per prototype.
+      groups: with an int G, images are split into G equal contiguous
+        groups and the loss is the mean over groups of the per-group
+        pair-mean (0 for a group with no valid pairs) — the
+        fused-accumulation equivalent of averaging G microbatch KLD
+        losses.  None keeps the single batch-wide mean.
 
     Returns:
       scalar loss (0.0 when no valid pairs exist — the reference would
@@ -107,9 +125,14 @@ def kld_prototype_loss(activations: jnp.ndarray,
     valid = (same_class & upper)[None] & (pix_count[:, :, None] >= 2)
     del class_n_protos
     pair_vals = jnp.where(valid, jnp.exp(-sym), 0.0)
-    count = jnp.sum(valid)
-    return jnp.where(count > 0,
-                     jnp.sum(pair_vals) / jnp.maximum(count, 1), 0.0)
+    if groups is None:
+        count = jnp.sum(valid)
+        return jnp.where(count > 0,
+                         jnp.sum(pair_vals) / jnp.maximum(count, 1), 0.0)
+    g_sum = jnp.sum(pair_vals.reshape(groups, -1), axis=1)
+    g_count = jnp.sum(valid.reshape(groups, -1), axis=1)
+    g_loss = jnp.where(g_count > 0, g_sum / jnp.maximum(g_count, 1), 0.0)
+    return jnp.mean(g_loss)
 
 
 def masked_l1(last_layer_weight: jnp.ndarray,

@@ -78,10 +78,16 @@ def _make_tx(cfg: ExperimentConfig, phase: int, max_steps: Optional[int]):
 
 def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
                         labels: jnp.ndarray, proto_class: jnp.ndarray,
-                        cfg: ExperimentConfig
+                        cfg: ExperimentConfig,
+                        groups: Optional[int] = None
                         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss terms for one MSC output scale
-    (reference segmentation/module.py:142-228)."""
+    (reference segmentation/module.py:142-228).
+
+    ``groups=G`` computes the fused-accumulation loss: the batch is G
+    concatenated microbatches and each term is the mean over groups of
+    the per-group mean — gradient-identical to accumulating G separate
+    microbatch losses (see make_train_step)."""
     t = cfg.train
     B = logits.shape[0]
     h, w = logits.shape[1], logits.shape[2]
@@ -101,11 +107,13 @@ def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
         ce_labels = target_flat
         kld_labels = target.reshape(B, h * w)
 
-    ce, n_correct = cross_entropy_ignore(logits_flat, ce_labels, valid)
+    ce, n_correct = cross_entropy_ignore(logits_flat, ce_labels, valid,
+                                         groups=groups)
 
     if t.loss_weight_kld > 0.0:
         acts = distances.reshape(B, h * w, -1)
-        kld = kld_prototype_loss(acts, kld_labels, proto_class)
+        kld = kld_prototype_loss(acts, kld_labels, proto_class,
+                                 groups=groups)
     else:
         kld = jnp.zeros(())
 
@@ -120,7 +128,8 @@ def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
 
 def loss_fn(params: Any, constants: Any, model: PPNet,
             proto_class: jnp.ndarray, cfg: ExperimentConfig,
-            batch: Tuple[jnp.ndarray, jnp.ndarray], train: bool
+            batch: Tuple[jnp.ndarray, jnp.ndarray], train: bool,
+            groups: Optional[int] = None
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full training loss over all MSC output scales
     (reference module.py:141-228: per-scale losses averaged)."""
@@ -150,7 +159,7 @@ def loss_fn(params: Any, constants: Any, model: PPNet,
     agg: Dict[str, jnp.ndarray] = {}
     for logits, distances in outputs:
         ce, m = _single_output_loss(logits, distances, labels,
-                                    proto_class, cfg)
+                                    proto_class, cfg, groups=groups)
         l1 = masked_l1(params["last_layer"], proto_class)
         out_loss = (t.loss_weight_crs_ent * ce
                     + t.loss_weight_kld * m["kld_loss"]
@@ -185,6 +194,24 @@ def make_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
     def step(state: ProtoSegState, images: jnp.ndarray,
              labels: jnp.ndarray):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        n_micro = images.shape[0]
+
+        if cfg.train.fused_accumulation:
+            # one (iter_size·bs)-batch forward/backward; the grouped
+            # losses make the scalar exactly (1/G)·Σ_g loss_g, so the
+            # gradient equals the accumulated-scan mean
+            flat_img = images.reshape(-1, *images.shape[2:])
+            flat_lab = labels.reshape(-1, *labels.shape[2:])
+            (_, metrics), grads = grad_fn(
+                state.params, state.constants, model, state.proto_class,
+                cfg, (flat_img, flat_lab), True, n_micro)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=new_params,
+                                      opt_state=new_opt,
+                                      step=state.step + 1)
+            return new_state, metrics
 
         def micro(carry, xs):
             grads_acc, metrics_acc = carry
@@ -196,7 +223,6 @@ def make_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
             metrics_acc = {k: metrics_acc[k] + metrics[k] for k in metrics_acc}
             return (grads_acc, metrics_acc), None
 
-        n_micro = images.shape[0]
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         zero_metrics = {k: jnp.zeros(()) for k in
                         ("cross_entropy", "kld_loss", "n_correct",

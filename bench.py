@@ -119,16 +119,20 @@ def _bench_inference(cfg, model, params, constants, pc):
     return BATCH * ITERS / dt
 
 
-def _bench_joint_train(cfg, model, variables):
+def _bench_joint_train(cfg, model, variables, fused=False):
     """Joint-phase super-batch step at the reference training budget
-    (iter_size=5, batch 2, 513² — configs/cityscapes_kld_imnet.gin)."""
+    (iter_size=5, batch 2, 513² — configs/cityscapes_kld_imnet.gin).
+    ``fused=True`` times the fused-accumulation path (one batch-10
+    fwd/bwd with group-normalized losses; gradient-identical — see
+    TrainConfig.fused_accumulation)."""
     import dataclasses
     from adlm_tpu.train.protoseg import (
         init_protoseg_state, make_train_step)
 
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train,
-                                       compute_dtype="bfloat16"))
+                                       compute_dtype="bfloat16",
+                                       fused_accumulation=fused))
     state = init_protoseg_state(
         model, cfg, 1, 1000, jax.random.PRNGKey(0),
         jnp.zeros((1, 65, 65, 3), jnp.float32),
@@ -212,6 +216,12 @@ def _run() -> None:
             cfg.train.iter_size * cfg.train.joint_batch_size)
     except Exception as e:  # pragma: no cover
         print(f"# joint-train extra metric skipped: {e}", flush=True)
+    try:
+        extra["joint_train_window_fused_ms"] = round(
+            _bench_joint_train(cfg, model, variables, fused=True), 1)
+    except Exception as e:  # pragma: no cover
+        print(f"# fused joint-train extra metric skipped: {e}",
+              flush=True)
     try:
         extra["unoise_util_step_ms"] = round(_bench_unoise_train(), 1)
     except Exception as e:  # pragma: no cover

@@ -121,3 +121,31 @@ def test_sharded_push_reduction_matches_unsharded():
     np.testing.assert_array_equal(pi, rpi)
     np.testing.assert_array_equal(pj, rpj)
     np.testing.assert_allclose(fmap, rfmap, rtol=1e-6)
+
+
+def test_sharded_fused_accumulation_matches_scan():
+    """fused_accumulation under the dp-sharded step (batch reshape over
+    a sharded axis) equals the sharded scan path."""
+    import dataclasses
+    cfg = tiny_experiment()
+    cfg_f = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fused_accumulation=True))
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(9)
+    mesh = make_mesh(MeshSpec(data=4), devices=jax.devices()[:4])
+    images = jnp.asarray(rng.rand(2, 4, 33, 33, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=(2, 4, 33, 33)))
+
+    state = init_protoseg_state(model, cfg, 1, 100,
+                                jax.random.PRNGKey(9), images[0])
+    state = shard_state(state, mesh)
+    s1, m1 = make_sharded_train_step(model, cfg, 1, mesh, 100)(
+        state, images, labels)
+    s2, m2 = make_sharded_train_step(model, cfg_f, 1, mesh, 100)(
+        state, images, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+        s1.params, s2.params)

@@ -316,3 +316,50 @@ def test_kld_raw_label_indexing_quirk():
     assert np.isfinite(float(m_fix["kld_loss"]))
     assert np.isfinite(float(m_raw["kld_loss"]))
     assert float(m_fix["kld_loss"]) != float(m_raw["kld_loss"])
+
+
+def test_fused_accumulation_matches_scan():
+    """fused_accumulation=True (one batched fwd/bwd with group-
+    normalized losses) must match the accumulation scan: same loss,
+    metrics, and updated parameters.  Uses uneven void so microbatches
+    have different valid-patch counts (the case where a naive flat mean
+    would diverge), with KLD on."""
+    cfg = tiny_experiment(loss_weight_kld=0.25)
+    cfg_f = tiny_experiment(loss_weight_kld=0.25, fused_accumulation=True)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(21)
+    images, labels = make_batch(rng, cfg, n_micro=3)
+    # microbatch 0 mostly void, microbatch 2 void-free
+    labels = np.array(labels)
+    labels[0][rng.rand(*labels[0].shape) < 0.8] = 0
+    labels[2][labels[2] == 0] = 1
+    labels = jnp.asarray(labels)
+
+    state = init_protoseg_state(model, cfg, 1, 100,
+                                jax.random.PRNGKey(21), images[0])
+    s1, m1 = make_train_step(model, cfg, 1, 100)(state, images, labels)
+    s2, m2 = make_train_step(model, cfg_f, 1, 100)(state, images, labels)
+
+    for k in ("loss", "cross_entropy", "kld_loss", "n_correct",
+              "n_patches"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+        s1.params, s2.params)
+
+
+def test_fused_accumulation_bf16_runs():
+    cfg = tiny_experiment(loss_weight_kld=0.25,
+                          fused_accumulation=True,
+                          compute_dtype="bfloat16")
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(22)
+    images, labels = make_batch(rng, cfg)
+    state = init_protoseg_state(model, cfg, 1, 100,
+                                jax.random.PRNGKey(22), images[0])
+    new_state, metrics = make_train_step(model, cfg, 1, 100)(
+        state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
