@@ -44,6 +44,14 @@ def cmd_train(args):
     from adlm_tpu.train.pipeline import run_protoseg_training
 
     cfg = get_experiment(args.experiment)
+    if args.bf16 or args.fused:
+        overrides = {}
+        if args.bf16:
+            overrides["compute_dtype"] = "bfloat16"
+        if args.fused:
+            overrides["fused_accumulation"] = True
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides))
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -191,7 +199,14 @@ def cmd_eval_test(args):
 
     ds = SegmentationDataset(cfg.data, args.split,
                              data_path=args.data_path, is_eval=True)
-    fn = make_inference_fn(model, cfg.model.num_classes)
+    if args.windowed:
+        from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+        wh, ww = (int(x) for x in args.windowed.split(","))
+        wev = WindowedSegEvaluator(model, cfg.model.num_classes,
+                                   (wh, ww))
+        fn = lambda p, c, pc, img, lab: wev.update(p, c, pc, img, lab)
+    else:
+        fn = make_inference_fn(model, cfg.model.num_classes)
     out_dir = os.path.join(args.run_dir, "evaluation", args.stage,
                            "test_predictions")
     os.makedirs(out_dir, exist_ok=True)
@@ -630,6 +645,12 @@ def main(argv=None):
                          "(default: the FULL val split, matching the "
                          "reference's best-checkpoint selection)")
     tp.add_argument("--steps-scale", type=float, default=1.0)
+    tp.add_argument("--bf16", action="store_true",
+                    help="bf16 compute for the train forward/backward")
+    tp.add_argument("--fused", action="store_true",
+                    help="fused gradient accumulation: one batched "
+                         "fwd/bwd per window, gradient-identical to "
+                         "the scan (see PERF.md)")
     tp.add_argument("--save-push-visualizations", action="store_true")
     tp.add_argument("--push-batch-size", type=int, default=1,
                     help="batch the push scan (mesh-shardable; artifact "
@@ -667,10 +688,10 @@ def main(argv=None):
             ep.add_argument("--examples", type=int, default=5,
                             help="number of qualitative prediction/"
                                  "prototype overlay examples (0 = off)")
-            ep.add_argument("--windowed", default=None, metavar="WH,WW",
-                            help="sliding-window inference with the "
-                                 "given window size instead of "
-                                 "whole-image forwards")
+        ep.add_argument("--windowed", default=None, metavar="WH,WW",
+                        help="sliding-window inference with the given "
+                             "window size instead of whole-image "
+                             "forwards (memory-bounded mode)")
         ep.set_defaults(fn=fn)
 
     pp = sub.add_parser("prune")

@@ -135,6 +135,18 @@ def test_prune_and_eval_cli(tmp_path):
                             "test_predictions")
     assert len(os.listdir(pred_dir)) == 1
 
+    # windowed eval-test: window == image size → identical PNG
+    import numpy as _np
+    from PIL import Image as _Image
+    name = os.listdir(pred_dir)[0]
+    whole = _np.asarray(_Image.open(os.path.join(pred_dir, name)))
+    os.remove(os.path.join(pred_dir, name))
+    cli_main(["eval-test", run_dir, "pruned", "--split", "val",
+              "--data-path", data_root, "--max-images", "1",
+              "--windowed", "40,48"])
+    win = _np.asarray(_Image.open(os.path.join(pred_dir, name)))
+    _np.testing.assert_array_equal(win, whole)
+
 
 def test_msc_pipeline_end_to_end(tmp_path):
     """PASCAL-style multi-scale (MSC) config through all phases + push."""
