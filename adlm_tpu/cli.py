@@ -72,7 +72,7 @@ def cmd_train(args):
         push_batch_size=args.push_batch_size,
         pretrained_path=args.pretrained,
         pretrained_naming="deeplab" if cfg.load_coco else "torchvision",
-        mesh=mesh)
+        mesh=mesh, trace_dir=args.trace_dir)
 
 
 def cmd_eval_valid(args):
@@ -661,6 +661,10 @@ def main(argv=None):
                     help="model/spatial mesh axis size")
     tp.add_argument("--distributed", action="store_true",
                     help="multi-host: call jax.distributed.initialize()")
+    tp.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler trace of one "
+                         "steady-state window per phase under "
+                         "<dir>/<stage>/ (view with TensorBoard)")
     tp.set_defaults(fn=cmd_train)
 
     for name, fn in (("eval-valid", cmd_eval_valid),

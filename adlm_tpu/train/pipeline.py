@@ -55,7 +55,8 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                val_every: int, val_batches: Optional[int],
                early_stopping_patience: Optional[int] = None,
                stage_key: Optional[str] = None,
-               mesh=None) -> ProtoSegState:
+               mesh=None, trace_dir: Optional[str] = None
+               ) -> ProtoSegState:
     t = cfg.train
     stage = stage_key or STAGE_BY_PHASE[phase]
     if mesh is not None:
@@ -78,7 +79,7 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
         state = _phase_loop(loader, state, step_fn, eval_fn, val_ds,
                             batch_size, val_batches, n_windows,
                             val_every, early_stopping_patience, stage,
-                            store, logger)
+                            store, logger, trace_dir=trace_dir)
     finally:
         loader.close()
     store.save(stage, "last", _ckpt_payload(state))
@@ -87,8 +88,9 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
 
 def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                 val_batches, n_windows, val_every,
-                early_stopping_patience, stage, store, logger):
-    from adlm_tpu.utils.profiling import StepMeter
+                early_stopping_patience, stage, store, logger,
+                trace_dir=None):
+    from adlm_tpu.utils.profiling import StepMeter, trace
 
     best_acc = -1.0
     stale = 0
@@ -96,8 +98,18 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
     for w, (images, labels) in enumerate(loader):
         if meter is None:
             meter = StepMeter(images_per_step=int(np.prod(images.shape[:2])))
-        state, metrics = step_fn(state, jnp.asarray(images),
-                                 jnp.asarray(labels))
+        if trace_dir is not None and w == 1:
+            # profile ONE steady-state window (w=0 pays the compile);
+            # the trace lands under <trace_dir>/<stage>/
+            with trace(f"{stage}_window", os.path.join(trace_dir, stage)):
+                state, metrics = step_fn(state, jnp.asarray(images),
+                                         jnp.asarray(labels))
+                jax.block_until_ready(metrics)
+            logger.log(f"{stage}: profiler trace written to "
+                       f"{trace_dir}/{stage}")
+        else:
+            state, metrics = step_fn(state, jnp.asarray(images),
+                                     jnp.asarray(labels))
         meter.tick()
         if (w + 1) % 50 == 0 or w == 0:
             acc = float(metrics["n_correct"]) / max(
@@ -176,10 +188,13 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                           push_batch_size: int = 1,
                           pretrained_path: Optional[str] = None,
                           pretrained_naming: str = "torchvision",
-                          mesh=None
+                          mesh=None,
+                          trace_dir: Optional[str] = None
                           ) -> ProtoSegState:
     """Full training pipeline. ``steps_scale`` shrinks every phase budget
-    (for smoke tests); 1.0 reproduces the reference schedule."""
+    (for smoke tests); 1.0 reproduces the reference schedule.
+    ``trace_dir`` writes a jax.profiler trace of one steady-state window
+    per phase under ``<trace_dir>/<stage>/``."""
     t = cfg.train
     logger = RunLogger(run_dir)
     store = CheckpointStore(run_dir)
@@ -225,7 +240,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                            t.warmup_batch_size, val_every, val_batches,
                            early_stopping_patience=
                            t.early_stopping_patience_last_layer,
-                           stage_key="pruned", mesh=mesh)
+                           stage_key="pruned", mesh=mesh,
+                           trace_dir=trace_dir)
         return state
 
     # phase 0: warmup
@@ -270,7 +286,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
         state = _run_phase(model, cfg, 0, state, train_ds, val_ds, store,
                            logger, warmup_steps, t.warmup_batch_size,
-                           val_every, val_batches, mesh=mesh)
+                           val_every, val_batches, mesh=mesh,
+                           trace_dir=trace_dir)
 
     # phase 1: joint
     logger.log(f"JOINT TRAINING START ({joint_steps} steps)")
@@ -280,7 +297,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                                 proto_class=state.proto_class)
     state = _run_phase(model, cfg, 1, state, train_ds, val_ds, store,
                        logger, joint_steps, t.joint_batch_size,
-                       val_every, val_batches, mesh=mesh)
+                       val_every, val_batches, mesh=mesh,
+                       trace_dir=trace_dir)
 
     # push
     logger.log("SAVING PROTOTYPES (push)")
@@ -320,5 +338,5 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                        val_every, val_batches,
                        early_stopping_patience=
                        t.early_stopping_patience_last_layer,
-                       stage_key="push", mesh=mesh)
+                       stage_key="push", mesh=mesh, trace_dir=trace_dir)
     return state

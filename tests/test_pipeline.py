@@ -60,8 +60,15 @@ def test_full_protoseg_pipeline(tmp_path):
     _write_fake_dataset(data_root)
     cfg = _tiny_experiment()
 
+    trace_dir = str(tmp_path / "trace")
     state = run_protoseg_training(cfg, run_dir, data_path=data_root,
-                                  val_every=1, val_batches=2)
+                                  val_every=1, val_batches=2,
+                                  trace_dir=trace_dir)
+
+    # one jax.profiler trace per phase (--trace-dir contract)
+    for stage in ("warmup", "nopush", "push"):
+        d = os.path.join(trace_dir, stage)
+        assert os.path.isdir(d) and os.listdir(d), stage
 
     store = CheckpointStore(run_dir)
     for stage in ("warmup", "nopush", "push"):
