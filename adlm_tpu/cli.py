@@ -754,6 +754,8 @@ def main(argv=None):
     up.add_argument("--learning-rate", type=float, default=3e-3)
     up.add_argument("--batch-size", type=int, default=8)
     up.add_argument("--epochs", type=int, default=100)
+    up.add_argument("--bf16", action="store_true",
+                    help="bf16 UNet forward/backward (MXU)")
     up.set_defaults(fn=cmd_unoise_train_util)
 
     np_ = sub.add_parser("unoise-train-noise")
@@ -773,6 +775,8 @@ def main(argv=None):
     np_.add_argument("--min-scale", type=float, default=1.0)
     np_.add_argument("--max-scale", type=float, default=5.0)
     np_.add_argument("--noise-coeff", type=float, default=0.001)
+    np_.add_argument("--bf16", action="store_true",
+                     help="bf16 UNet forward/backward (MXU)")
     np_.set_defaults(fn=cmd_unoise_train_noise)
 
     for name, module_fn in (

@@ -159,6 +159,9 @@ class UNoiseConfig:
     max_scale: float = 5.0
     noise_coeff: float = 0.001
     epochs: int = 100
+    # 'bfloat16' runs the UNet forward/backward on the MXU in bf16
+    # (params, optimizer state, and BN running stats stay f32)
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -82,18 +82,40 @@ def init_noise_state(cfg: UNoiseConfig, rng: jax.Array,
                       step=jnp.zeros((), jnp.int32))
 
 
+def _bf16(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, tree)
+
+
+def _f32(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if x.dtype == jnp.bfloat16 else x, tree)
+
+
 def make_utility_train_step(cfg: UNoiseConfig):
     model = UNet(out_channels=1, depth=cfg.util_depth,
                  cf=cfg.util_channel_factor)
     tx = optax.adam(cfg.learning_rate, eps=1e-8)
+    bf16 = cfg.compute_dtype == "bfloat16"
 
     @jax.jit
     def step(state: UtilityState, images: jnp.ndarray, masks: jnp.ndarray):
         def lfn(params):
+            # bf16: cast inside the differentiated fn so grads come back
+            # in the params' own dtype (f32); running stats re-cast to
+            # f32 so the state pytree keeps stable dtypes across steps
+            fwd_params = _bf16(params) if bf16 else params
+            x = images.astype(jnp.bfloat16) if bf16 else images
             logits, upd = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
-            return bce_with_logits(logits, masks), upd["batch_stats"]
+                {"params": fwd_params,
+                 "batch_stats": _bf16(state.batch_stats)
+                 if bf16 else state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            new_bs = _f32(upd["batch_stats"]) if bf16 else \
+                upd["batch_stats"]
+            return bce_with_logits(logits, masks), new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(lfn, has_aux=True)(
             state.params)
@@ -146,21 +168,33 @@ def make_noise_train_step(cfg: UNoiseConfig):
     util_model = UNet(out_channels=1, depth=cfg.util_depth,
                       cf=cfg.util_channel_factor)
     tx = optax.adam(cfg.learning_rate, eps=1e-8)
+    bf16 = cfg.compute_dtype == "bfloat16"
 
     @jax.jit
     def step(state: NoiseState, images: jnp.ndarray, masks: jnp.ndarray,
              rng: jax.Array):
         def lfn(params):
+            fwd_params = _bf16(params) if bf16 else params
+            x = images.astype(jnp.bfloat16) if bf16 else images
             noise, B, new_bs = noise_forward(
-                cfg, params, state.batch_stats, images, rng, True)
+                cfg, fwd_params,
+                _bf16(state.batch_stats) if bf16 else state.batch_stats,
+                x, rng, True)
+            if bf16:
+                new_bs = _f32(new_bs)
             # frozen utility model in eval mode (train_noise.py:74-75)
             pred = util_model.apply(
-                {"params": state.util_params,
-                 "batch_stats": state.util_batch_stats},
-                images + noise, train=False)
+                {"params": _bf16(state.util_params)
+                 if bf16 else state.util_params,
+                 "batch_stats": _bf16(state.util_batch_stats)
+                 if bf16 else state.util_batch_stats},
+                x + noise, train=False)
+            # the log-B regularizer in f32: log of a bf16 sigmoid tail
+            # underflows
             loss = bce_with_logits(pred, masks) \
-                - cfg.noise_coeff * jnp.mean(jnp.log(B))
-            return loss, (new_bs, jnp.mean(B))
+                - cfg.noise_coeff * jnp.mean(
+                    jnp.log(B.astype(jnp.float32)))
+            return loss, (new_bs, jnp.mean(B.astype(jnp.float32)))
 
         (loss, (new_bs, mean_b)), grads = jax.value_and_grad(
             lfn, has_aux=True)(state.params)

@@ -46,7 +46,9 @@ def _cfg_from_args(args) -> UNoiseConfig:
         epochs=args.epochs,
         min_scale=getattr(args, "min_scale", 1.0),
         max_scale=getattr(args, "max_scale", 5.0),
-        noise_coeff=getattr(args, "noise_coeff", 0.001))
+        noise_coeff=getattr(args, "noise_coeff", 0.001),
+        compute_dtype="bfloat16" if getattr(args, "bf16", False)
+        else "float32")
 
 
 def train_utility(args) -> Any:

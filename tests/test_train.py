@@ -363,3 +363,36 @@ def test_fused_accumulation_bf16_runs():
         state, images, labels)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_unoise_bf16_training_mode():
+    """bf16 compute for both U-Noise trainers: state dtypes stay f32,
+    losses finite, parameters move."""
+    import dataclasses
+    from adlm_tpu.core.config import UNoiseConfig
+    from adlm_tpu.train.unoise import (
+        init_noise_state, init_utility_state, make_noise_train_step,
+        make_utility_train_step)
+
+    cfg = UNoiseConfig(depth=2, channel_factor=3, util_depth=2,
+                       util_channel_factor=3, compute_dtype="bfloat16")
+    rng = np.random.RandomState(30)
+    images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(4, 32, 32, 1) > 0.5).astype(np.float32))
+
+    ustate = init_utility_state(cfg, jax.random.PRNGKey(30), images)
+    ustep = make_utility_train_step(cfg)
+    new_u, loss = ustep(ustate, images, masks)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(new_u.params) + jax.tree.leaves(
+            new_u.batch_stats):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+    nstate = init_noise_state(cfg, jax.random.PRNGKey(31), images, new_u)
+    nstep = make_noise_train_step(cfg)
+    new_n, m = nstep(nstate, images, masks, jax.random.PRNGKey(32))
+    assert np.isfinite(float(m["train_loss"]))
+    assert 0.0 < float(m["mean_B"]) < 1.0
+    for leaf in jax.tree.leaves(new_n.params) + jax.tree.leaves(
+            new_n.batch_stats):
+        assert leaf.dtype == jnp.float32, leaf.dtype
