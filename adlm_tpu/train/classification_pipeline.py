@@ -171,6 +171,7 @@ def run_classification_training(
             state = state.replace(params=state_l.params,
                                   batch_stats=state_l.batch_stats)
     store.save("nopush", "last", _cls_payload(state))
+    logger.close()
     return state
 
 

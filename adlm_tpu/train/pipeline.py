@@ -242,6 +242,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                            t.early_stopping_patience_last_layer,
                            stage_key="pruned", mesh=mesh,
                            trace_dir=trace_dir)
+        logger.close()
         return state
 
     # phase 0: warmup
@@ -339,4 +340,5 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                        early_stopping_patience=
                        t.early_stopping_patience_last_layer,
                        stage_key="push", mesh=mesh, trace_dir=trace_dir)
+    logger.close()
     return state

@@ -101,6 +101,7 @@ def train_utility(args) -> Any:
             best_dice = dice
             store.save("utility", "best", payload)
             logger.log(f"epoch {epoch}: new best val dice {dice:.4f}")
+    logger.close()
     return state
 
 
@@ -188,4 +189,5 @@ def train_noise(args) -> Any:
             best_loss = vl
             store.save("noise", "best", payload)
             logger.log(f"epoch {epoch}: new best val loss {vl:.4f}")
+    logger.close()
     return state

@@ -158,7 +158,7 @@ def _bench_joint_train(cfg, model, variables, fused=False):
     return (time.perf_counter() - t0) / n * 1000.0
 
 
-def _bench_unoise_train():
+def _bench_unoise_train(bf16=False):
     """Utility-UNet training step (depth 5, cf 6; reference
     src/train_util.py:45-59) at batch 8 × 256² slices."""
     from adlm_tpu.core.config import UNoiseConfig
@@ -166,7 +166,7 @@ def _bench_unoise_train():
     from adlm_tpu.train.unoise import (
         init_utility_state, make_utility_train_step)
 
-    cfg = UNoiseConfig()
+    cfg = UNoiseConfig(compute_dtype="bfloat16" if bf16 else "float32")
     nprng = np.random.RandomState(2)
     sample = jnp.asarray(nprng.rand(8, 256, 256, 3).astype(np.float32))
     masks = jnp.asarray((nprng.rand(8, 256, 256, 1) > 0.5
@@ -224,6 +224,8 @@ def _run() -> None:
               flush=True)
     try:
         extra["unoise_util_step_ms"] = round(_bench_unoise_train(), 1)
+        extra["unoise_util_step_bf16_ms"] = round(
+            _bench_unoise_train(bf16=True), 1)
     except Exception as e:  # pragma: no cover
         print(f"# unoise extra metric skipped: {e}", flush=True)
     extra["flops_per_image_tflop"] = 3.17  # measured, see docstring
