@@ -205,3 +205,20 @@ def test_eval_batches_with_counts_pads_tail(tmp_path):
     # 2-tuple contract unchanged without the flag
     plain = list(ds.eval_batches(2))
     assert len(plain[0]) == 2
+
+
+def test_cells_dataset_normalization(tmp_path):
+    """cells=True skips the /255 scaling and normalizes with the raw
+    pixel-range mean/std (reference configs/cells.gin:
+    PatchClassificationDataset.mean=[106.51]*3, std=[7.25]*3)."""
+    root = str(tmp_path)
+    _write_fake_dataset(root, n=2, hw=(40, 40), n_classes_raw=5)
+    cfg = DataConfig(class_table="cells", window_size=(40, 40),
+                     cells=True, mean=(106.51,) * 3, std=(7.25,) * 3,
+                     scales=(1.0, 1.0))
+    ds = SegmentationDataset(cfg, "train", data_path=root, is_eval=True)
+    img, lab = ds.get_eval_item(0)
+    raw = np.load(os.path.join(root, "img_with_margin_0", "train",
+                               ds.img_ids[0] + ".npy")).astype(np.float32)
+    np.testing.assert_allclose(img, (raw - 106.51) / 7.25, rtol=1e-5)
+    assert lab.max() < 5
