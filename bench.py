@@ -54,9 +54,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_IPS = 2.5  # derived estimate, see module docstring
-# batch 16 measures 41.4 img/s vs 33.8 at batch 8 (67% vs 54% MXU).
-# batch 32 at 2048x1024 exceeds v5e HBM — the device-side failure
-# wedges the axon relay for ~40 min, so don't probe above 16 casually.
+# batch 16 measures 41.4 img/s vs 33.8 at batch 8 (67% vs 54% MXU) and
+# 37.6 at batch 24 (non-power-of-2 batches pad MXU tiles) — see PERF.md
 BATCH = 16
 WARMUP = 2
 ITERS = 8
