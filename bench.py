@@ -62,19 +62,42 @@ ITERS = 8
 H, W = 1024, 2048
 
 
+ATTEMPT_TIMEOUT_S = 1500  # covers a full cold compile of every metric
+RETRY_SLEEP_S = 300       # the wedged relay recovers in ~10-40 min
+
+
 def main() -> None:
-    # the remote TPU relay occasionally throws transient INTERNAL
-    # errors; retry the whole measurement a few times
-    last_err = None
+    # The remote TPU relay occasionally throws transient INTERNAL
+    # errors AND occasionally wedges entirely (every call hangs, no
+    # errors — see CLAUDE.md).  Each attempt therefore runs in a
+    # subprocess with a hard timeout; on failure we sleep long enough
+    # for the relay watchdog to restart it and try again.
+    import subprocess
+    import sys
+
+    if os.environ.get("ADLM_BENCH_CHILD"):
+        return _run()
+
+    last = None
     for attempt in range(3):
         try:
-            return _run()
-        except Exception as e:  # pragma: no cover
-            last_err = e
-            print(f"# bench attempt {attempt + 1} failed: {e}",
-                  flush=True)
-            time.sleep(10)
-    raise last_err
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env={**os.environ, "ADLM_BENCH_CHILD": "1"},
+                timeout=ATTEMPT_TIMEOUT_S, capture_output=True,
+                text=True)
+            out = proc.stdout.strip()
+            if proc.returncode == 0 and '"metric"' in out:
+                print(out.splitlines()[-1], flush=True)
+                return
+            last = f"exit {proc.returncode}: {proc.stderr[-500:]}"
+        except subprocess.TimeoutExpired:
+            last = f"attempt timed out after {ATTEMPT_TIMEOUT_S}s " \
+                   "(relay wedge?)"
+        print(f"# bench attempt {attempt + 1} failed: {last}", flush=True)
+        if attempt < 2:
+            time.sleep(RETRY_SLEEP_S)
+    raise RuntimeError(f"bench failed after 3 attempts: {last}")
 
 
 def _host_random_variables(model, rng_seed=42):
