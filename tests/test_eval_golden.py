@@ -130,3 +130,46 @@ def test_eval_golden_distance_maps():
     # identical up to fp argmin ties
     frac_equal = np.mean(nearest == nearest_t)
     assert frac_equal > 0.999, frac_equal
+
+
+def test_eval_golden_msc_multiscale():
+    """PASCAL-style eval: MSC runs the backbone at 1.0 + (0.5, 0.75),
+    bilinearly upsamples the pyramid, takes the pixel-wise max of the
+    FEATURE maps, and only then applies the prototype head (reference
+    segmentation/utils.py:77-101 eval branch + model.py:164-175)."""
+    cfg = _make_cfg(msc_scales=(0.5, 0.75))
+    model, params, constants, tp = _build_pair(cfg, seed=9)
+    tp.eval()
+    rng = np.random.RandomState(13)
+    B, H, W = 1, 65, 65
+    images = rng.rand(B, H, W, 3).astype(np.float32)
+    labels = rng.randint(0, N_CLASSES + 1, size=(B, H, W))
+
+    with torch.no_grad():
+        x = torch.tensor(np.transpose(images, (0, 3, 1, 2)))
+        feats = tp.backbone(x)
+        h, w = feats.shape[2], feats.shape[3]
+        pyramid = [tp.backbone(F.interpolate(
+            x, scale_factor=s, mode="bilinear", align_corners=False))
+            for s in (0.5, 0.75)]
+        interp = [F.interpolate(p, size=(h, w), mode="bilinear",
+                                align_corners=False) for p in pyramid]
+        feats = torch.max(torch.stack([feats] + interp), dim=0)[0]
+        f = torch.sigmoid(feats)
+        d = tp._ref_l2(f, tp.prototype_vectors, tp.ones)
+        P = d.shape[1]
+        sim = torch.log((d.permute(0, 2, 3, 1).reshape(-1, P) + 1.0)
+                        / (d.permute(0, 2, 3, 1).reshape(-1, P) + 1e-4))
+        logits = tp.last_layer(sim).reshape(1, h, w, N_CLASSES)
+        logits = logits.permute(0, 3, 1, 2)
+        up = F.interpolate(logits, size=(H, W), mode="bilinear",
+                           align_corners=False)
+        pred_t = torch.argmax(up, dim=1).numpy()
+
+    fn = make_inference_fn(model, N_CLASSES)
+    out = fn(params, constants,
+             default_proto_class(N_PROTOS, N_CLASSES),
+             jnp.asarray(images), jnp.asarray(labels, jnp.int32))
+    pred = np.asarray(out["pred"])
+    frac_equal = np.mean(pred == pred_t)
+    assert frac_equal > 0.999, frac_equal
