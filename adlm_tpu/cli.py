@@ -570,7 +570,8 @@ def cmd_analyze_local(args):
         top_k=args.top_k,
         save_dir=os.path.join(args.run_dir, "local_analysis",
                               ds.img_ids[args.index]),
-        denorm=make_denorm(cfg.data))
+        denorm=make_denorm(cfg.data),
+        per_class_top=args.per_class_top)
     print(json.dumps({
         "top_prototypes": res["top_prototypes"].tolist(),
         "top_classes": res["top_classes"].tolist(),
@@ -844,6 +845,11 @@ def main(argv=None):
         if name == "analyze-local":
             ap.add_argument("--index", type=int, default=0)
             ap.add_argument("--top-k", type=int, default=10)
+            ap.add_argument("--per-class-top", type=int, default=3,
+                            help="also save each of the k most-"
+                                 "represented classes' own prototypes "
+                                 "ranked by activation (reference "
+                                 "local_analysis.py:272-330); 0 = off")
         else:
             ap.add_argument("--k", type=int, default=5)
             ap.add_argument("--max-images", type=int, default=0)

@@ -29,12 +29,19 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
                    top_k: int = 10,
                    save_dir: Optional[str] = None,
                    raw_image: Optional[np.ndarray] = None,
-                   denorm: Optional[Callable] = None
+                   denorm: Optional[Callable] = None,
+                   per_class_top: int = 0
                    ) -> Dict[str, Any]:
     """Analyze one (1, H, W, 3) normalized image.
 
     Returns prediction map, top-k prototype indices/classes/activations
     and the own-class-strongest-connection sanity vector.
+
+    ``per_class_top=k`` adds the reference's second section
+    (local_analysis.py:272-330): for each of the k most-represented
+    predicted classes, that class's own prototypes ranked by
+    activation, each with overlay + crop artifacts and a JSON log of
+    activation and last-layer connection.
     """
     variables = {"params": params, "constants": constants}
     f, d = model.apply(variables, jnp.asarray(image),
@@ -79,6 +86,48 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
             vz._save(os.path.join(
                 save_dir, f"top-{rank + 1}_prototype_{j}_crop.png"),
                 img[box[0]:box[1], box[2]:box[3]])
+
+        if per_class_top:
+            import json
+            pc_np = np.asarray(proto_class)
+            # rank predicted classes by pixel share (the segmentation
+            # stand-in for the reference's image-level top-k logits)
+            counts = np.bincount(pred.reshape(-1),
+                                 minlength=w.shape[1])
+            top_classes = np.argsort(-counts)[:per_class_top]
+            result["per_class"] = {}
+            for ci, c in enumerate(int(c) for c in top_classes
+                                   if counts[c] > 0):
+                cdir = os.path.join(save_dir,
+                                    f"top-{ci + 1}_class_prototypes")
+                os.makedirs(cdir, exist_ok=True)
+                protos = np.nonzero(pc_np == c)[0]
+                order_c = protos[np.argsort(-act_max[protos])]
+                log_entries = []
+                for rank, j in enumerate(order_c):
+                    a_up = vz.upsample_cubic(
+                        np.asarray(act[0, :, :, j]), (H, W))
+                    vz._save(os.path.join(
+                        cdir, f"top-{rank + 1}_activated_prototype_"
+                              f"{int(j)}.png"),
+                        vz._overlay(img, vz.normalize01(a_up)))
+                    box = vz.high_activation_crop(a_up)
+                    vz._save(os.path.join(
+                        cdir, f"top-{rank + 1}_prototype_{int(j)}"
+                              "_crop.png"),
+                        img[box[0]:box[1], box[2]:box[3]])
+                    log_entries.append({
+                        "prototype": int(j),
+                        "class_identity": int(pc_np[j]),
+                        "activation": float(act_max[j]),
+                        "last_layer_connection": float(w[j, c]),
+                    })
+                with open(os.path.join(cdir, "log.json"), "w") as fjs:
+                    json.dump({"class": c,
+                               "pixel_count": int(counts[c]),
+                               "prototypes": log_entries}, fjs,
+                              indent=2)
+                result["per_class"][c] = order_c
     return result
 
 

@@ -22,8 +22,9 @@ import numpy as np
 
 def prototype_pair_distances(prototypes: jnp.ndarray,
                              proto_class: jnp.ndarray) -> Dict[str, Any]:
-    """Pairwise L2² distances among same-class prototypes
-    (reference eval_valid.py:83-118 uses torch.cdist)."""
+    """Pairwise L2 distances among same-class prototypes — torch.cdist
+    semantics (reference eval_valid.py:83-118; it keeps the strict
+    lower triangle, the same pair set as our upper triangle)."""
     p = np.asarray(prototypes, np.float32)
     pc = np.asarray(proto_class)
     diff = p[:, None, :] - p[None, :, :]

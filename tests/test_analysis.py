@@ -149,3 +149,30 @@ def test_coverage_dice_curve(tmp_path):
                 params_per_model={"small": 28529})
     assert os.path.exists(tmp_path / "curves.png")
     assert os.path.exists(tmp_path / "curves_params.png")
+
+
+def test_local_analysis_per_class_sections(tmp_path):
+    """per_class_top saves the reference's second section
+    (local_analysis.py:272-330): per top class, its own prototypes
+    ranked by activation with overlay/crop artifacts + a JSON log."""
+    import json
+    model, params, constants, image = _tiny_model()
+    pc = default_proto_class(6, 3)
+    res = local_analysis(model, params, constants, pc, image, top_k=2,
+                         save_dir=str(tmp_path), per_class_top=2)
+    assert "per_class" in res and len(res["per_class"]) >= 1
+    d = tmp_path / "top-1_class_prototypes"
+    assert d.is_dir()
+    with open(d / "log.json") as f:
+        log = json.load(f)
+    # 2 prototypes per class in the default identity (6 protos / 3 cls)
+    assert len(log["prototypes"]) == 2
+    e = log["prototypes"][0]
+    assert e["class_identity"] == log["class"]
+    assert np.isfinite(e["activation"])
+    assert np.isfinite(e["last_layer_connection"])
+    # activation-sorted within the class
+    acts = [p["activation"] for p in log["prototypes"]]
+    assert acts == sorted(acts, reverse=True)
+    # overlay + crop per prototype + log.json
+    assert len(os.listdir(d)) == 5
