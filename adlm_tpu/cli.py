@@ -572,6 +572,20 @@ def cmd_analyze_local(args):
                               ds.img_ids[args.index]),
         denorm=make_denorm(cfg.data),
         per_class_top=args.per_class_top)
+    # link each top prototype's push artifacts into the analysis dir
+    # (the reference renders the prototype's own source image + bbox,
+    # local_analysis.py:215-228; ours were written at push time)
+    proto_dir = os.path.join(args.run_dir, "prototypes")
+    out_dir = os.path.join(args.run_dir, "local_analysis",
+                           ds.img_ids[args.index])
+    if os.path.isdir(proto_dir):
+        import glob as _glob
+        import shutil as _shutil
+        for rank, j in enumerate(res["top_prototypes"]):
+            for src in _glob.glob(os.path.join(
+                    proto_dir, "*", f"prototype-img_{int(j)}-*.png")):
+                _shutil.copy(src, os.path.join(
+                    out_dir, f"top-{rank + 1}_" + os.path.basename(src)))
     print(json.dumps({
         "top_prototypes": res["top_prototypes"].tolist(),
         "top_classes": res["top_classes"].tolist(),

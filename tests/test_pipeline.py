@@ -223,3 +223,40 @@ def test_validate_covers_full_val_split_deterministically(tmp_path):
               {"n_correct": 0.0, "n_patches": 1.0},
               None, val_ds, batch_size=2, val_batches=1)
     assert len(seen3) == 1
+
+
+def test_analyze_cli_with_push_artifacts(tmp_path):
+    """analyze-local/analyze-global CLI end-to-end: per-class sections
+    and linking the top prototypes' push artifacts (reference
+    local_analysis.py:215-228) into the analysis dir."""
+    import glob
+    from adlm_tpu.train.pipeline import run_protoseg_training
+    from adlm_tpu.cli import main as cli_main
+
+    data_root = str(tmp_path / "data")
+    run_dir = str(tmp_path / "run")
+    _write_fake_dataset(data_root)
+    cfg = _tiny_experiment("tiny_e2e_analysis")
+    run_protoseg_training(cfg, run_dir, data_path=data_root,
+                          val_every=2, val_batches=1,
+                          save_push_visualizations=True)
+    assert glob.glob(os.path.join(run_dir, "prototypes", "*",
+                                  "prototype-img_*-original.png"))
+
+    cli_main(["analyze-local", run_dir, "push", "--split", "val",
+              "--data-path", data_root, "--index", "0", "--top-k", "2",
+              "--per-class-top", "1"])
+    out = os.path.join(run_dir, "local_analysis", "val0")
+    files = os.listdir(out)
+    # overlays + crops for top-2 prototypes
+    assert any(f.startswith("top-1_prototype") for f in files), files
+    # per-class section
+    assert os.path.exists(os.path.join(out, "top-1_class_prototypes",
+                                       "log.json"))
+    # linked push artifacts for surviving top prototypes
+    assert any("original" in f for f in files), files
+
+    cli_main(["analyze-global", run_dir, "push", "--split", "val",
+              "--data-path", data_root, "--k", "2"])
+    g = os.path.join(run_dir, "global_analysis")
+    assert os.path.exists(os.path.join(g, "full_class_id.npy"))
