@@ -472,6 +472,14 @@ def cmd_unoise_visualize(args):
 
     imp = unoise_importance(noise_model, noise_v, image_j)[0, :, :, 0]
     save_heat(1.0 - imp, "unoise_importance.png")
+    # threshold ablation: keep pixels whose noise tolerance B is below
+    # each threshold (reference make_visualizations.py:193-198)
+    B = np.asarray(imp)
+    denorm = np.clip(image * 0.225 + 0.45, 0, 1)
+    for threshold in np.linspace(0.0, 1.0, 11):
+        masked = denorm * (B <= threshold)[..., None]
+        Image.fromarray((masked * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"threshold_{threshold:.1f}.png"))
     heat = grad_cam(util_model, util_v, image_j, x=W // 2, y=H // 2)
     save_heat(heat, "grad_cam.png")
     occ = occlusion_sensitivity(util_model, util_v, image_j, mask_j,
