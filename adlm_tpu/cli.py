@@ -461,12 +461,15 @@ def cmd_unoise_visualize(args):
     os.makedirs(out_dir, exist_ok=True)
     H, W = image.shape[0], image.shape[1]
 
+    # approximate inverse of the U-Noise ImageNet normalization on
+    # tiled grayscale (mean≈0.45, std≈0.225 averaged across channels)
+    denorm_img = np.clip(image * 0.225 + 0.45, 0, 1)
+
     def save_heat(heat, name):
         hn = (heat - heat.min()) / max(heat.max() - heat.min(), 1e-12)
         if hn.shape != (H, W):
             hn = upsample_cubic(hn, (H, W))
-        rgb = np.clip(0.5 * (image * 0.225 + 0.45) +
-                      0.5 * jet_colormap(hn), 0, 1)
+        rgb = np.clip(0.5 * denorm_img + 0.5 * jet_colormap(hn), 0, 1)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(out_dir, name))
 
@@ -475,9 +478,8 @@ def cmd_unoise_visualize(args):
     # threshold ablation: keep pixels whose noise tolerance B is below
     # each threshold (reference make_visualizations.py:193-198)
     B = np.asarray(imp)
-    denorm = np.clip(image * 0.225 + 0.45, 0, 1)
     for threshold in np.linspace(0.0, 1.0, 11):
-        masked = denorm * (B <= threshold)[..., None]
+        masked = denorm_img * (B <= threshold)[..., None]
         Image.fromarray((masked * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"threshold_{threshold:.1f}.png"))
     heat = grad_cam(util_model, util_v, image_j, x=W // 2, y=H // 2)
@@ -552,6 +554,40 @@ def cmd_unoise_figures(args):
                      indent=2))
 
 
+def _push_time_indices(run_dir, stage, n_current):
+    """Map current checkpoint prototype indices to the push-time
+    indices used in artifact filenames.
+
+    Push dedup compacts indices and records the kept ORIGINAL indices
+    in prototypes/unique_prototypes.json; pruning compacts again
+    (removed push-stage indices recorded in prune_info.npy).  Returns
+    None when the mapping can't be reconstructed (never link wrong
+    artifacts — prototype identity is explicit, see CLAUDE.md).
+    """
+    uniq_path = os.path.join(run_dir, "prototypes",
+                             "unique_prototypes.json")
+    orig = None
+    if os.path.exists(uniq_path):
+        with open(uniq_path) as f:
+            orig = json.load(f)          # push-stage current -> original
+    if stage == "pruned":
+        pi_path = os.path.join(run_dir, "prune_info.npy")
+        if not os.path.exists(pi_path):
+            return None
+        pruned = {int(r[0]) for r in np.load(pi_path).reshape(-1, 2)}
+        n_push = len(orig) if orig is not None else n_current + len(pruned)
+        idx = [j for j in range(n_push) if j not in pruned]
+        if len(idx) != n_current:
+            return None
+    else:
+        idx = list(range(n_current))
+    if orig is not None:
+        if idx and max(idx) >= len(orig):
+            return None
+        idx = [int(orig[j]) for j in idx]
+    return idx
+
+
 def cmd_analyze_local(args):
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -582,16 +618,21 @@ def cmd_analyze_local(args):
         per_class_top=args.per_class_top)
     # link each top prototype's push artifacts into the analysis dir
     # (the reference renders the prototype's own source image + bbox,
-    # local_analysis.py:215-228; ours were written at push time)
+    # local_analysis.py:215-228; ours were written at push time).
+    # Artifact filenames carry PUSH-TIME indices; dedup and pruning
+    # both compact indices afterwards, so map through the recorded
+    # unique_prototypes.json / prune_info.npy (see _push_time_indices).
     proto_dir = os.path.join(args.run_dir, "prototypes")
     out_dir = os.path.join(args.run_dir, "local_analysis",
                            ds.img_ids[args.index])
-    if os.path.isdir(proto_dir):
+    orig_idx = _push_time_indices(args.run_dir, args.stage, n_proto)
+    if os.path.isdir(proto_dir) and orig_idx is not None:
         import glob as _glob
         import shutil as _shutil
         for rank, j in enumerate(res["top_prototypes"]):
             for src in _glob.glob(os.path.join(
-                    proto_dir, "*", f"prototype-img_{int(j)}-*.png")):
+                    proto_dir, "*",
+                    f"prototype-img_{orig_idx[int(j)]}-*.png")):
                 _shutil.copy(src, os.path.join(
                     out_dir, f"top-{rank + 1}_" + os.path.basename(src)))
     print(json.dumps({

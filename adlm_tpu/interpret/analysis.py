@@ -66,6 +66,18 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
         "top_activations": act_max[order],
         "own_class_is_strongest": sanity,
     }
+    if per_class_top:
+        # rank predicted classes by pixel share (the segmentation
+        # stand-in for the reference's image-level top-k logits); the
+        # ranking is always returned — only artifacts need save_dir
+        pc_np = np.asarray(proto_class)
+        counts = np.bincount(pred.reshape(-1), minlength=w.shape[1])
+        top_cls = [int(c) for c in np.argsort(-counts)[:per_class_top]
+                   if counts[c] > 0]
+        result["per_class"] = {
+            c: np.nonzero(pc_np == c)[0][
+                np.argsort(-act_max[pc_np == c])]
+            for c in top_cls}
 
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
@@ -74,9 +86,17 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
         else:
             img = (denorm or _denorm)(image[0])
         H, W = img.shape[0], img.shape[1]
+        up_cache: Dict[int, np.ndarray] = {}
+
+        def a_up_for(j):
+            j = int(j)
+            if j not in up_cache:
+                up_cache[j] = vz.upsample_cubic(
+                    np.asarray(act[0, :, :, j]), (H, W))
+            return up_cache[j]
+
         for rank, j in enumerate(order):
-            a = np.asarray(act[0, :, :, j])
-            a_up = vz.upsample_cubic(a, (H, W))
+            a_up = a_up_for(j)
             overlay = vz._overlay(img, vz.normalize01(a_up))
             vz._save(os.path.join(
                 save_dir,
@@ -90,23 +110,13 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
         if per_class_top:
             import json
             pc_np = np.asarray(proto_class)
-            # rank predicted classes by pixel share (the segmentation
-            # stand-in for the reference's image-level top-k logits)
-            counts = np.bincount(pred.reshape(-1),
-                                 minlength=w.shape[1])
-            top_classes = np.argsort(-counts)[:per_class_top]
-            result["per_class"] = {}
-            for ci, c in enumerate(int(c) for c in top_classes
-                                   if counts[c] > 0):
+            for ci, (c, order_c) in enumerate(result["per_class"].items()):
                 cdir = os.path.join(save_dir,
                                     f"top-{ci + 1}_class_prototypes")
                 os.makedirs(cdir, exist_ok=True)
-                protos = np.nonzero(pc_np == c)[0]
-                order_c = protos[np.argsort(-act_max[protos])]
                 log_entries = []
                 for rank, j in enumerate(order_c):
-                    a_up = vz.upsample_cubic(
-                        np.asarray(act[0, :, :, j]), (H, W))
+                    a_up = a_up_for(j)
                     vz._save(os.path.join(
                         cdir, f"top-{rank + 1}_activated_prototype_"
                               f"{int(j)}.png"),
@@ -127,7 +137,6 @@ def local_analysis(model: PPNet, params: Any, constants: Any,
                                "pixel_count": int(counts[c]),
                                "prototypes": log_entries}, fjs,
                               indent=2)
-                result["per_class"][c] = order_c
     return result
 
 

@@ -62,16 +62,19 @@ ITERS = 8
 H, W = 1024, 2048
 
 
-ATTEMPT_TIMEOUT_S = 1500  # covers a full cold compile of every metric
-RETRY_SLEEP_S = 300       # the wedged relay recovers in ~10-40 min
+ATTEMPT_TIMEOUT_S = 1800  # covers a full cold compile of every metric;
+# a killed-mid-compile attempt still helps: completed compiles persist
+# in .jax_cache, so the retry resumes further along
+WEDGE_SLEEP_S = 300       # the wedged relay recovers in ~10-40 min
+ERROR_SLEEP_S = 15        # transient INTERNAL errors retry quickly
 
 
 def main() -> None:
     # The remote TPU relay occasionally throws transient INTERNAL
     # errors AND occasionally wedges entirely (every call hangs, no
     # errors — see CLAUDE.md).  Each attempt therefore runs in a
-    # subprocess with a hard timeout; on failure we sleep long enough
-    # for the relay watchdog to restart it and try again.
+    # subprocess with a hard timeout; a timeout (= wedge) waits for the
+    # relay watchdog, a fast error retries quickly.
     import subprocess
     import sys
 
@@ -80,6 +83,7 @@ def main() -> None:
 
     last = None
     for attempt in range(3):
+        sleep_s = ERROR_SLEEP_S
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
@@ -87,6 +91,10 @@ def main() -> None:
                 timeout=ATTEMPT_TIMEOUT_S, capture_output=True,
                 text=True)
             out = proc.stdout.strip()
+            # forward the child's "# ..." diagnostics (e.g. a skipped
+            # extra metric) to stderr so they aren't silently dropped
+            for line in out.splitlines()[:-1]:
+                print(line, file=sys.stderr, flush=True)
             if proc.returncode == 0 and '"metric"' in out:
                 print(out.splitlines()[-1], flush=True)
                 return
@@ -94,9 +102,10 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             last = f"attempt timed out after {ATTEMPT_TIMEOUT_S}s " \
                    "(relay wedge?)"
+            sleep_s = WEDGE_SLEEP_S
         print(f"# bench attempt {attempt + 1} failed: {last}", flush=True)
         if attempt < 2:
-            time.sleep(RETRY_SLEEP_S)
+            time.sleep(sleep_s)
     raise RuntimeError(f"bench failed after 3 attempts: {last}")
 
 

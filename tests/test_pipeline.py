@@ -260,3 +260,33 @@ def test_analyze_cli_with_push_artifacts(tmp_path):
               "--data-path", data_root, "--k", "2"])
     g = os.path.join(run_dir, "global_analysis")
     assert os.path.exists(os.path.join(g, "full_class_id.npy"))
+
+
+def test_push_time_index_mapping(tmp_path):
+    """analyze-local artifact links must survive BOTH index
+    compactions: push dedup (unique_prototypes.json) and pruning
+    (prune_info.npy) — prototype identity is never contiguous after
+    either (CLAUDE.md convention)."""
+    import json as _json
+    from adlm_tpu.cli import _push_time_indices
+
+    run = str(tmp_path)
+    os.makedirs(os.path.join(run, "prototypes"))
+    # push started with 6 prototypes, dedup removed originals 2 and 4
+    with open(os.path.join(run, "prototypes",
+                           "unique_prototypes.json"), "w") as f:
+        _json.dump([0, 1, 3, 5], f)
+
+    # push stage: current 0..3 -> originals
+    assert _push_time_indices(run, "push", 4) == [0, 1, 3, 5]
+
+    # pruning then removed push-stage indices 1 and 2 (originals 1, 3)
+    np.save(os.path.join(run, "prune_info.npy"),
+            np.asarray([[1, 0], [2, 1]], np.int64))
+    assert _push_time_indices(run, "pruned", 2) == [0, 5]
+
+    # inconsistent count -> refuse to link rather than mislabel
+    assert _push_time_indices(run, "pruned", 3) is None
+    # pruned stage without prune_info -> refuse
+    os.remove(os.path.join(run, "prune_info.npy"))
+    assert _push_time_indices(run, "pruned", 2) is None
