@@ -820,6 +820,9 @@ def main(argv=None):
     up.add_argument("--epochs", type=int, default=100)
     up.add_argument("--bf16", action="store_true",
                     help="bf16 UNet forward/backward (MXU)")
+    up.add_argument("--mesh-data", type=int, default=0,
+                    help="data-parallel mesh axis size (0 = single "
+                         "device); batch must be divisible by it")
     up.set_defaults(fn=cmd_unoise_train_util)
 
     np_ = sub.add_parser("unoise-train-noise")
@@ -841,6 +844,9 @@ def main(argv=None):
     np_.add_argument("--noise-coeff", type=float, default=0.001)
     np_.add_argument("--bf16", action="store_true",
                      help="bf16 UNet forward/backward (MXU)")
+    np_.add_argument("--mesh-data", type=int, default=0,
+                     help="data-parallel mesh axis size (0 = single "
+                          "device); batch must be divisible by it")
     np_.set_defaults(fn=cmd_unoise_train_noise)
 
     for name, module_fn in (

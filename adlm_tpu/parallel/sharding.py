@@ -83,3 +83,40 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
         in_shardings=(repl, repl, repl, img_shard, lab_shard) + extra,
         out_shardings=None,
     )
+
+
+def make_sharded_utility_step(cfg, mesh: Mesh, donate: bool = False):
+    """dp-sharded U-Noise utility train step: batch over ``data``,
+    UNet params/optimizer state replicated; gradient AND batch-norm
+    batch-statistics reductions become psums over ICI (flax BatchNorm
+    computes batch means/vars with global reductions, so sharded-batch
+    running stats equal the single-device ones up to fp reassociation).
+    """
+    from adlm_tpu.train.unoise import make_utility_train_step
+
+    inner = make_utility_train_step(cfg)
+    repl = replicated(mesh)
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        inner.__wrapped__,
+        in_shardings=(repl, dp, dp),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_noise_step(cfg, mesh: Mesh, donate: bool = False):
+    """dp-sharded U-Noise noise-model step (frozen utility replicated;
+    the per-step RNG is replicated so every shard draws the same noise
+    for its own batch slice)."""
+    from adlm_tpu.train.unoise import make_noise_train_step
+
+    inner = make_noise_train_step(cfg)
+    repl = replicated(mesh)
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        inner.__wrapped__,
+        in_shardings=(repl, dp, dp, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -64,7 +64,17 @@ def train_utility(args) -> Any:
     sample, _ = train_ds[0]
     state = init_utility_state(cfg, jax.random.PRNGKey(0),
                                jnp.asarray(sample[None]))
-    step = make_utility_train_step(cfg)
+    mesh_data = getattr(args, "mesh_data", 0)
+    if mesh_data:
+        from adlm_tpu.core.mesh import MeshSpec, make_mesh
+        from adlm_tpu.parallel.sharding import (
+            make_sharded_utility_step, shard_state)
+        mesh = make_mesh(MeshSpec(data=mesh_data),
+                         devices=jax.devices()[:mesh_data])
+        state = shard_state(state, mesh)
+        step = make_sharded_utility_step(cfg, mesh)
+    else:
+        step = make_utility_train_step(cfg)
     evaluate = make_utility_eval_step(cfg)
 
     # record the utility architecture so the noise trainer can rebuild
@@ -77,7 +87,8 @@ def train_utility(args) -> Any:
     for epoch in range(cfg.epochs):
         from adlm_tpu.data.pipeline import BatchLoader
         loader = BatchLoader(batches(train_ds, cfg.batch_size,
-                                     shuffle=True, seed=epoch, n_jobs=4))
+                                     shuffle=True, seed=epoch, n_jobs=4,
+                                     drop_last=bool(mesh_data)))
         try:
             for imgs, masks in loader:
                 state, loss = step(state, jnp.asarray(imgs),
@@ -149,7 +160,17 @@ def train_noise(args) -> Any:
         util=FrozenUtility(params=util_payload["params"],
                            batch_stats=util_payload["batch_stats"]),
         pretrained_params=pre_params, pretrained_batch_stats=pre_bs)
-    step = make_noise_train_step(cfg)
+    mesh_data = getattr(args, "mesh_data", 0)
+    if mesh_data:
+        from adlm_tpu.core.mesh import MeshSpec, make_mesh
+        from adlm_tpu.parallel.sharding import (
+            make_sharded_noise_step, shard_state)
+        mesh = make_mesh(MeshSpec(data=mesh_data),
+                         devices=jax.devices()[:mesh_data])
+        state = shard_state(state, mesh)
+        step = make_sharded_noise_step(cfg, mesh)
+    else:
+        step = make_noise_train_step(cfg)
     evaluate = make_noise_eval_step(cfg)
 
     # record the noise architecture so visualization/figures commands
@@ -163,7 +184,8 @@ def train_noise(args) -> Any:
     for epoch in range(cfg.epochs):
         from adlm_tpu.data.pipeline import BatchLoader
         loader = BatchLoader(batches(train_ds, cfg.batch_size,
-                                     shuffle=True, seed=epoch, n_jobs=4))
+                                     shuffle=True, seed=epoch, n_jobs=4,
+                                     drop_last=bool(mesh_data)))
         try:
             for imgs, masks in loader:
                 rng, sub = jax.random.split(rng)

@@ -149,3 +149,70 @@ def test_sharded_fused_accumulation_matches_scan():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
         s1.params, s2.params)
+
+
+def test_sharded_unoise_steps_match_single_device():
+    """dp-sharded U-Noise utility and noise steps equal single-device
+    (params, running stats, and loss) on the CPU mesh."""
+    from adlm_tpu.core.config import UNoiseConfig
+    from adlm_tpu.parallel.sharding import (
+        make_sharded_noise_step, make_sharded_utility_step)
+    from adlm_tpu.train.unoise import (
+        init_noise_state, init_utility_state, make_noise_train_step,
+        make_utility_train_step)
+
+    cfg = UNoiseConfig(depth=2, channel_factor=3, util_depth=2,
+                       util_channel_factor=3)
+    rng = np.random.RandomState(17)
+    images = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(8, 32, 32, 1) > 0.5).astype(np.float32))
+    mesh = make_mesh(MeshSpec(data=8))
+
+    from adlm_tpu.models.unet import UNet
+    from adlm_tpu.ops.losses import bce_with_logits
+
+    ustate = init_utility_state(cfg, jax.random.PRNGKey(17), images)
+    u1, l1 = make_utility_train_step(cfg)(ustate, images, masks)
+    us = shard_state(ustate, mesh)
+    u2, l2 = make_sharded_utility_step(cfg, mesh)(us, images, masks)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # BN running stats are pure batch means/vars — psum-exact
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        u1.batch_stats, u2.batch_stats)
+
+    # gradient parity (comparing post-Adam params is meaningless on a
+    # first step: update ≈ ±lr·sign(g), so fp reassociation on a
+    # near-zero gradient flips the whole update)
+    model = UNet(out_channels=1, depth=cfg.util_depth,
+                 cf=cfg.util_channel_factor)
+
+    def loss(params, imgs, msks):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": ustate.batch_stats},
+            imgs, train=True, mutable=["batch_stats"])
+        return bce_with_logits(logits, msks)
+
+    g1 = jax.jit(jax.grad(loss))(ustate.params, images, masks)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    dp = jax.sharding.NamedSharding(mesh,
+                                    jax.sharding.PartitionSpec("data"))
+    g2 = jax.jit(jax.grad(loss),
+                 in_shardings=(rep, dp, dp))(
+        jax.device_put(ustate.params, rep),
+        jax.device_put(images, dp), jax.device_put(masks, dp))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-6),
+        g1, g2)
+
+    nstate = init_noise_state(cfg, jax.random.PRNGKey(18), images, u1)
+    key = jax.random.PRNGKey(19)
+    n1, m1 = make_noise_train_step(cfg)(nstate, images, masks, key)
+    ns = shard_state(nstate, mesh)
+    n2, m2 = make_sharded_noise_step(cfg, mesh)(ns, images, masks, key)
+    np.testing.assert_allclose(float(m1["train_loss"]),
+                               float(m2["train_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["mean_B"]), float(m2["mean_B"]),
+                               rtol=1e-5)
