@@ -72,7 +72,8 @@ def cmd_train(args):
         push_batch_size=args.push_batch_size,
         pretrained_path=args.pretrained,
         pretrained_naming="deeplab" if cfg.load_coco else "torchvision",
-        mesh=mesh, trace_dir=args.trace_dir)
+        mesh=mesh, trace_dir=args.trace_dir,
+        val_augment=args.val_augment)
 
 
 def cmd_eval_valid(args):
@@ -106,9 +107,12 @@ def cmd_eval_valid(args):
     if args.windowed:
         from adlm_tpu.interpret.windowed import WindowedSegEvaluator
         wh, ww = (int(x) for x in args.windowed.split(","))
-        ev = WindowedSegEvaluator(model, cfg.model.num_classes, (wh, ww))
-        if args.stats:
-            raise SystemExit("--stats is not supported with --windowed")
+        if args.stats_upsampled:
+            raise SystemExit(
+                "--stats-upsampled is whole-image only; use --stats "
+                "with --windowed for the memory-bounded grid statistics")
+        ev = WindowedSegEvaluator(model, cfg.model.num_classes, (wh, ww),
+                                  with_stats=args.stats)
     else:
         ev = SegEvaluator(model, cfg.model.num_classes,
                           with_stats=args.stats,
@@ -128,10 +132,14 @@ def cmd_eval_valid(args):
         out = ev.update(params, payload["constants"], proto_class, img, lab)
         if acc is not None:
             # padded tail images (all-void, zero image) are excluded —
-            # nearest-prototype counts have no void mask to drop them
-            acc.update(np.asarray(out["stat_pred"])[:n_real],
-                       np.asarray(out["nearest_proto"])[:n_real],
-                       topk_purity=np.asarray(out["topk_purity"])[:n_real])
+            # nearest-prototype counts have no void mask to drop them.
+            # The windowed path stacks n_wins count maps per image
+            # (image-major) but yields ONE window-mean purity per image.
+            nw = out.get("stat_windows", 1)
+            acc.update(np.asarray(out["stat_pred"])[:n_real * nw],
+                       np.asarray(out["nearest_proto"])[:n_real * nw],
+                       topk_purity=np.asarray(out["topk_purity"])[:n_real],
+                       n_images=n_real)
         n_images += n_real
         if args.max_images and n_images >= args.max_images:
             break
@@ -296,8 +304,10 @@ def cmd_cls_train(args):
         cfg, run_dir,
         train_batches=lambda: train_ds.batches(args.batch_size,
                                                shuffle=True, seed=0),
-        test_batches=lambda: test_ds.batches(args.test_batch_size),
-        push_batches=lambda: push_ds.batches(args.push_batch_size),
+        test_batches=lambda: test_ds.batches(args.test_batch_size,
+                                             with_count=True),
+        push_batches=lambda: push_ds.batches(args.push_batch_size,
+                                             with_count=True),
         target_accuracy=args.target_accuracy,
         last_layer_iterations=args.last_layer_iterations,
         push_every=args.push_every,
@@ -344,7 +354,7 @@ def cmd_cls_prune(args):
         or train_dir
     push_ds = ImageFolderDataset(push_dir, cfg.model.img_size)
     new_params, new_pc, prune_info = prune_classification_prototypes(
-        model, state, push_ds.batches(args.batch_size),
+        model, state, push_ds.batches(args.batch_size, with_count=True),
         k=args.k, prune_threshold=args.threshold)
     np.save(os.path.join(run_dir, "cls_prune_info.npy"), prune_info)
 
@@ -376,7 +386,8 @@ def cmd_cls_prune(args):
                                 train_ds.batches(args.batch_size,
                                                  shuffle=True, seed=it))
             acc = _evaluate(eval_fn, state_l,
-                            test_ds.batches(args.batch_size))
+                            test_ds.batches(args.batch_size,
+                                            with_count=True))
             print(f"pruned last-layer iter {it}: accuracy {acc:.4f}")
         final = state_l
     else:
@@ -729,6 +740,12 @@ def main(argv=None):
                     help="write a jax.profiler trace of one "
                          "steady-state window per phase under "
                          "<dir>/<stage>/ (view with TensorBoard)")
+    tp.add_argument("--val-augment", action="store_true",
+                    help="reference quirk parity: apply the random "
+                         "scale/crop/flip chain to validation data too "
+                         "(reference dataset.py:119-173), making "
+                         "best-checkpoint selection comparable to the "
+                         "reference's noisy-val behaviour")
     tp.set_defaults(fn=cmd_train)
 
     for name, fn in (("eval-valid", cmd_eval_valid),

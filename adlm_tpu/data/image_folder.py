@@ -66,11 +66,16 @@ class ImageFolderDataset:
         return x, label
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                seed: int = 0
-                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                seed: int = 0, with_count: bool = False) -> Iterator:
         """(B, S, S, 3) float32 / (B,) int32 batches.  The final partial
         batch wraps around to the start so the jitted train step never
-        sees a new batch shape."""
+        sees a new batch shape.
+
+        ``with_count=True`` yields ``(images, labels, n_valid)`` triples
+        where ``n_valid < batch_size`` marks the wrapped tail batch —
+        use it on eval / k-nearest / push paths so duplicated wrap
+        images don't double-count (they'd bias test accuracy and could
+        double-vote a prototype's k-nearest slots)."""
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -79,5 +84,8 @@ class ImageFolderDataset:
             idxs = [int(order[(b * batch_size + j) % len(self)])
                     for j in range(batch_size)]
             items = [self.load(i) for i in idxs]
-            yield (np.stack([im for im, _ in items]),
+            out = (np.stack([im for im, _ in items]),
                    np.asarray([lb for _, lb in items], np.int32))
+            if with_count:
+                out = (*out, min(len(self) - b * batch_size, batch_size))
+            yield out

@@ -90,12 +90,16 @@ def _bilinear_gather(x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
 
     Args:
       x: (B, h, w, P).
-      rows, cols: (n,) int32 output coordinates.
+      rows, cols: (n,) shared or (B, n) per-image int32 output
+        coordinates (the reference draws fresh pixels per image,
+        eval_valid.py:203-204).
 
     Returns:
       (B, n, P) sampled values.
     """
-    h, w = x.shape[1], x.shape[2]
+    B, h, w = x.shape[0], x.shape[1], x.shape[2]
+    rows = jnp.broadcast_to(jnp.atleast_2d(rows), (B, rows.shape[-1]))
+    cols = jnp.broadcast_to(jnp.atleast_2d(cols), (B, cols.shape[-1]))
     sy = jnp.clip((rows.astype(jnp.float32) + 0.5) * (h / out_h) - 0.5,
                   0.0, h - 1.0)
     sx = jnp.clip((cols.astype(jnp.float32) + 0.5) * (w / out_w) - 0.5,
@@ -104,12 +108,13 @@ def _bilinear_gather(x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     x0 = jnp.floor(sx).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (sy - y0)[None, :, None]
-    wx = (sx - x0)[None, :, None]
-    v00 = x[:, y0, x0]
-    v01 = x[:, y0, x1]
-    v10 = x[:, y1, x0]
-    v11 = x[:, y1, x1]
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+    bidx = jnp.arange(B)[:, None]
+    v00 = x[bidx, y0, x0]
+    v01 = x[bidx, y0, x1]
+    v10 = x[bidx, y1, x0]
+    v11 = x[bidx, y1, x1]
     return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
             v10 * wy * (1 - wx) + v11 * wy * wx)
 
@@ -150,9 +155,10 @@ def make_inference_fn(model: PPNet, num_classes: int,
     → dict with per-class intersection/union, correct/total pixel
     counts, and the full-res prediction.
 
-    With stats, the signature gains ``(u, v)`` — two (n,) float arrays
-    in [0, 1) locating the reference's random sample pixels
-    (eval_valid.py:201-204); they are scaled to the stats grid inside
+    With stats, the signature gains ``(u, v)`` — two (B, n) (or shared
+    (n,)) float arrays in [0, 1) locating the reference's random sample
+    pixels, drawn per image like the reference (eval_valid.py:201-204);
+    they are scaled to the stats grid inside
     the jit (whose size depends on ``stats_upsampled``).  The output
     gains ``stat_pred``/``nearest_proto``/``nearest_proto_class`` maps
     at the stats resolution and a ``topk_purity`` (B, P) vector.
@@ -191,13 +197,25 @@ def make_inference_fn(model: PPNet, num_classes: int,
                "correct": correct, "total": total, "pred": pred}
 
         if with_stats:
-            u, v = uv
+            B = images.shape[0]
+            # per-image sample pixels (reference eval_valid.py:203-204
+            # draws fresh pixels per image); shared (n,) broadcasts
+            u = jnp.broadcast_to(jnp.atleast_2d(uv[0]),
+                                 (B, uv[0].shape[-1]))
+            v = jnp.broadcast_to(jnp.atleast_2d(uv[1]),
+                                 (B, uv[1].shape[-1]))
+            bidx = jnp.arange(B)[:, None]
             if stats_upsampled:
                 # reference parity: statistics on bilinearly upsampled
                 # distances at label resolution (eval_valid.py:172-214)
                 sh, sw = H, W
                 stat_pred = pred
-                nearest = upsampled_nearest(dist, (H, W), proto_chunk)
+                # clamp the chunked-scan width so the (B, H, W, chunk)
+                # resize buffer stays ≤ ~256 MB f32 (the remote-relay
+                # device-buffer limit; chunk is static at trace time)
+                chunk = max(1, min(proto_chunk,
+                                   (64 * 1024 * 1024) // (B * H * W)))
+                nearest = upsampled_nearest(dist, (H, W), chunk)
                 rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
                 cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
                 sample_d = _bilinear_gather(dist, rows, cols, sh, sw)
@@ -208,8 +226,8 @@ def make_inference_fn(model: PPNet, num_classes: int,
                 nearest = jnp.argmin(dist, axis=-1).astype(jnp.int32)
                 rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
                 cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
-                sample_d = dist[:, rows, cols]                # (B,n,P)
-            sample_pred = stat_pred[:, rows, cols]            # (B,n)
+                sample_d = dist[bidx, rows, cols]             # (B,n,P)
+            sample_pred = stat_pred[bidx, rows, cols]         # (B,n)
             out["stat_pred"] = stat_pred
             out["nearest_proto"] = nearest
             out["nearest_proto_class"] = proto_class[nearest]
@@ -255,9 +273,10 @@ class SegEvaluator:
     With ``with_stats`` the single jitted forward also returns the
     interpretability-stat maps (feed them to ``ProtoStatsAccumulator``)
     — no second forward per batch.  Random sample-pixel locations are
-    drawn host-side per batch from a seeded RNG and passed into the jit
-    as [0,1) floats (scaled to the stats grid inside, so the same fn
-    serves both grid and upsampled resolutions).
+    drawn host-side PER IMAGE (matching reference eval_valid.py:203-204)
+    from a seeded RNG and passed into the jit as (B, n) [0,1) floats
+    (scaled to the stats grid inside, so the same fn serves both grid
+    and upsampled resolutions).
     """
 
     def __init__(self, model: PPNet, num_classes: int,
@@ -281,9 +300,10 @@ class SegEvaluator:
                ) -> Dict[str, Any]:
         args = ()
         if self.with_stats:
-            args = (jnp.asarray(self.rng.random_sample(self.n_random),
+            B = np.asarray(images).shape[0]
+            args = (jnp.asarray(self.rng.random_sample((B, self.n_random)),
                                 jnp.float32),
-                    jnp.asarray(self.rng.random_sample(self.n_random),
+                    jnp.asarray(self.rng.random_sample((B, self.n_random)),
                                 jnp.float32))
         out = self.fn(params, constants, proto_class,
                       jnp.asarray(images), jnp.asarray(labels), *args)

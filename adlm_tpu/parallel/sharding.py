@@ -76,7 +76,7 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
     else:
         img_shard = lab_shard = NamedSharding(mesh, P(DATA_AXIS))
 
-    # with_stats adds the two (n,) sample-coordinate args (replicated)
+    # with_stats adds the two (B, n) sample-coordinate args (replicated)
     extra = (repl, repl) if with_stats else ()
     return jax.jit(
         inner.__wrapped__,

@@ -99,6 +99,15 @@ def classification_loss(logits: jnp.ndarray, min_distances: jnp.ndarray,
                   "n_correct": n_correct.astype(jnp.float32)}
 
 
+def _unpack_batch(batch) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Normalize ``(images, labels)`` / ``(images, labels, n_valid)``
+    batches (image_folder.batches with_count) to a triple."""
+    if len(batch) == 3:
+        return batch
+    images, labels = batch
+    return images, labels, images.shape[0]
+
+
 def _label_cls_params(params: Any) -> Any:
     def label(path, _leaf):
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
@@ -211,6 +220,9 @@ def make_cls_eval_step(model: PPNet, cfg: ClassificationConfig) -> Callable:
         _, metrics = classification_loss(
             logits, min_d, labels, state.proto_class,
             state.params["last_layer"], cfg)
+        # per-sample correctness so callers can drop wrap-padded tail
+        # images from accuracy (image_folder.batches with_count=True)
+        metrics["correct"] = jnp.argmax(logits, -1) == labels
         return metrics
 
     return step
@@ -222,15 +234,18 @@ def make_cls_push_batch_fn(model: PPNet) -> Callable:
 
     @jax.jit
     def fn(state: ClassifierState, images: jnp.ndarray,
-           labels: jnp.ndarray):
+           labels: jnp.ndarray, n_valid: jnp.ndarray):
         f = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, method=PPNet.conv_features)
         from adlm_tpu.ops.prototype import l2_distances
         d = l2_distances(f, state.params["prototype_vectors"])  # (B,h,w,P)
         B, h, w, P = d.shape
-        # only images whose label matches the prototype's class
-        eligible = (labels[:, None] == state.proto_class[None, :])
+        # only images whose label matches the prototype's class, and only
+        # real (non-wrap-padded) images — a padded duplicate winning the
+        # argmin would record an out-of-dataset image index
+        eligible = (labels[:, None] == state.proto_class[None, :]) \
+            & (jnp.arange(B) < n_valid)[:, None]
         masked = jnp.where(eligible[:, None, None, :], d, jnp.inf)
         flat = masked.transpose(3, 0, 1, 2).reshape(P, B * h * w)
         arg = jnp.argmin(flat, axis=1)
@@ -260,8 +275,10 @@ def push_classification_prototypes(
     gfmap = np.asarray(state.params["prototype_vectors"]).copy()
     boxes = np.full((P, 5), -1, dtype=np.int64)
     offset = 0
-    for images, labels in batches:
-        out = fn(state, jnp.asarray(images), jnp.asarray(labels))
+    for batch in batches:
+        images, labels, n_valid = _unpack_batch(batch)
+        out = fn(state, jnp.asarray(images), jnp.asarray(labels),
+                 jnp.asarray(n_valid))
         # one transfer per batch — per-element fetches cost a full relay
         # round-trip each on remote TPU backends
         mind, bi, pi, pj, fmap = jax.device_get(out)
@@ -307,8 +324,12 @@ def find_k_nearest_patches_classification(
     P = int(np.asarray(state.params["prototype_vectors"]).shape[0])
     top_d = np.full((P, k), np.inf)
     top_l = np.full((P, k), -1, dtype=np.int64)
-    for images, labels in batches:
-        md = np.asarray(fn(state, jnp.asarray(images)))       # (B, P)
+    for batch in batches:
+        images, labels, n_valid = _unpack_batch(batch)
+        # drop wrap-padded duplicates — they'd double-vote identical
+        # min-distances into a prototype's k nearest slots
+        md = np.asarray(fn(state, jnp.asarray(images)))[:n_valid]
+        labels = np.asarray(labels)[:n_valid]
         cat_d = np.concatenate([top_d, md.T], axis=1)         # (P, k+B)
         cat_l = np.concatenate(
             [top_l, np.broadcast_to(np.asarray(labels, np.int64),

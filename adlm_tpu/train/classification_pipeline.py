@@ -21,6 +21,7 @@ from adlm_tpu.models.ppnet import PPNet
 from adlm_tpu.train.classification import (
     ClassificationConfig,
     ClassifierState,
+    _unpack_batch,
     init_classifier_state,
     make_cls_eval_step,
     make_cls_push_batch_fn,
@@ -34,7 +35,8 @@ BatchIter = Callable[[], Iterable[Tuple[np.ndarray, np.ndarray]]]
 
 def _epoch(step_fn, state, batches):
     n_correct = n_total = 0
-    for images, labels in batches:
+    for batch in batches:
+        images, labels = batch[0], batch[1]
         state, m = step_fn(state, jnp.asarray(images), jnp.asarray(labels))
         n_correct += float(m["n_correct"])
         n_total += images.shape[0]
@@ -42,11 +44,14 @@ def _epoch(step_fn, state, batches):
 
 
 def _evaluate(eval_fn, state, batches):
+    """Test accuracy; wrap-padded tail images (with_count batches) are
+    excluded so they don't bias accuracy toward the first images."""
     n_correct = n_total = 0
-    for images, labels in batches:
+    for batch in batches:
+        images, labels, n_valid = _unpack_batch(batch)
         m = eval_fn(state, jnp.asarray(images), jnp.asarray(labels))
-        n_correct += float(m["n_correct"])
-        n_total += images.shape[0]
+        n_correct += float(np.sum(np.asarray(m["correct"])[:n_valid]))
+        n_total += n_valid
     return n_correct / max(n_total, 1)
 
 

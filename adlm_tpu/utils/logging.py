@@ -72,9 +72,10 @@ class RunLogger:
         row = {"step": step, "phase": phase, "split": split,
                **{k: float(v) for k, v in values.items()}}
         if self._tb is not None:
-            # scalar naming mirrors the reference's self.log calls
-            # (reference segmentation/module.py:246-256): <split>/<key>,
-            # with the stage disambiguating re-used step counters
+            # scalar naming extends the reference's <split>/<key> tags
+            # (reference segmentation/module.py:246-256) to
+            # <split>/<phase>/<key> — the phase disambiguates re-used
+            # step counters across training stages
             self._tb.add_scalars(step, {
                 f"{split}/{phase}/{k}": float(v)
                 for k, v in values.items()})

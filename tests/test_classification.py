@@ -191,3 +191,98 @@ def test_cls_cli_train_and_prune(tmp_path, monkeypatch):
     assert store.exists("pruned", "last")
     payload = store.restore("pruned", "last")
     assert np.asarray(payload["proto_class"]).shape[0] <= 6
+
+
+def test_image_folder_with_count_marks_wrapped_tail(tmp_path):
+    """batches(with_count=True) reports the real image count on the
+    wrap-padded tail batch; eval/k-nearest consumers use it to exclude
+    duplicated images (reference-free correctness fix)."""
+    from PIL import Image
+    from adlm_tpu.data.image_folder import ImageFolderDataset
+
+    rng = np.random.RandomState(3)
+    d = tmp_path / "alpha"
+    d.mkdir(parents=True)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 255, size=(8, 8, 3)).astype(
+            np.uint8)).save(d / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), img_size=8)
+
+    plain = list(ds.batches(2))
+    assert all(len(b) == 2 for b in plain)
+    counted = list(ds.batches(2, with_count=True))
+    assert [b[2] for b in counted] == [2, 2, 1]
+    # wrapped slot duplicates image 0
+    np.testing.assert_array_equal(counted[-1][0][1], counted[0][0][0])
+
+
+def test_evaluate_excludes_wrapped_duplicates(tmp_path):
+    """_evaluate over with_count batches counts each image exactly once."""
+    from adlm_tpu.train.classification_pipeline import _evaluate
+
+    cfg = tiny_cls_cfg()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(4)
+    images = rng.rand(3, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 3, size=(3,))
+    state = init_classifier_state(model, cfg, "warm",
+                                  jax.random.PRNGKey(4),
+                                  jnp.asarray(images))
+    ev = make_cls_eval_step(model, cfg)
+
+    # batch_size 2 with wrap: [img0, img1], [img2, img0(dup)]
+    wrapped = [(images[[0, 1]], labels[[0, 1]], 2),
+               (np.stack([images[2], images[0]]),
+                np.asarray([labels[2], labels[0]]), 1)]
+    acc_masked = _evaluate(ev, state, wrapped)
+    # ground truth: one batch of all 3 distinct images
+    acc_direct = _evaluate(ev, state, [(images, labels, 3)])
+    assert acc_masked == acc_direct
+
+
+def test_push_ignores_wrap_padded_images():
+    """A wrap-padded duplicate must never win the push argmin (its image
+    index would point outside the dataset)."""
+    cfg = tiny_cls_cfg()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(5)
+    images = rng.rand(4, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 3, size=(4,))
+    state = init_classifier_state(model, cfg, "warm",
+                                  jax.random.PRNGKey(5),
+                                  jnp.asarray(images))
+
+    _, info = push_classification_prototypes(
+        model, state, [(images, labels, 4)])
+    # same data with a wrapped second batch duplicating images 0-1:
+    # results must be identical and indices must stay < 4
+    batches = [(images, labels, 4),
+               (images[[0, 1, 2, 3]], labels, 0)]
+    _, info2 = push_classification_prototypes(model, state, batches)
+    np.testing.assert_array_equal(info["rf_boxes"], info2["rf_boxes"])
+    np.testing.assert_allclose(info["min_distances"],
+                               info2["min_distances"])
+
+
+def test_k_nearest_dedups_wrapped_tail():
+    """find_k_nearest over a wrapped iterator equals the unwrapped one."""
+    from adlm_tpu.train.classification import (
+        find_k_nearest_patches_classification)
+
+    cfg = tiny_cls_cfg()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(6)
+    images = rng.rand(3, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 3, size=(3,))
+    state = init_classifier_state(model, cfg, "warm",
+                                  jax.random.PRNGKey(6),
+                                  jnp.asarray(images))
+
+    direct = find_k_nearest_patches_classification(
+        model, state, [(images, labels, 3)], k=2)
+    wrapped = find_k_nearest_patches_classification(
+        model, state,
+        [(images[[0, 1]], labels[[0, 1]], 2),
+         (np.stack([images[2], images[0]]),
+          np.asarray([labels[2], labels[0]]), 1)], k=2)
+    np.testing.assert_array_equal(direct, wrapped)

@@ -242,3 +242,35 @@ def test_overlay_fn_and_save(tmp_path):
                           protos_per_class=2, title="t (push)")
     assert os.path.exists(tmp_path / "example_0_prediction.png")
     assert os.path.exists(tmp_path / "example_0_prototypes.png")
+
+
+def test_per_image_sample_pixels_match_per_image_calls():
+    """(B, n) per-image sample coordinates (reference parity: fresh
+    pixels per image, eval_valid.py:203-204): a batched stats call
+    equals two single-image calls with the respective coordinate rows."""
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=33)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(8)
+    images = rng.rand(2, 33, 33, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=(2, 33, 33))
+    v0 = model.init(jax.random.PRNGKey(8), jnp.asarray(images))
+    params, constants = v0["params"], v0.get("constants", {})
+    pc = default_proto_class(6, 3)
+    fn = make_inference_fn(model, 3, with_stats=True)
+
+    n = 10
+    u = jnp.asarray(rng.random_sample((2, n)).astype(np.float32))
+    v = jnp.asarray(rng.random_sample((2, n)).astype(np.float32))
+    batched = fn(params, constants, pc, jnp.asarray(images),
+                 jnp.asarray(labels), u, v)
+    for i in range(2):
+        single = fn(params, constants, pc, jnp.asarray(images[i:i + 1]),
+                    jnp.asarray(labels[i:i + 1]), u[i], v[i])
+        np.testing.assert_allclose(
+            np.asarray(batched["topk_purity"][i]),
+            np.asarray(single["topk_purity"][0]), rtol=1e-5, atol=1e-5)
+    # the two rows are genuinely different draws
+    assert not np.allclose(np.asarray(batched["topk_purity"][0]),
+                           np.asarray(batched["topk_purity"][1]))
