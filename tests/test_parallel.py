@@ -1,5 +1,7 @@
 """Multi-device tests on the virtual 8-CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -216,3 +218,60 @@ def test_sharded_unoise_steps_match_single_device():
                                float(m2["train_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m1["mean_B"]), float(m2["mean_B"]),
                                rtol=1e-5)
+
+
+def test_distributed_initialize_single_process_smoke():
+    """`train --distributed` path: jax.distributed.initialize in a
+    single-process group, then a dp-sharded train step over the local
+    mesh — run in a subprocess so the coordinator doesn't leak into
+    this process's backend state (multi-host proper needs real hosts;
+    this certifies the initialize + sharded-step wiring executes)."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:12377",
+                           num_processes=1, process_id=0)
+assert jax.process_count() == 1
+
+import numpy as np
+import jax.numpy as jnp
+from adlm_tpu.core.config import (DataConfig, ExperimentConfig,
+                                  PPNetConfig, TrainConfig)
+from adlm_tpu.core.mesh import MeshSpec, make_mesh
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.parallel.sharding import make_sharded_train_step, shard_state
+from adlm_tpu.train.protoseg import init_protoseg_state
+
+mesh = make_mesh(MeshSpec(data=-1))
+cfg = ExperimentConfig(
+    name="dist-smoke",
+    model=PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=33),
+    data=DataConfig(window_size=(33, 33)),
+    train=TrainConfig(iter_size=2))
+model = PPNet(cfg=cfg.model)
+rng = np.random.RandomState(0)
+bs = mesh.shape["data"]
+images = jnp.asarray(rng.rand(2, bs, 33, 33, 3).astype(np.float32))
+labels = jnp.asarray(rng.randint(0, 4, size=(2, bs, 33, 33)))
+state = shard_state(init_protoseg_state(
+    model, cfg, 1, 10, jax.random.PRNGKey(0), images[0]), mesh)
+state, metrics = make_sharded_train_step(model, cfg, 1, mesh, 10)(
+    state, images, labels)
+assert np.isfinite(float(metrics["loss"]))
+print("DIST_SMOKE_OK", float(metrics["loss"]))
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=480,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "DIST_SMOKE_OK" in out.stdout, (out.stdout, out.stderr)
