@@ -158,7 +158,9 @@ def _validate(eval_fn, state: ProtoSegState, val_ds, batch_size: int,
         quick mode for smoke tests / mid-phase logging.  None = full.
     """
     totals: Dict[str, float] = {}
-    val_ds.rng.seed(0)  # deterministic crops for over-window images
+    if val_ds.is_eval:
+        val_ds.rng.seed(0)  # deterministic crops for over-window images
+    # (val-augment mode leaves the stream advancing, like the reference)
     n_batches = -(-len(val_ds) // batch_size)
     if val_batches is not None:
         n_batches = min(val_batches, n_batches)
@@ -189,12 +191,20 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                           pretrained_path: Optional[str] = None,
                           pretrained_naming: str = "torchvision",
                           mesh=None,
-                          trace_dir: Optional[str] = None
+                          trace_dir: Optional[str] = None,
+                          val_augment: bool = False
                           ) -> ProtoSegState:
     """Full training pipeline. ``steps_scale`` shrinks every phase budget
     (for smoke tests); 1.0 reproduces the reference schedule.
     ``trace_dir`` writes a jax.profiler trace of one steady-state window
-    per phase under ``<trace_dir>/<stage>/``."""
+    per phase under ``<trace_dir>/<stage>/``.
+
+    ``val_augment`` reproduces the reference's validation semantics
+    (reference segmentation/dataset.py:119-173 applies the random
+    scale/crop/flip chain to EVERY split; only the is_eval push/eval
+    loaders differ), making best-checkpoint selection comparable to the
+    reference's noisy-val behaviour.  Default off: deterministic val is
+    strictly better for checkpoint selection (PARITY.md deviation)."""
     t = cfg.train
     logger = RunLogger(run_dir)
     store = CheckpointStore(run_dir)
@@ -207,7 +217,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     train_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
                                    data_path=data_path)
     val_ds = SegmentationDataset(cfg.data, "val", data_path=data_path,
-                                 is_eval=True)
+                                 is_eval=not val_augment)
 
     warmup_steps = int(t.warmup_steps * steps_scale)
     joint_steps = int(t.joint_steps * steps_scale)

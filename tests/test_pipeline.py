@@ -290,3 +290,42 @@ def test_push_time_index_mapping(tmp_path):
     # pruned stage without prune_info -> refuse
     os.remove(os.path.join(run, "prune_info.npy"))
     assert _push_time_indices(run, "pruned", 2) is None
+
+
+def test_val_augment_reproduces_reference_noisy_val(tmp_path):
+    """--val-augment parity flag: the val stream gets the random
+    scale/crop/flip chain (reference dataset.py:119-173 augments every
+    split) and is NOT reseeded per validation pass, so successive
+    validations see different crops — the reference's noisy
+    best-checkpoint selection semantics."""
+    from adlm_tpu.train.pipeline import _validate
+    from adlm_tpu.data.dataset import SegmentationDataset
+
+    data_root = str(tmp_path / "data")
+    # images larger than the window so crops/scales actually vary
+    _write_fake_dataset(data_root, n=3, hw=(48, 56))
+    cfg = _tiny_experiment("tiny_val_augment")
+    aug_ds = SegmentationDataset(cfg.data, "val", data_path=data_root,
+                                 is_eval=False)
+    aug_ds.rng.seed(123)
+
+    def collect(bucket):
+        def fake_eval(state, images, labels):
+            bucket.append(np.asarray(images))
+            return {"n_correct": 1.0, "n_patches": 2.0}
+        return fake_eval
+
+    a, b = [], []
+    _validate(collect(a), None, aug_ds, batch_size=2)
+    _validate(collect(b), None, aug_ds, batch_size=2)
+    assert any(not np.allclose(x, y) for x, y in zip(a, b)), \
+        "augmented val stream should differ across validation passes"
+
+    # default path stays deterministic (is_eval=True reseeds)
+    det_ds = SegmentationDataset(cfg.data, "val", data_path=data_root,
+                                 is_eval=True)
+    c, d = [], []
+    _validate(collect(c), None, det_ds, batch_size=2)
+    _validate(collect(d), None, det_ds, batch_size=2)
+    for x, y in zip(c, d):
+        np.testing.assert_allclose(x, y)
