@@ -54,7 +54,8 @@ class ProtoStatsAccumulator:
 
     def update(self, pred: np.ndarray, nearest_proto: np.ndarray,
                distances: Optional[np.ndarray] = None,
-               topk_purity: Optional[np.ndarray] = None) -> None:
+               topk_purity: Optional[np.ndarray] = None,
+               n_images: Optional[int] = None) -> None:
         """Accumulate one image or one batch.
 
         Args:
@@ -65,6 +66,9 @@ class ProtoStatsAccumulator:
           topk_purity: (B, P) per-image purity vectors already computed
             on device (``make_inference_fn(with_stats=True)`` output) —
             preferred; exactly one of ``distances``/``topk_purity``.
+          n_images: override for the image-count increment — the
+            windowed path passes several count maps per image but one
+            (window-averaged) purity vector per image.
         """
         pred = np.asarray(pred)
         nearest_proto = np.asarray(nearest_proto)
@@ -100,7 +104,7 @@ class ProtoStatsAccumulator:
                 cum = np.cumsum(is_cls, axis=1)             # (n, P)
                 self.top_k += ((cum / ks).sum(axis=0)
                                * 100.0 / self.n_random)
-        self.n_images += pred.shape[0]
+        self.n_images += pred.shape[0] if n_images is None else n_images
 
     def results(self) -> Dict[str, Any]:
         top_k = self.top_k / max(self.n_images, 1)

@@ -84,6 +84,35 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
     return fn
 
 
+def make_windowed_stats_fn(model: PPNet) -> Callable:
+    """jitted per-window interpretability stats at grid resolution
+    (the memory-bounded sibling of ``make_inference_fn(with_stats=True)``,
+    reference eval_valid.py:191-214): per-window stat prediction,
+    nearest-prototype map, and top-K purity at ``(B, n)`` random sample
+    pixels passed as [0,1) floats."""
+
+    from adlm_tpu.interpret.evaluate import _topk_purity
+
+    @jax.jit
+    def fn(params, constants, proto_class, patch, u, v):
+        logits, dist = model.apply({"params": params,
+                                    "constants": constants},
+                                   patch, train=False,
+                                   return_distances=True)
+        stat_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nearest = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        B, gh, gw = stat_pred.shape
+        rows = jnp.minimum((u * gh).astype(jnp.int32), gh - 1)
+        cols = jnp.minimum((v * gw).astype(jnp.int32), gw - 1)
+        bidx = jnp.arange(B)[:, None]
+        sample_d = dist[bidx, rows, cols]                    # (B, n, P)
+        sample_pred = stat_pred[bidx, rows, cols]            # (B, n)
+        topk = _topk_purity(sample_d, sample_pred, proto_class)
+        return stat_pred, nearest, topk
+
+    return fn
+
+
 class WindowedSegEvaluator:
     """``SegEvaluator``-compatible eval driver over windowed inference
     (CLI: ``eval-valid --windowed WH,WW``).
@@ -91,12 +120,30 @@ class WindowedSegEvaluator:
     Metric semantics are identical to ``evaluate.make_inference_fn``
     (reference eval_valid.py:178-189); logits are resized to the label
     size before argmax when the input was resized for eval.
+
+    With ``with_stats`` each window also yields grid-resolution
+    nearest/purity statistics (reference eval_valid.py:191-214) from a
+    second jitted per-window program whose buffers stay window-sized —
+    the memory-bounded alternative to whole-image ``--stats``.
+    Deviations from the whole-image mode, by construction: cells in
+    window-overlap bands contribute once per covering window to the
+    nearest-prototype counts, and purity pixels are drawn per window
+    (``n_random_pixels`` each) rather than per image.
     """
 
     def __init__(self, model: PPNet, num_classes: int,
-                 window: Tuple[int, int], overlap: float = 0.25):
+                 window: Tuple[int, int], overlap: float = 0.25,
+                 with_stats: bool = False, n_random_pixels: int = 100,
+                 seed: int = 0):
         self.num_classes = num_classes
         self.fn = make_windowed_inference_fn(model, window, overlap)
+        self.with_stats = with_stats
+        if with_stats:
+            self.stats_fn = make_windowed_stats_fn(model)
+            self.window = window
+            self.overlap = overlap
+            self.n_random = n_random_pixels
+            self.rng = np.random.RandomState(seed)
         self.reset()
 
     def reset(self):
@@ -105,10 +152,38 @@ class WindowedSegEvaluator:
         self.correct = 0
         self.total = 0
 
+    def _stats_windows(self, params, constants, proto_class, images):
+        """Run the stats program over the window grid; returns stacked
+        per-window maps + the window-mean purity per image."""
+        B, H, W, _ = images.shape
+        wh, ww = self.window
+        stride_h = max(int(wh * (1.0 - self.overlap)), 1)
+        stride_w = max(int(ww * (1.0 - self.overlap)), 1)
+        preds, nearests, topks = [], [], []
+        for sh in _window_grid(H, wh, stride_h):
+            for sw in _window_grid(W, ww, stride_w):
+                patch = images[:, sh:sh + wh, sw:sw + ww, :]
+                ph, pw = patch.shape[1], patch.shape[2]
+                if (ph, pw) != (wh, ww):
+                    patch = np.pad(patch, ((0, 0), (0, wh - ph),
+                                           (0, ww - pw), (0, 0)))
+                u = jnp.asarray(self.rng.random_sample(
+                    (B, self.n_random)), jnp.float32)
+                v = jnp.asarray(self.rng.random_sample(
+                    (B, self.n_random)), jnp.float32)
+                sp, nr, tk = self.stats_fn(params, constants, proto_class,
+                                           jnp.asarray(patch), u, v)
+                preds.append(np.asarray(sp))
+                nearests.append(np.asarray(nr))
+                topks.append(np.asarray(tk))
+        return (np.concatenate(preds), np.concatenate(nearests),
+                np.mean(topks, axis=0), len(preds))
+
     def update(self, params, constants, proto_class, images, labels
                ) -> dict:
         labels = np.asarray(labels)
-        logits = self.fn(params, constants, np.asarray(images))
+        images = np.asarray(images)
+        logits = self.fn(params, constants, images)
         H, W = labels.shape[1], labels.shape[2]
         if logits.shape[1:3] != (H, W):
             logits = np.asarray(resize_bilinear(jnp.asarray(logits),
@@ -127,7 +202,23 @@ class WindowedSegEvaluator:
                  + np.bincount(gt[valid], minlength=C) - inter)
         self.intersection += inter
         self.union += union
-        return {"pred": pred, "intersection": inter, "union": union}
+        out = {"pred": pred, "intersection": inter, "union": union}
+        if self.with_stats:
+            sp, nr, topk, n_wins = self._stats_windows(
+                params, constants, proto_class, images)
+            B = images.shape[0]
+            gh, gw = sp.shape[1], sp.shape[2]
+            # image-major stacking so CLI tail-padding slices
+            # ([:n_real·n_wins]) drop exactly the padded images
+            out["stat_pred"] = (sp.reshape(n_wins, B, gh, gw)
+                                .transpose(1, 0, 2, 3)
+                                .reshape(n_wins * B, gh, gw))
+            out["nearest_proto"] = (nr.reshape(n_wins, B, gh, gw)
+                                    .transpose(1, 0, 2, 3)
+                                    .reshape(n_wins * B, gh, gw))
+            out["topk_purity"] = topk                        # (B, P)
+            out["stat_windows"] = n_wins
+        return out
 
     def results(self) -> dict:
         from adlm_tpu.interpret.evaluate import mean_iou_from_confusion
