@@ -55,6 +55,10 @@ class PPNetConfig:
     # Empty = single-scale (all shipped deeplab configs).
     msc_scales: Tuple[float, ...] = ()
     pretrained: bool = False
+    # lower the d=2/4 dilated convs via space-to-batch (numerically
+    # exact, identical param tree — a TPU tiling experiment knob; see
+    # models/layers.ConvBN and PERF.md)
+    dilated_space_to_batch: bool = False
 
     @property
     def prototype_shape(self) -> Tuple[int, int, int, int]:

@@ -38,11 +38,13 @@ class Bottleneck(nn.Module):
     stride: int
     dilation: int
     shortcut: bool  # projection shortcut on the first block of a layer
+    s2b: bool = False  # space-to-batch dilated conv (see layers.ConvBN)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = ConvBN(self.mid, 1, self.stride, 1, relu=True, name="reduce")(x)
-        h = ConvBN(self.mid, 3, 1, self.dilation, relu=True, name="conv3x3")(h)
+        h = ConvBN(self.mid, 3, 1, self.dilation, relu=True, name="conv3x3",
+                   s2b=self.s2b)(h)
         h = ConvBN(self.out, 1, 1, 1, relu=False, name="increase")(h)
         if self.shortcut:
             s = ConvBN(self.out, 1, self.stride, 1, relu=False,
@@ -58,6 +60,7 @@ class ResLayer(nn.Module):
     out: int
     stride: int
     dilation: int
+    s2b: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -67,6 +70,7 @@ class ResLayer(nn.Module):
                 stride=self.stride if i == 0 else 1,
                 dilation=self.dilation,
                 shortcut=(i == 0),
+                s2b=self.s2b,
                 name=f"block{i + 1}",
             )(x)
         return x
@@ -107,14 +111,20 @@ class DeepLabV2(nn.Module):
     out_features: int = 64
     n_blocks: Tuple[int, ...] = (3, 4, 23, 3)
     atrous_rates: Tuple[int, ...] = (6, 12, 18, 24)
+    # space-to-batch lowering for the d=2/4 layer4/5 convs — exact same
+    # math and parameter tree, better MXU tiling for the backward (see
+    # layers.ConvBN and PERF.md)
+    s2b_dilated: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Stem(name="layer1")(x)
         x = ResLayer(self.n_blocks[0], 64, 256, 1, 1, name="layer2")(x)
         x = ResLayer(self.n_blocks[1], 128, 512, 2, 1, name="layer3")(x)
-        x = ResLayer(self.n_blocks[2], 256, 1024, 1, 2, name="layer4")(x)
-        x = ResLayer(self.n_blocks[3], 512, 2048, 1, 4, name="layer5")(x)
+        x = ResLayer(self.n_blocks[2], 256, 1024, 1, 2,
+                     s2b=self.s2b_dilated, name="layer4")(x)
+        x = ResLayer(self.n_blocks[3], 512, 2048, 1, 4,
+                     s2b=self.s2b_dilated, name="layer5")(x)
         return ASPP(self.out_features, self.atrous_rates, name="aspp")(x)
 
 

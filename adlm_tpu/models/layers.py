@@ -75,22 +75,51 @@ def max_pool(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
 
 
 class ConvBN(nn.Module):
-    """conv → frozen BN → optional relu (DeepLab body unit)."""
+    """conv → frozen BN → optional relu (DeepLab body unit).
+
+    ``s2b=True`` computes a dilated (stride-1) conv by space-to-batch:
+    the d² phase subgrids become batch entries, the conv runs DENSE
+    3×3, and the result is batch-to-space'd back — numerically exact
+    (each output pixel reads exactly the taps the dilated conv reads;
+    zero padding coincides) with an identical parameter tree.  On TPU
+    this lets XLA tile the d=2/4 layer4/5 convs (and especially their
+    backward) as ordinary convs at d²× the batch instead of lowering a
+    dilated kernel — see PERF.md."""
 
     features: int
     kernel: int
     stride: int = 1
     dilation: int = 1
     relu: bool = True
+    s2b: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = self.dilation * (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, name="conv")(x)
+        d = self.dilation
+        if self.s2b and d > 1 and self.stride == 1:
+            k = self.kernel
+            conv = nn.Conv(self.features, (k, k), strides=(1, 1),
+                           padding=(((k - 1) // 2, (k - 1) // 2),) * 2,
+                           use_bias=False, name="conv")
+            B, H, W, C = x.shape
+            Hp, Wp = -(-H // d) * d, -(-W // d) * d
+            h = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+            h = (h.reshape(B, Hp // d, d, Wp // d, d, C)
+                 .transpose(0, 2, 4, 1, 3, 5)
+                 .reshape(B * d * d, Hp // d, Wp // d, C))
+            h = conv(h)
+            Co = self.features
+            h = (h.reshape(B, d, d, Hp // d, Wp // d, Co)
+                 .transpose(0, 3, 1, 4, 2, 5)
+                 .reshape(B, Hp, Wp, Co))
+            x = h[:, :H, :W]
+        else:
+            pad = d * (self.kernel - 1) // 2
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((pad, pad), (pad, pad)),
+                        kernel_dilation=(d, d),
+                        use_bias=False, name="conv")(x)
         x = FrozenBatchNorm(name="bn")(x)
         if self.relu:
             x = nn.relu(x)

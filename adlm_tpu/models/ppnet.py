@@ -104,7 +104,8 @@ def build_backbone(cfg: PPNetConfig) -> nn.Module:
     if cfg.base_architecture == "deeplabv2_resnet101":
         base = DeepLabV2(out_features=cfg.deeplab_n_features,
                          n_blocks=tuple(cfg.deeplab_n_blocks),
-                         atrous_rates=tuple(cfg.atrous_rates))
+                         atrous_rates=tuple(cfg.atrous_rates),
+                         s2b_dilated=cfg.dilated_space_to_batch)
         return MSC(base=base, scales=tuple(cfg.msc_scales))
     from adlm_tpu.models.backbones import build_classification_backbone
     return build_classification_backbone(cfg.base_architecture)

@@ -1,0 +1,101 @@
+"""Joint-window backward experiment: dilated convs vs space-to-batch.
+
+VERDICT r2 #2: the fused bf16 joint window (iter_size 5 × batch 2 ×
+513², the reference budget) runs at ~155 ms ≈ 40% MXU while inference
+reaches 67%; PERF.md attributes the gap to the d=2/4 dilated-conv
+backward at batch-2-ish geometry.  This script measures, on the real
+TPU:
+
+  1. the fused joint window with the standard dilated lowering,
+  2. the same window with ``dilated_space_to_batch=True`` (layer4/5
+     convs lowered to DENSE 3×3 convs over d²× the batch — numerically
+     exact, see models/layers.ConvBN and tests/test_models.py),
+  3. optional: a jax.profiler trace of each for op-level attribution
+     (pass --trace-dir).
+
+Pipelined timing (enqueue, then host-fetch) per CLAUDE.md.  Results are
+recorded in PERF.md.
+"""
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def time_window(s2b: bool, fused: bool = True, iters: int = 6,
+                trace_dir: str = None) -> float:
+    from adlm_tpu.core.config import get_experiment
+    from adlm_tpu.models.ppnet import PPNet
+    from adlm_tpu.train.protoseg import init_protoseg_state, make_train_step
+
+    cfg = get_experiment("cityscapes_kld_imnet")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, dilated_space_to_batch=s2b),
+        train=dataclasses.replace(cfg.train, compute_dtype="bfloat16",
+                                  fused_accumulation=fused))
+    model = PPNet(cfg=cfg.model)
+
+    rng = jax.random.PRNGKey(0)
+    init_x = jnp.zeros((1, 65, 65, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda: model.init(rng, init_x))
+    nprng = np.random.RandomState(42)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            nprng.uniform(0.01, 0.1, size=s.shape).astype(s.dtype)),
+        shapes)
+
+    state = init_protoseg_state(
+        model, cfg, 1, 1000, jax.random.PRNGKey(0), init_x,
+        params=variables["params"],
+        constants=variables.get("constants", {}))
+    step = make_train_step(model, cfg, 1, 1000)
+    it, bs = cfg.train.iter_size, cfg.train.joint_batch_size
+    wh, ww = cfg.data.window_size
+    images = jnp.asarray(nprng.rand(it, bs, wh, ww, 3).astype(np.float32))
+    labels = jnp.asarray(nprng.randint(0, 20, size=(it, bs, wh, ww)),
+                         jnp.int32)
+
+    state, m = step(state, images, labels)
+    np.asarray(m["loss"])  # compile + sync
+
+    if trace_dir:
+        with jax.profiler.trace(os.path.join(
+                trace_dir, "s2b" if s2b else "dilated")):
+            state, m = step(state, images, labels)
+            np.asarray(m["loss"])
+
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(iters):
+        state, m = step(state, images, labels)
+        outs.append(m)
+    for m in outs:
+        np.asarray(m["loss"])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--variants", default="dilated,s2b",
+                    help="comma list from {dilated, s2b}")
+    args = ap.parse_args()
+    for v in args.variants.split(","):
+        ms = time_window(s2b=(v == "s2b"), trace_dir=args.trace_dir)
+        print(f"fused bf16 joint window [{v}]: {ms:.1f} ms "
+              f"({10 / ms * 1000:.1f} img/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -188,3 +188,42 @@ def test_receptive_field_matches_reference_math():
     ours = proto_layer_rf_info(224, ks, ss, ps, 1)
     theirs = ref.compute_proto_layer_rf_info_v2(224, ks, ss, ps, 1)
     assert ours == theirs
+
+
+def test_s2b_dilated_conv_exact():
+    """Space-to-batch lowering of the d=2/4 convs (layers.ConvBN s2b)
+    is numerically exact vs the dilated lowering — same params, same
+    forward, same gradients — including non-divisible H/W."""
+    import jax
+    import jax.numpy as jnp
+    from adlm_tpu.models.deeplab import DeepLabV2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 33, 41, 3).astype(np.float32))
+    ref = DeepLabV2(out_features=8, n_blocks=(1, 1, 1, 1),
+                    s2b_dilated=False)
+    s2b = DeepLabV2(out_features=8, n_blocks=(1, 1, 1, 1),
+                    s2b_dilated=True)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    # identical parameter tree — checkpoints/imports are interchangeable
+    v2 = s2b.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    a = ref.apply(v, x)
+    b = s2b.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(variables, model):
+        return jnp.sum(model.apply(variables, x) ** 2)
+
+    ga = jax.grad(lambda p: loss({"params": p,
+                                  "constants": v["constants"]}, ref))(
+        v["params"])
+    gb = jax.grad(lambda p: loss({"params": p,
+                                  "constants": v["constants"]}, s2b))(
+        v["params"])
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4), ga, gb)
