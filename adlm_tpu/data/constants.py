@@ -64,6 +64,9 @@ PASCAL_CATEGORIES: List[str] = [
 MDS_CATEGORIES: List[str] = ["void", "pancreas", "tumour"]
 
 
+_LUT_CACHE: Dict[str, np.ndarray] = {}
+
+
 @dataclass(frozen=True)
 class ClassTable:
     """Everything the pipeline needs to know about a dataset's classes."""
@@ -99,18 +102,29 @@ class ClassTable:
                 lut[c] = inv[c + 1]
         return lut
 
+    def convert_lut(self) -> Optional[np.ndarray]:
+        """Cached raw→train-id int32 LUT (None when no remap). The
+        native augment kernel applies it to cropped pixels directly."""
+        if self.convert is None:
+            return None
+        cached = _LUT_CACHE.get(self.name)
+        if cached is None:
+            max_key = max(self.convert)
+            lut = np.zeros(max_key + 1, dtype=np.int32)
+            for k, v in self.convert.items():
+                if k >= 0:
+                    lut[k] = v
+            _LUT_CACHE[self.name] = cached = lut
+        return cached
+
     def convert_labels(self, labels: np.ndarray) -> np.ndarray:
         """Remap raw annotation values to training ids (vectorized table
         lookup; the reference uses np.vectorize(dict.get),
         dataset.py:63-69)."""
-        if self.convert is None:
+        lut = self.convert_lut()
+        if lut is None:
             return labels
-        max_key = max(self.convert)
-        lut = np.zeros(max_key + 1, dtype=np.int32)
-        for k, v in self.convert.items():
-            if k >= 0:
-                lut[k] = v
-        return lut[np.clip(labels, 0, max_key)]
+        return lut[np.clip(labels, 0, len(lut) - 1)]
 
 
 def _cityscapes_class_names() -> Dict[int, str]:

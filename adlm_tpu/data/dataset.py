@@ -55,12 +55,24 @@ class SegmentationDataset:
     def get_img_path(self, img_id: str) -> str:
         return os.path.join(self.img_dir, img_id + ".npy")
 
-    def _load_raw(self, img_id: str) -> Tuple[np.ndarray, np.ndarray]:
-        image = np.load(self.get_img_path(img_id)).astype(np.uint8)
+    def _load_raw(self, img_id: str, convert: bool = True,
+                  mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        """``convert=False`` keeps the RAW annotation ids (the native
+        augment kernel applies the class LUT to the cropped pixels
+        only — converting 513² instead of 2M pixels).  ``mmap=True``
+        memory-maps the image so only the sampled region is ever read
+        (the fused kernel touches just the crop's source rows)."""
+        if mmap:
+            image = np.load(self.get_img_path(img_id), mmap_mode="r")
+            if image.dtype != np.uint8:
+                image = image.astype(np.uint8)
+        else:
+            image = np.load(self.get_img_path(img_id)).astype(np.uint8)
         label = np.load(os.path.join(self.annotations_dir, img_id + ".npy"))
         if label.ndim == 3:
             label = label[:, :, 0]
-        label = self.table.convert_labels(label).astype(np.int32)
+        if convert:
+            label = self.table.convert_labels(label).astype(np.int32)
         m = self.cfg.image_margin_size
         if m != 0:
             image = image[m:-m, m:-m]
@@ -103,8 +115,15 @@ class SegmentationDataset:
         return image, label
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
-        image, label = self._load_raw(self.img_ids[index])
-        h, w = label.shape
+        # native fast path: one C call for the whole transform chain,
+        # raw (unconverted) labels + mmap'd image so work scales with
+        # the WINDOW, not the source image
+        from adlm_tpu import native
+        use_native = native.available()
+        image, label = self._load_raw(self.img_ids[index],
+                                      convert=not use_native,
+                                      mmap=use_native)
+        h, w = label.shape[:2]
 
         # random scale jitter (reference dataset.py:120-128)
         if len(self.cfg.scales) >= 2 and not self.is_eval:
@@ -112,9 +131,7 @@ class SegmentationDataset:
         else:
             s = 1.0
 
-        # native fast path: one C call for the whole transform chain
-        from adlm_tpu import native
-        if native.available():
+        if use_native:
             wh, ww = self.cfg.window_size
             nh, nw = int(h * s), int(w * s)
             max_sh = max(nh, wh) - wh
@@ -125,7 +142,8 @@ class SegmentationDataset:
             return native.augment_sample(
                 image, label, s, (wh, ww), start, flip,
                 self.cfg.mean, self.cfg.std, cells=self.cfg.cells,
-                normalize=not self.push_prototypes)
+                normalize=not self.push_prototypes,
+                label_lut=self.table.convert_lut())
         nh, nw = int(h * s), int(w * s)
         if (nh, nw) != (h, w):
             image = np.asarray(Image.fromarray(image).resize(

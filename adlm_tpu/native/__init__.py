@@ -47,6 +47,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, f32p, f32p, i32p, f32p, i32p,
     ]
+    lib.augment_sample_fused.argtypes = [
+        u8p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, f32p, i32p, ctypes.c_int, f32p, i32p,
+    ]
     lib.remap_bilinear_f32.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         f32p, f32p, ctypes.c_int, ctypes.c_int, f32p,
@@ -86,17 +93,70 @@ def resize_nearest_i32(label: np.ndarray, dh: int, dw: int) -> np.ndarray:
     return out
 
 
+_EMPTY_LUT = np.zeros(1, np.int32)
+
+
 def augment_sample(img: np.ndarray, label: np.ndarray,
                    scale: float, window: Tuple[int, int],
                    start: Tuple[int, int], flip: bool,
                    mean: Tuple[float, ...], std: Tuple[float, ...],
-                   cells: bool = False, normalize: bool = True
+                   cells: bool = False, normalize: bool = True,
+                   label_lut: Optional[np.ndarray] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Full reference-parity training transform, natively.
 
-    img: (H, W, 3) uint8; label: (H, W) int; returns
-    (window_h, window_w, 3) float32 + (window_h, window_w) int32.
+    img: (H, W, 3) uint8 (a read-only np.memmap works — the kernel
+    reads only the sampled region); label: (H, W) int32 or uint8;
+    returns (window_h, window_w, 3) float32 + (window_h, window_w)
+    int32.
+
+    Uses the FUSED kernel: only window pixels are computed, sampling
+    the source directly at the scaled crop coordinates — O(window²)
+    instead of O(scale²·H·W), bit-identical per-pixel math (the
+    resize-then-crop kernel remains exported; equality is asserted in
+    tests/test_native.py).  ``label_lut`` applies the class table's
+    raw→train-id remap to the cropped pixels (commutes with nearest
+    resampling; padding stays train-id 0).
     """
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    if label.dtype == np.uint8:
+        label = np.ascontiguousarray(label)
+        label_u8 = 1
+    else:
+        label = np.ascontiguousarray(label, np.int32)
+        label_u8 = 0
+    h, w, c = img.shape
+    sh2, sw2 = int(h * scale), int(w * scale)
+    wh, ww = window
+    out_img = np.empty((wh, ww, c), np.float32)
+    out_label = np.empty((wh, ww), np.int32)
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    if label_lut is None:
+        lut, lut_size = _EMPTY_LUT, 0
+    else:
+        lut = np.ascontiguousarray(label_lut, np.int32)
+        lut_size = lut.shape[0]
+    lib.augment_sample_fused(
+        img, label.ctypes.data_as(ctypes.c_void_p), label_u8,
+        h, w, c, sh2, sw2, wh, ww,
+        start[0], start[1], int(flip), int(cells),
+        int(normalize), mean_a, std_a, lut, lut_size,
+        out_img.reshape(-1), out_label.reshape(-1))
+    return out_img, out_label
+
+
+def augment_sample_unfused(img: np.ndarray, label: np.ndarray,
+                           scale: float, window: Tuple[int, int],
+                           start: Tuple[int, int], flip: bool,
+                           mean: Tuple[float, ...],
+                           std: Tuple[float, ...],
+                           cells: bool = False, normalize: bool = True
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Resize-then-crop reference kernel (kept for the fused-equality
+    test; the pipeline uses ``augment_sample``)."""
     lib = _load()
     assert lib is not None
     img = np.ascontiguousarray(img, np.uint8)

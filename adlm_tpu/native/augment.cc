@@ -128,6 +128,109 @@ void augment_sample(const uint8_t* img, const int32_t* label,
   }
 }
 
+// Fused variant of augment_sample: computes ONLY the window pixels,
+// sampling the source image directly at the scaled coordinates the
+// crop would have read — O(window²) work instead of O(scale²·H·W)
+// (a 1024×2048 source at scale 1.5 resizes 4.7M pixels to produce a
+// 263k-pixel window; this computes the 263k directly).  Per-pixel
+// float math is IDENTICAL to the resize-then-crop path (same lerp
+// expression, same nearbyint quantization), so outputs are
+// bit-identical — asserted in tests/test_native.py.
+// `label` points at int32 (label_u8 == 0) or uint8 (label_u8 == 1)
+// data — raw annotation ids.  `lut`/`lut_size` apply the class table's
+// raw→train-id remap to the CROPPED pixels only (conversion commutes
+// with nearest resampling; lut_size 0 = identity).  Padding writes
+// train-id 0 (void) directly, matching the convert-then-pad order of
+// the python path regardless of what lut[0] is.
+void augment_sample_fused(const uint8_t* img, const void* label,
+                          int label_u8,
+                          int h, int w, int channels,
+                          int sh2, int sw2,
+                          int window_h, int window_w,
+                          int start_h, int start_w,
+                          int flip, int cells, int normalize,
+                          const float* mean, const float* stddev,
+                          const int32_t* lut, int lut_size,
+                          float* out_img, int32_t* out_label) {
+  const float scale_y = static_cast<float>(h) / sh2;
+  const float scale_x = static_cast<float>(w) / sw2;
+  const double dscale_y = static_cast<double>(h) / sh2;
+  const double dscale_x = static_cast<double>(w) / sw2;
+  const float inv255 = cells ? 1.0f : (1.0f / 255.0f);
+  const int32_t* label_i32 = static_cast<const int32_t*>(label);
+  const uint8_t* label_u8p = static_cast<const uint8_t*>(label);
+
+  // column tables: x-dependent sampling state is constant across rows
+  const int in_w =
+      std::max(std::min(window_w, sw2 - start_w), 0);  // in-bounds cols
+  int* x0c = new int[window_w > 0 ? window_w : 1];
+  int* x1c = new int[window_w > 0 ? window_w : 1];
+  float* wx = new float[window_w > 0 ? window_w : 1];
+  int* lsx = new int[window_w > 0 ? window_w : 1];
+  for (int x = 0; x < in_w; ++x) {
+    const int sx = start_w + x;
+    const float fx = (sx + 0.5f) * scale_x - 0.5f;
+    const int x0 = static_cast<int>(std::floor(fx));
+    wx[x] = fx - x0;
+    x0c[x] = std::min(std::max(x0, 0), w - 1);
+    x1c[x] = std::min(std::max(x0 + 1, 0), w - 1);
+    lsx[x] = std::min(static_cast<int>((sx + 0.5) * dscale_x), w - 1);
+  }
+
+  for (int y = 0; y < window_h; ++y) {
+    const int sy = start_h + y;
+    const bool in_y = sy < sh2;
+    int y0c = 0, y1c = 0, lsy = 0;
+    float wy = 0.0f;
+    if (in_y) {
+      const float fy = (sy + 0.5f) * scale_y - 0.5f;
+      const int y0 = static_cast<int>(std::floor(fy));
+      wy = fy - y0;
+      y0c = std::min(std::max(y0, 0), h - 1);
+      y1c = std::min(std::max(y0 + 1, 0), h - 1);
+      lsy = std::min(static_cast<int>((sy + 0.5) * dscale_y), h - 1);
+    }
+    const uint8_t* row0 = img + y0c * w * channels;
+    const uint8_t* row1 = img + y1c * w * channels;
+    const int cols = in_y ? in_w : 0;
+    for (int x = 0; x < cols; ++x) {
+      const int ox = flip ? (window_w - 1 - x) : x;
+      float* out = out_img + (y * window_w + ox) * channels;
+      const float wxv = wx[x];
+      const uint8_t* p00 = row0 + x0c[x] * channels;
+      const uint8_t* p01 = row0 + x1c[x] * channels;
+      const uint8_t* p10 = row1 + x0c[x] * channels;
+      const uint8_t* p11 = row1 + x1c[x] * channels;
+      for (int ch = 0; ch < channels; ++ch) {
+        const float top = p00[ch] * (1.0f - wxv) + p01[ch] * wxv;
+        const float bot = p10[ch] * (1.0f - wxv) + p11[ch] * wxv;
+        float v = std::nearbyint(top * (1.0f - wy) + bot * wy);
+        v = std::min(std::max(v, 0.0f), 255.0f) * inv255;
+        out[ch] = normalize ? (v - mean[ch]) / stddev[ch] : v;
+      }
+      int32_t raw = label_u8 ? label_u8p[lsy * w + lsx[x]]
+                             : label_i32[lsy * w + lsx[x]];
+      if (lut_size > 0) {
+        raw = lut[std::min(std::max(raw, 0), lut_size - 1)];
+      }
+      out_label[y * window_w + ox] = raw;
+    }
+    for (int x = cols; x < window_w; ++x) {  // padding
+      const int ox = flip ? (window_w - 1 - x) : x;
+      float* out = out_img + (y * window_w + ox) * channels;
+      for (int ch = 0; ch < channels; ++ch) {
+        const float v = mean[ch];
+        out[ch] = normalize ? (v - mean[ch]) / stddev[ch] : v;
+      }
+      out_label[y * window_w + ox] = 0;
+    }
+  }
+  delete[] x0c;
+  delete[] x1c;
+  delete[] wx;
+  delete[] lsx;
+}
+
 // ---------------------------------------------------------------------
 // U-Noise geometric warps (data/warps.py fast path): cv2.remap-style
 // coordinate resampling with BORDER_REFLECT_101 and a separable

@@ -37,7 +37,16 @@ inference throughput — BASELINE.md):
   the reference budget super-batch (iter_size=5 × batch 2 × 513², bf16
   activations) — i.e. 10 training images per window;
 * ``unoise_util_step_ms``: one utility-UNet (depth 5, cf 6) training
-  step, batch 8 × 256² Pancreas-slice shape.
+  step, batch 8 × 256² Pancreas-slice shape;
+* ``push_2048x1024_ips``: batched prototype push (push_forward +
+  eligibility-masked B-major argmin over all 190 prototypes) at full
+  2048×1024 resolution, batch 8 bf16 — the reference's push scans the
+  whole train split this way (its push.py:101-280);
+* ``stats_upsampled_eval_ips``: the slowest eval mode — full eval
+  forward PLUS nearest-prototype argmin over bilinearly UPSAMPLED
+  distances at label resolution (chunked scan) and 100 per-image
+  random-pixel purity samples, batch 8 bf16 (reference
+  eval_valid.py:158-214).
 """
 
 import json
@@ -217,6 +226,61 @@ def _bench_unoise_train(bf16=False):
     return (time.perf_counter() - t0) / n * 1000.0
 
 
+def _bench_push(cfg, model, params, constants, pc, batch=8):
+    """Batched prototype push at full 2048×1024 resolution — the
+    reference's #3 hot spot is this scan over the train split
+    (reference segmentation/push.py:101-280).  Batch 8 keeps every
+    device buffer ≤ ~201 MB (images f32 and the (B,129,257,P) distance
+    map both scale with batch; ≳400 MB wedges the relay — CLAUDE.md),
+    which is also the CLI's recommended ``--push-batch-size``."""
+    from adlm_tpu.interpret.push import make_push_batched_fn
+
+    fn = make_push_batched_fn(model, cfg.model.num_classes)
+    nprng = np.random.RandomState(3)
+    images = jnp.asarray(nprng.rand(batch, H, W, 3).astype(np.float32),
+                         jnp.bfloat16)
+    labels = jnp.asarray(nprng.randint(0, 20, size=(batch, H, W)),
+                         jnp.int32)
+    out = fn(params, constants, pc, images, labels)
+    np.asarray(out[0])  # warm + sync
+    n = 4
+    t0 = time.perf_counter()
+    outs = [fn(params, constants, pc, images, labels) for _ in range(n)]
+    for o in outs:
+        np.asarray(o[0])
+    return batch * n / (time.perf_counter() - t0)
+
+
+def _bench_stats_upsampled_eval(cfg, model, params, constants, pc,
+                                batch=8):
+    """--stats-upsampled eval at full resolution — the slowest eval
+    mode (reference eval_valid.py:158-214: statistics on bilinearly
+    upsampled distances at label resolution).  The chunked prototype
+    scan inside make_inference_fn clamps its (B,H,W,chunk) resize
+    buffer to ≤ ~256 MB."""
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+
+    fn = make_inference_fn(model, cfg.model.num_classes, with_stats=True,
+                           stats_upsampled=True)
+    nprng = np.random.RandomState(4)
+    images = jnp.asarray(nprng.rand(batch, H, W, 3).astype(np.float32),
+                         jnp.bfloat16)
+    labels = jnp.asarray(nprng.randint(0, 20, size=(batch, H, W)),
+                         jnp.int32)
+    u = jnp.asarray(nprng.rand(batch, 100).astype(np.float32))
+    v = jnp.asarray(nprng.rand(batch, 100).astype(np.float32))
+    out = fn(params, constants, pc, images, labels, u, v)
+    np.asarray(out["topk_purity"])  # warm + sync
+    n = 3
+    t0 = time.perf_counter()
+    outs = [fn(params, constants, pc, images, labels, u, v)
+            for _ in range(n)]
+    for o in outs:
+        np.asarray(o["topk_purity"])
+        np.asarray(o["intersection"])
+    return batch * n / (time.perf_counter() - t0)
+
+
 def _run() -> None:
     from adlm_tpu.core.config import get_experiment
     from adlm_tpu.models.ppnet import PPNet, default_proto_class
@@ -259,6 +323,19 @@ def _run() -> None:
             _bench_unoise_train(bf16=True), 1)
     except Exception as e:  # pragma: no cover
         print(f"# unoise extra metric skipped: {e}", flush=True)
+    try:
+        extra["push_2048x1024_ips"] = round(_bench_push(
+            cfg, model, params_bf16, constants, pc), 2)
+        extra["push_batch"] = 8
+    except Exception as e:  # pragma: no cover
+        print(f"# push extra metric skipped: {e}", flush=True)
+    try:
+        extra["stats_upsampled_eval_ips"] = round(
+            _bench_stats_upsampled_eval(
+                cfg, model, params_bf16, constants, pc), 2)
+        extra["stats_upsampled_batch"] = 8
+    except Exception as e:  # pragma: no cover
+        print(f"# stats-upsampled extra metric skipped: {e}", flush=True)
     extra["flops_per_image_tflop"] = 3.17  # measured, see docstring
     extra["batch"] = BATCH
 
