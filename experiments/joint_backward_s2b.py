@@ -20,7 +20,11 @@ recorded in PERF.md.
 import argparse
 import dataclasses
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -85,16 +89,65 @@ def time_window(s2b: bool, fused: bool = True, iters: int = 6,
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
+def time_inference(s2b: bool, batch: int = 16, iters: int = 6) -> float:
+    """Headline-path eval throughput (bench.py geometry: 2048×1024,
+    bf16, pipelined) with/without the s2b lowering."""
+    from adlm_tpu.core.config import get_experiment
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+    from adlm_tpu.models.ppnet import PPNet, default_proto_class
+
+    cfg = get_experiment("cityscapes_kld_imnet")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       dilated_space_to_batch=s2b))
+    model = PPNet(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+    init_x = jnp.zeros((1, 65, 65, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda: model.init(rng, init_x))
+    nprng = np.random.RandomState(42)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            nprng.uniform(0.01, 0.1, size=s.shape).astype(s.dtype)),
+        shapes)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, variables["params"])
+    constants = variables.get("constants", {})
+    pc = default_proto_class(cfg.model.num_prototypes,
+                             cfg.model.num_classes)
+    fn = make_inference_fn(model, cfg.model.num_classes, with_stats=False)
+    images = jnp.asarray(nprng.rand(batch, 1024, 2048, 3).astype(
+        np.float32), jnp.bfloat16)
+    labels = jnp.asarray(nprng.randint(0, 20, size=(batch, 1024, 2048)),
+                         jnp.int32)
+    for _ in range(2):
+        out = fn(params, constants, pc, images, labels)
+        np.asarray(out["intersection"])
+    t0 = time.perf_counter()
+    outs = [fn(params, constants, pc, images, labels)
+            for _ in range(iters)]
+    for out in outs:
+        np.asarray(out["intersection"])
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--variants", default="dilated,s2b",
                     help="comma list from {dilated, s2b}")
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "inference"])
     args = ap.parse_args()
     for v in args.variants.split(","):
-        ms = time_window(s2b=(v == "s2b"), trace_dir=args.trace_dir)
-        print(f"fused bf16 joint window [{v}]: {ms:.1f} ms "
-              f"({10 / ms * 1000:.1f} img/s)", flush=True)
+        if args.mode == "train":
+            ms = time_window(s2b=(v == "s2b"), trace_dir=args.trace_dir)
+            print(f"fused bf16 joint window [{v}]: {ms:.1f} ms "
+                  f"({10 / ms * 1000:.1f} img/s)", flush=True)
+        else:
+            ips = time_inference(s2b=(v == "s2b"))
+            print(f"2048x1024 eval [{v}]: {ips:.1f} img/s/chip",
+                  flush=True)
 
 
 if __name__ == "__main__":
