@@ -105,3 +105,38 @@ def test_windowed_stats_accumulates_like_whole_image():
     # class has equal prototype share — sanity anchor vs the formula
     np.testing.assert_allclose(res["mean_top_k_purity"][-1],
                                100.0 * 2 / 6, atol=1e-4)
+
+
+def test_windowed_stats_single_window_equals_whole_image():
+    """With ONE window covering the whole image, the windowed stats
+    maps must equal make_inference_fn(with_stats=True)'s grid maps on
+    the same weights (same forward, same argmin/argmax)."""
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+    from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+    from adlm_tpu.models.ppnet import default_proto_class
+
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=65)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(5)
+    images = rng.rand(1, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=(1, 64, 64))
+    v = model.init(jax.random.PRNGKey(5), jnp.asarray(images))
+    params, constants = v["params"], v.get("constants", {})
+    pc = default_proto_class(6, 3)
+
+    ev = WindowedSegEvaluator(model, 3, (64, 64), with_stats=True,
+                              n_random_pixels=16)
+    out = ev.update(params, constants, pc, images, labels)
+    assert out["stat_windows"] == 1
+
+    fn = make_inference_fn(model, 3, with_stats=True)
+    u = jnp.zeros((1, 16), jnp.float32)
+    v_ = jnp.zeros((1, 16), jnp.float32)
+    ref = fn(params, constants, pc, jnp.asarray(images),
+             jnp.asarray(labels), u, v_)
+    np.testing.assert_array_equal(out["stat_pred"],
+                                  np.asarray(ref["stat_pred"]))
+    np.testing.assert_array_equal(out["nearest_proto"],
+                                  np.asarray(ref["nearest_proto"]))
