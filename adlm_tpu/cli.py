@@ -52,6 +52,9 @@ def cmd_train(args):
             overrides["fused_accumulation"] = True
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
+    if args.s2b:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, dilated_space_to_batch=True))
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -726,6 +729,10 @@ def main(argv=None):
                     help="fused gradient accumulation: one batched "
                          "fwd/bwd per window, gradient-identical to "
                          "the scan (see PERF.md)")
+    tp.add_argument("--s2b", action="store_true",
+                    help="lower the d=2/4 dilated convs via "
+                         "space-to-batch (numerically exact; TPU "
+                         "tiling experiment — see PERF.md)")
     tp.add_argument("--save-push-visualizations", action="store_true")
     tp.add_argument("--push-batch-size", type=int, default=1,
                     help="batch the push scan (mesh-shardable; artifact "
