@@ -194,8 +194,11 @@ class _DeltaChecker:
     def __init__(self, params, constants, tp):
         self.prev = {k: (a.copy(), b.copy()) for k, (a, b) in
                      _flat_tensors(params, constants, tp).items()}
+        self.lr_cap = 0.0  # running max of phase LRs (drift persists)
 
     def check(self, params, constants, tp, tag, max_lr, rel_tol=0.10):
+        self.lr_cap = max(self.lr_cap, max_lr)
+        max_lr = self.lr_cap
         cur = _flat_tensors(params, constants, tp)
         for k, (a, b) in cur.items():
             pa, pb = self.prev[k]
@@ -287,6 +290,28 @@ def test_trajectory_warmup_to_joint():
                                    rtol=1e-3)
         checker.check(state.params, state.constants, tp,
                       f"joint window {w}", max_lr=1e-2)
+
+    # ---- second phase transition: last-layer finetune (phase 2,
+    # reference train.py:173-190) — only last_layer may move ----
+    state = init_protoseg_state(
+        model, cfg, phase=2, max_steps=None,
+        rng=jax.random.PRNGKey(0), sample_input=jnp.zeros((1, 33, 33, 3)),
+        params=state.params, constants=state.constants,
+        proto_class=proto_class)
+    step = make_train_step(model, cfg, phase=2)
+    opt, sched = _make_torch_optimizer(tp, cfg, phase=2)
+
+    for w in range(2):
+        batches = _window_batches(400 + w)
+        loss_t = _torch_window(tp, opt, sched, cfg, proto_class, batches)
+        imgs = jnp.asarray(np.stack([b[0] for b in batches]))
+        labs = jnp.asarray(np.stack([b[1] for b in batches]))
+        state, metrics = step(state, imgs, labs)
+        np.testing.assert_allclose(float(metrics["loss"]), loss_t,
+                                   rtol=1e-3)
+        checker.check(state.params, state.constants, tp,
+                      f"last window {w}",
+                      max_lr=cfg.train.last_layer_optimizer_lr)
 
 
 def test_trajectory_joint_fused_accumulation():
