@@ -36,12 +36,44 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _patch_dense_dilations():
+    """Timing probe ONLY (not numerically equivalent): build the
+    backbone with layer4/5 dilation 1 so the window runs the same
+    FLOPs through DENSE convs — an upper bound on what any dilated-conv
+    rewrite could buy."""
+    import flax.linen as nn
+
+    import adlm_tpu.models.deeplab as dl
+    import adlm_tpu.models.ppnet as pp
+
+    class DenseDeepLabV2(dl.DeepLabV2):
+        @nn.compact
+        def __call__(self, x):
+            x = dl.Stem(name="layer1")(x)
+            x = dl.ResLayer(self.n_blocks[0], 64, 256, 1, 1,
+                            name="layer2")(x)
+            x = dl.ResLayer(self.n_blocks[1], 128, 512, 2, 1,
+                            name="layer3")(x)
+            x = dl.ResLayer(self.n_blocks[2], 256, 1024, 1, 1,
+                            name="layer4")(x)
+            x = dl.ResLayer(self.n_blocks[3], 512, 2048, 1, 1,
+                            name="layer5")(x)
+            return dl.ASPP(self.out_features, self.atrous_rates,
+                           name="aspp")(x)
+
+    dl.DeepLabV2 = DenseDeepLabV2
+    pp.DeepLabV2 = DenseDeepLabV2
+
+
 def time_window(s2b: bool, fused: bool = True, iters: int = 6,
-                trace_dir: str = None) -> float:
+                trace_dir: str = None, dense: bool = False,
+                fwd_only: bool = False) -> float:
     from adlm_tpu.core.config import get_experiment
     from adlm_tpu.models.ppnet import PPNet
     from adlm_tpu.train.protoseg import init_protoseg_state, make_train_step
 
+    if dense:
+        _patch_dense_dilations()
     cfg = get_experiment("cityscapes_kld_imnet")
     cfg = dataclasses.replace(
         cfg,
@@ -63,9 +95,32 @@ def time_window(s2b: bool, fused: bool = True, iters: int = 6,
         model, cfg, 1, 1000, jax.random.PRNGKey(0), init_x,
         params=variables["params"],
         constants=variables.get("constants", {}))
-    step = make_train_step(model, cfg, 1, 1000)
     it, bs = cfg.train.iter_size, cfg.train.joint_batch_size
     wh, ww = cfg.data.window_size
+
+    if fwd_only:
+        # forward + loss only, same flattened batch-10 geometry as the
+        # fused window — isolates the backward+optimizer share
+        from adlm_tpu.models.ppnet import default_proto_class
+        from adlm_tpu.train.protoseg import loss_fn
+
+        pc = default_proto_class(cfg.model.num_prototypes,
+                                 cfg.model.num_classes)
+        fn = jax.jit(lambda p, c, im, lb: loss_fn(
+            p, c, model, pc, cfg, (im, lb), True, it)[0])
+        flat_img = jnp.asarray(
+            nprng.rand(it * bs, wh, ww, 3).astype(np.float32))
+        flat_lab = jnp.asarray(
+            nprng.randint(0, 20, size=(it * bs, wh, ww)), jnp.int32)
+        np.asarray(fn(state.params, state.constants, flat_img, flat_lab))
+        t0 = time.perf_counter()
+        outs = [fn(state.params, state.constants, flat_img, flat_lab)
+                for _ in range(iters)]
+        for o in outs:
+            np.asarray(o)
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    step = make_train_step(model, cfg, 1, 1000)
     images = jnp.asarray(nprng.rand(it, bs, wh, ww, 3).astype(np.float32))
     labels = jnp.asarray(nprng.randint(0, 20, size=(it, bs, wh, ww)),
                          jnp.int32)
@@ -135,13 +190,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--variants", default="dilated,s2b",
-                    help="comma list from {dilated, s2b}")
+                    help="comma list from {dilated, s2b, dense, fwd}")
     ap.add_argument("--mode", default="train",
                     choices=["train", "inference"])
     args = ap.parse_args()
     for v in args.variants.split(","):
         if args.mode == "train":
-            ms = time_window(s2b=(v == "s2b"), trace_dir=args.trace_dir)
+            ms = time_window(s2b=(v == "s2b"), trace_dir=args.trace_dir,
+                             dense=(v == "dense"), fwd_only=(v == "fwd"))
             print(f"fused bf16 joint window [{v}]: {ms:.1f} ms "
                   f"({10 / ms * 1000:.1f} img/s)", flush=True)
         else:
