@@ -116,17 +116,26 @@ def cmd_eval_valid(args):
                 "with --windowed for the memory-bounded grid statistics")
         ev = WindowedSegEvaluator(model, cfg.model.num_classes, (wh, ww),
                                   with_stats=args.stats)
+        raw = False
     else:
+        # raw uint8 items + in-jit normalization when bit-equal to the
+        # host path: 4× less relay traffic and a 4× smaller input
+        # buffer (batch-16 full-res f32 inputs cross the ≳400 MB relay
+        # wedge threshold — see dataset.supports_raw_eval)
+        raw = ds.supports_raw_eval()
         ev = SegEvaluator(model, cfg.model.num_classes,
                           with_stats=args.stats,
-                          stats_upsampled=args.stats_upsampled)
+                          stats_upsampled=args.stats_upsampled,
+                          normalize=(cfg.data.mean, cfg.data.std)
+                          if raw else None)
     acc = ProtoStatsAccumulator(n_proto, cfg.model.num_classes,
                                 np.asarray(proto_class)) if args.stats \
         else None
     if args.batch_size > 1:
-        items = ds.eval_batches(args.batch_size, with_counts=True)
+        items = ds.eval_batches(args.batch_size, with_counts=True,
+                                raw=raw)
     else:
-        items = ((img, lab, 1) for img, lab in ds.eval_items())
+        items = ((img, lab, 1) for img, lab in ds.eval_items(raw=raw))
 
     n_images = 0
     for img, lab, n_real in items:
@@ -216,12 +225,16 @@ def cmd_eval_test(args):
         wev = WindowedSegEvaluator(model, cfg.model.num_classes,
                                    (wh, ww))
         fn = lambda p, c, pc, img, lab: wev.update(p, c, pc, img, lab)
+        raw = False
     else:
-        fn = make_inference_fn(model, cfg.model.num_classes)
+        raw = ds.supports_raw_eval()
+        fn = make_inference_fn(model, cfg.model.num_classes,
+                               normalize=(cfg.data.mean, cfg.data.std)
+                               if raw else None)
     out_dir = os.path.join(args.run_dir, "evaluation", args.stage,
                            "test_predictions")
     os.makedirs(out_dir, exist_ok=True)
-    for i, (img, lab) in enumerate(ds.eval_items()):
+    for i, (img, lab) in enumerate(ds.eval_items(raw=raw)):
         out = fn(params, payload["constants"], proto_class,
                  jnp.asarray(img), jnp.asarray(lab))
         pred = np.asarray(out["pred"][0]).astype(np.uint8)

@@ -187,13 +187,33 @@ class SegmentationDataset:
                 np.asarray(self.cfg.std, np.float32)
         return img.astype(np.float32), label
 
-    def eval_items(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def supports_raw_eval(self) -> bool:
+        """True when eval items can ship as RAW uint8 with normalization
+        done on device (``make_inference_fn(normalize=...)``): no
+        eval-time input resize (which the reference applies AFTER
+        normalization) and /255 scaling in effect.  (u8→f32)/255 − mean
+        then /std on device is the identical f32 op sequence to the
+        host path, so results are bit-equal — while the host→device
+        transfer and the input device buffer shrink 4× (the remote
+        relay wedges on ≳400 MB buffers; batch-16 full-res f32 inputs
+        are 402 MB, uint8 are 100)."""
+        return self.cfg.eval_resize is None and not self.cfg.cells
+
+    def get_eval_item_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(H, W, 3) uint8 image + raw training-id label, for the
+        device-side-normalization eval path (supports_raw_eval)."""
+        image, label = self._load_raw(self.img_ids[index])
+        return np.ascontiguousarray(image, np.uint8), label
+
+    def eval_items(self, raw: bool = False
+                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        get = self.get_eval_item_raw if raw else self.get_eval_item
         for i in range(len(self)):
-            img, lab = self.get_eval_item(i)
+            img, lab = get(i)
             yield img[None], lab[None]
 
     def eval_batches(self, batch_size: int, pad_final: bool = True,
-                     with_counts: bool = False
+                     with_counts: bool = False, raw: bool = False
                      ) -> Iterator[Tuple[np.ndarray, ...]]:
         """Full-res eval batches; flushes early when image shapes differ
         (Cityscapes is uniform; PASCAL varies per image).
@@ -223,8 +243,9 @@ class SegmentationDataset:
                 return out + (n_real,)
             return out
 
+        get = self.get_eval_item_raw if raw else self.get_eval_item
         for i in range(len(self)):
-            img, lab = self.get_eval_item(i)
+            img, lab = get(i)
             if imgs and img.shape != imgs[0].shape:
                 yield flush()
             imgs.append(img)

@@ -148,7 +148,10 @@ def _topk_purity(sample_d: jnp.ndarray, sample_pred: jnp.ndarray,
 def make_inference_fn(model: PPNet, num_classes: int,
                       with_stats: bool = False,
                       stats_upsampled: bool = False,
-                      proto_chunk: int = 16) -> Callable:
+                      proto_chunk: int = 16,
+                      normalize: Optional[Tuple[Tuple[float, ...],
+                                                Tuple[float, ...]]] = None
+                      ) -> Callable:
     """jitted eval step.
 
     Without stats: ``fn(params, constants, proto_class, images, labels)``
@@ -165,9 +168,20 @@ def make_inference_fn(model: PPNet, num_classes: int,
 
     ``labels`` are raw annotations: 0 = void, class c at value c+1
     (reference eval_valid.py:178-189).
+
+    ``normalize=(mean, std)`` moves input normalization INTO the jit:
+    images arrive as raw uint8 and are scaled ``(x/255 − mean)/std`` on
+    device — the identical f32 op sequence to the host path (bit-equal
+    results) at 4× less host→device traffic and a 4× smaller input
+    device buffer (the remote relay wedges on ≳400 MB buffers;
+    batch-16 full-res f32 inputs cross that, uint8 stays at 100 MB).
     """
 
     def fn(params, constants, proto_class, images, labels, *uv):
+        if normalize is not None:
+            mean = jnp.asarray(normalize[0], jnp.float32)
+            std = jnp.asarray(normalize[1], jnp.float32)
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
         variables = {"params": params, "constants": constants}
         grid_logits, dist = model.apply(variables, images, train=False,
                                         return_distances=with_stats)
@@ -281,10 +295,11 @@ class SegEvaluator:
 
     def __init__(self, model: PPNet, num_classes: int,
                  with_stats: bool = False, stats_upsampled: bool = False,
-                 n_random_pixels: int = 100, seed: int = 0):
+                 n_random_pixels: int = 100, seed: int = 0,
+                 normalize=None):
         self.num_classes = num_classes
         self.fn = make_inference_fn(model, num_classes, with_stats,
-                                    stats_upsampled)
+                                    stats_upsampled, normalize=normalize)
         self.with_stats = with_stats
         self.n_random = n_random_pixels
         self.rng = np.random.RandomState(seed)

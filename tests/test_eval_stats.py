@@ -274,3 +274,64 @@ def test_per_image_sample_pixels_match_per_image_calls():
     # the two rows are genuinely different draws
     assert not np.allclose(np.asarray(batched["topk_purity"][0]),
                            np.asarray(batched["topk_purity"][1]))
+
+
+def test_device_normalize_bit_equals_host_path():
+    """Raw-uint8 eval items + in-jit normalization must be BIT-equal to
+    host-normalized f32 items ((u8→f32)/255 − mean)/std is the same f32
+    op sequence either way) — the 4×-smaller-transfer eval path."""
+    import dataclasses
+    from adlm_tpu.core.config import DataConfig
+    from adlm_tpu.data.dataset import SegmentationDataset
+
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=33)
+    model = PPNet(cfg=cfg)
+    v = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 40, 48, 3)))
+    params, constants = v["params"], v.get("constants", {})
+    pc = default_proto_class(6, 3)
+    dcfg = DataConfig(class_table="mds")
+    assert DataConfig().eval_resize is None  # flagship supports raw
+
+    rng = np.random.RandomState(9)
+    raw = rng.randint(0, 256, size=(2, 40, 48, 3)).astype(np.uint8)
+    labels = rng.randint(0, 4, size=(2, 40, 48))
+    mean = np.asarray(dcfg.mean, np.float32)
+    std = np.asarray(dcfg.std, np.float32)
+    host = (raw.astype(np.float32) / 255.0 - mean) / std
+
+    fn_host = make_inference_fn(model, 3)
+    fn_raw = make_inference_fn(model, 3, normalize=(dcfg.mean, dcfg.std))
+    a = fn_host(params, constants, pc, jnp.asarray(host),
+                jnp.asarray(labels))
+    b = fn_raw(params, constants, pc, jnp.asarray(raw),
+               jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(a["pred"]),
+                                  np.asarray(b["pred"]))
+    np.testing.assert_array_equal(np.asarray(a["intersection"]),
+                                  np.asarray(b["intersection"]))
+    np.testing.assert_array_equal(np.asarray(a["union"]),
+                                  np.asarray(b["union"]))
+
+    # dataset raw mode pairs with the host mode item-for-item
+    import json, os, tempfile
+    with tempfile.TemporaryDirectory() as root:
+        os.makedirs(f"{root}/img_with_margin_0/val")
+        os.makedirs(f"{root}/annotations/val")
+        np.save(f"{root}/img_with_margin_0/val/a.npy", raw[0])
+        np.save(f"{root}/annotations/val/a.npy",
+                labels[0].astype(np.uint8))
+        json.dump({"val": ["a"]}, open(f"{root}/all_images.json", "w"))
+        ds = SegmentationDataset(dcfg, "val", data_path=root,
+                                 is_eval=True)
+        assert ds.supports_raw_eval()
+        img_h, _ = ds.get_eval_item(0)
+        img_r, _ = ds.get_eval_item_raw(0)
+        assert img_r.dtype == np.uint8
+        np.testing.assert_array_equal(
+            img_h, (img_r.astype(np.float32) / 255.0 - mean) / std)
+        rcfg = dataclasses.replace(dcfg, eval_resize=(33, 33))
+        ds2 = SegmentationDataset(rcfg, "val", data_path=root,
+                                  is_eval=True)
+        assert not ds2.supports_raw_eval()  # resize-after-norm path
