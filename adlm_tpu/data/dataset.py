@@ -192,12 +192,16 @@ class SegmentationDataset:
         done on device (``make_inference_fn(normalize=...)``): no
         eval-time input resize (which the reference applies AFTER
         normalization) and /255 scaling in effect.  (u8→f32)/255 − mean
-        then /std on device is the identical f32 op sequence to the
-        host path, so results are bit-equal — while the host→device
+        then /std on device is the same f32 op sequence as the host
+        path (equal to fp-ulp level; the integer eval metrics came out
+        bit-identical on both CPU and TPU) — while the host→device
         transfer and the input device buffer shrink 4× (the remote
         relay wedges on ≳400 MB buffers; batch-16 full-res f32 inputs
-        are 402 MB, uint8 are 100)."""
-        return self.cfg.eval_resize is None and not self.cfg.cells
+        are 402 MB, uint8 are 100).  Push datasets skip both the
+        normalize AND the eval resize, so they qualify whenever /255
+        scaling applies."""
+        return ((self.push_prototypes or self.cfg.eval_resize is None)
+                and not self.cfg.cells)
 
     def get_eval_item_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         """(H, W, 3) uint8 image + raw training-id label, for the

@@ -171,10 +171,11 @@ def make_inference_fn(model: PPNet, num_classes: int,
 
     ``normalize=(mean, std)`` moves input normalization INTO the jit:
     images arrive as raw uint8 and are scaled ``(x/255 − mean)/std`` on
-    device — the identical f32 op sequence to the host path (bit-equal
-    results) at 4× less host→device traffic and a 4× smaller input
-    device buffer (the remote relay wedges on ≳400 MB buffers;
-    batch-16 full-res f32 inputs cross that, uint8 stays at 100 MB).
+    device — the same f32 op sequence as the host path (ulp-equivalent;
+    integer eval metrics observed bit-identical on CPU and TPU) at 4×
+    less host→device traffic and a 4× smaller input device buffer (the
+    remote relay wedges on ≳400 MB buffers; batch-16 full-res f32
+    inputs cross that, uint8 stays at 100 MB).
     """
 
     def fn(params, constants, proto_class, images, labels, *uv):

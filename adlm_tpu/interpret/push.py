@@ -81,7 +81,8 @@ def make_push_batch_fn(model: PPNet, num_classes: int) -> Callable:
     return fn
 
 
-def make_push_batched_fn(model: PPNet, num_classes: int) -> Callable:
+def make_push_batched_fn(model: PPNet, num_classes: int,
+                         scale255: bool = False) -> Callable:
     """Batched push kernel: (params, constants, proto_class,
     images (B,H,W,3), labels (B,H,W)) → per-prototype batch winner
     (min_dist (P,), img_in_batch (P,), patch_i, patch_j, fmap (P,C)).
@@ -91,10 +92,19 @@ def make_push_batched_fn(model: PPNet, num_classes: int) -> Callable:
     batch over the mesh ``data`` axis: XLA turns the argmin into a
     cross-device min+argmin reduction over ICI) reproduces the
     reference's sequential semantics exactly.
+
+    ``scale255`` moves the push path's only preprocessing (u8→f32 /255;
+    push skips normalization, reference dataset.py:77-79) into the jit
+    so full-res images ship as uint8 — numerically equivalent to the
+    host path at fp-ulp level (XLA may fuse the division differently),
+    4× less transfer and a 4× smaller input buffer (relay wedge
+    margin, see CLAUDE.md).
     """
 
     @jax.jit
     def fn(params, constants, proto_class, images, labels):
+        if scale255:
+            images = images.astype(jnp.float32) / 255.0
         variables = {"params": params, "constants": constants}
         f, d = model.apply(variables, images, method=PPNet.push_forward)
         B, h, w, P = d.shape
@@ -132,6 +142,7 @@ def push_prototypes(
     log: Callable[[str], None] = print,
     denorm: Optional[Callable] = None,
     get_item: Optional[Callable] = None,
+    raw_uint8: bool = False,
 ) -> Tuple[Any, jnp.ndarray, Dict[str, Any]]:
     """Project each prototype onto its nearest training patch.
 
@@ -147,6 +158,10 @@ def push_prototypes(
         winner images in a second pass to render artifacts and grow the
         95th-percentile bound boxes, like
         ``nearest.save_nearest_artifacts``).
+      raw_uint8: dataset yields RAW uint8 images; the /255 scaling
+        happens inside the jit (ulp-equivalent — see
+        make_push_batched_fn).  Batched path only; visualizations keep
+        the f32 items.
 
     Returns:
       (new_params, new_proto_class, info) where info carries the
@@ -172,11 +187,15 @@ def push_prototypes(
     # mark never-eligible prototypes as updated with garbage patches)
     _INF_HOST = float(_INF) * 0.5
 
+    if raw_uint8 and (batch_size <= 1 or save_visualizations):
+        raise ValueError("raw_uint8 push requires batch_size > 1 and "
+                         "save_visualizations=False")
     if batch_size > 1:
         if save_visualizations and (get_item is None or run_dir is None):
             raise ValueError("batched push visualizations need "
                              "get_item= random access and run_dir=")
-        bfn = make_push_batched_fn(model, num_classes)
+        bfn = make_push_batched_fn(model, num_classes,
+                                   scale255=raw_uint8)
         grid_dims: Dict[Tuple[int, ...], Tuple[int, int]] = {}
         pending_imgs: list = []
         pending_labs: list = []

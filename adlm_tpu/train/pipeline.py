@@ -318,12 +318,16 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     push_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
                                   data_path=data_path, is_eval=True,
                                   push_prototypes=True)
+    # uint8 items + in-jit /255 when bit-equal (4× less relay traffic;
+    # see make_push_batched_fn) — batched, non-visualizing pushes only
+    raw_push = (push_batch_size > 1 and not save_push_visualizations
+                and push_ds.supports_raw_eval())
     new_params, new_pc, _ = push_prototypes(
         model, state.params, state.constants, state.proto_class,
-        push_ds.eval_items(), cfg.model.num_classes,
+        push_ds.eval_items(raw=raw_push), cfg.model.num_classes,
         run_dir=os.path.join(run_dir, "prototypes"),
         save_visualizations=save_push_visualizations,
-        batch_size=push_batch_size,
+        batch_size=push_batch_size, raw_uint8=raw_push,
         get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
             *push_ds.get_eval_item(i)),
         class_names=table.class_names, log=logger.log,

@@ -277,9 +277,10 @@ def test_per_image_sample_pixels_match_per_image_calls():
 
 
 def test_device_normalize_bit_equals_host_path():
-    """Raw-uint8 eval items + in-jit normalization must be BIT-equal to
-    host-normalized f32 items ((u8→f32)/255 − mean)/std is the same f32
-    op sequence either way) — the 4×-smaller-transfer eval path."""
+    """Raw-uint8 eval items + in-jit normalization: same f32 op
+    sequence as host normalization (ulp-equivalent; the integer eval
+    metrics come out bit-identical here and on the TPU) — the
+    4×-smaller-transfer eval path."""
     import dataclasses
     from adlm_tpu.core.config import DataConfig
     from adlm_tpu.data.dataset import SegmentationDataset

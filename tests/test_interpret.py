@@ -323,3 +323,36 @@ def test_batched_push_visualizations_require_get_item(tmp_path):
                         list(zip(images, labels)), 3, batch_size=2,
                         run_dir=str(tmp_path), save_visualizations=True,
                         log=lambda *_: None)
+
+
+def test_batched_push_raw_uint8_matches_f32():
+    """Raw-uint8 items + in-jit /255 (raw_uint8=True) must match the
+    f32 batched push to fp ulp level (XLA may fuse the in-jit division
+    differently, e.g. reciprocal-multiply, so exact bit equality is not
+    guaranteed) — the 4×-smaller-transfer push path."""
+    model, _, _, pc, _, labels = _make_model_and_data(seed=11, n_imgs=4)
+    rng = np.random.RandomState(11)
+    raws = [rng.randint(0, 256, size=(1, 33, 33, 3)).astype(np.uint8)
+            for _ in range(4)]
+    f32s = [r.astype(np.float32) / 255.0 for r in raws]
+    v = model.init(jax.random.PRNGKey(11), f32s[0])
+    params, constants = v["params"], v.get("constants", {})
+
+    a = push_prototypes(model, params, constants, pc,
+                        list(zip(f32s, labels)), 3, dedup=False,
+                        batch_size=2, log=lambda *_: None)
+    b = push_prototypes(model, params, constants, pc,
+                        list(zip(raws, labels)), 3, dedup=False,
+                        batch_size=2, raw_uint8=True, log=lambda *_: None)
+    np.testing.assert_allclose(a[2]["min_distances"],
+                               b[2]["min_distances"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a[0]["prototype_vectors"]),
+        np.asarray(b[0]["prototype_vectors"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(a[2]["proto_rf_boxes"],
+                                  b[2]["proto_rf_boxes"])
+
+    with np.testing.assert_raises(ValueError):
+        push_prototypes(model, params, constants, pc,
+                        list(zip(raws, labels)), 3, raw_uint8=True,
+                        log=lambda *_: None)  # needs batch_size > 1
