@@ -114,11 +114,15 @@ def cmd_eval_valid(args):
             raise SystemExit(
                 "--stats-upsampled is whole-image only; use --stats "
                 "with --windowed for the memory-bounded grid statistics")
+        # raw uint8 + per-window in-jit normalization (4× less relay
+        # traffic — see dataset.supports_raw_eval)
+        raw = ds.supports_raw_eval()
         ev = WindowedSegEvaluator(model, cfg.model.num_classes, (wh, ww),
-                                  with_stats=args.stats)
-        raw = False
+                                  with_stats=args.stats,
+                                  normalize=(cfg.data.mean, cfg.data.std)
+                                  if raw else None)
     else:
-        # raw uint8 items + in-jit normalization when bit-equal to the
+        # raw uint8 items + in-jit normalization when equivalent to the
         # host path: 4× less relay traffic and a 4× smaller input
         # buffer (batch-16 full-res f32 inputs cross the ≳400 MB relay
         # wedge threshold — see dataset.supports_raw_eval)
@@ -222,10 +226,12 @@ def cmd_eval_test(args):
     if args.windowed:
         from adlm_tpu.interpret.windowed import WindowedSegEvaluator
         wh, ww = (int(x) for x in args.windowed.split(","))
+        raw = ds.supports_raw_eval()
         wev = WindowedSegEvaluator(model, cfg.model.num_classes,
-                                   (wh, ww))
+                                   (wh, ww),
+                                   normalize=(cfg.data.mean, cfg.data.std)
+                                   if raw else None)
         fn = lambda p, c, pc, img, lab: wev.update(p, c, pc, img, lab)
-        raw = False
     else:
         raw = ds.supports_raw_eval()
         fn = make_inference_fn(model, cfg.model.num_classes,
@@ -243,6 +249,52 @@ def cmd_eval_test(args):
         if args.max_images and i + 1 >= args.max_images:
             break
     print(f"wrote predictions to {out_dir}")
+
+
+def cmd_export(args):
+    """AOT-export the inference program (weights baked in) to a
+    StableHLO artifact + manifest for deployment/serving — see
+    adlm_tpu/deploy/export.py.  The reference has no deployment path
+    (its eval scripts rebuild the model per run)."""
+    _enable_compile_cache()
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import ExperimentConfig
+    from adlm_tpu.data.constants import get_class_table
+    from adlm_tpu.deploy.export import export_inference_artifact
+    from adlm_tpu.models.ppnet import PPNet
+
+    store = CheckpointStore(args.run_dir)
+    cfg = ExperimentConfig.from_json(store.load_config_json())
+    payload = store.restore(args.stage, args.kind)
+    params = payload["params"]
+    n_proto = int(np.asarray(params["prototype_vectors"]).shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    model = PPNet(cfg=cfg.model)
+    table = get_class_table(cfg.data.class_table)
+
+    h, w = (int(x) for x in args.size.split(","))
+    # uint8 inputs + in-jit normalization unless the preset keeps raw
+    # ranges (cells) or the caller wants pre-normalized f32 inputs
+    normalize = None
+    if not args.f32_inputs and not cfg.data.cells:
+        normalize = (cfg.data.mean, cfg.data.std)
+    out_dir = args.out or os.path.join(
+        args.run_dir, "export", f"{args.stage}_{args.batch}x{h}x{w}")
+    manifest = export_inference_artifact(
+        model, params, payload["constants"], payload["proto_class"],
+        out_dir, args.batch, (h, w), normalize=normalize,
+        platforms=tuple(args.platforms.split(",")),
+        compute_dtype=jnp.float32 if args.f32_compute else jnp.bfloat16,
+        class_names=list(table.class_names))
+    print(f"exported {manifest['input']['shape']} "
+          f"{manifest['input']['dtype']} inference for platforms "
+          f"{manifest['platforms']} to {out_dir}")
 
 
 def cmd_prune(args):
@@ -798,6 +850,27 @@ def main(argv=None):
                              "window size instead of whole-image "
                              "forwards (memory-bounded mode)")
         ep.set_defaults(fn=fn)
+
+    xp = sub.add_parser("export")
+    xp.add_argument("run_dir")
+    xp.add_argument("stage", choices=["warmup", "nopush", "push",
+                                      "pruned"])
+    xp.add_argument("--kind", default="last", choices=["last", "best"])
+    xp.add_argument("--batch", type=int, default=1)
+    xp.add_argument("--size", default="1024,2048", metavar="H,W",
+                    help="input resolution baked into the artifact")
+    xp.add_argument("--out", default=None,
+                    help="artifact directory (default: "
+                         "<run_dir>/export/<stage>_<B>x<H>x<W>)")
+    xp.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering targets")
+    xp.add_argument("--f32-inputs", action="store_true",
+                    help="expect pre-normalized float32 inputs instead "
+                         "of raw uint8 + on-device normalization")
+    xp.add_argument("--f32-compute", action="store_true",
+                    help="keep float32 weights/activations (default "
+                         "bfloat16)")
+    xp.set_defaults(fn=cmd_export)
 
     pp = sub.add_parser("prune")
     pp.add_argument("run_dir")

@@ -21,7 +21,7 @@ stand-in"):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +41,30 @@ def _window_grid(size: int, window: int, stride: int):
     return starts
 
 
+def _norm_in_jit(patch, normalize):
+    """(u8→f32)/255 − mean then /std — the same f32 op sequence as the
+    host path (``SegmentationDataset.get_eval_item``), run on device so
+    full-res windows ship as uint8 (4× less relay traffic — see
+    ``dataset.supports_raw_eval``)."""
+    mean, std = normalize
+    x = patch.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean, jnp.float32)) \
+        / jnp.asarray(std, jnp.float32)
+
+
 def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
-                               overlap: float = 0.25) -> Callable:
+                               overlap: float = 0.25,
+                               normalize: Optional[Tuple] = None
+                               ) -> Callable:
     """Returns ``fn(params, constants, image (1,H,W,3)) -> logits
-    (1,H,W,K)`` running the model per window and stitching."""
+    (1,H,W,K)`` running the model per window and stitching.
+
+    ``normalize=(mean, std)`` moves input normalization INTO the
+    per-window jit: the image arrives uint8 and each window is
+    normalized on device.  Windows clamped at image edges are padded
+    host-side and re-zeroed AFTER normalization via a validity mask, so
+    the model sees exactly the zero padding the host-normalized f32
+    path would have produced."""
     wh, ww = window
     stride_h = max(int(wh * (1.0 - overlap)), 1)
     stride_w = max(int(ww * (1.0 - overlap)), 1)
@@ -55,12 +75,16 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
     taper = (hy[:, None] * hx[None, :])[None, :, :, None]
 
     @jax.jit
-    def window_fn(params, constants, patch):
+    def window_fn(params, constants, patch, mask):
+        if normalize is not None:
+            patch = _norm_in_jit(patch, normalize) * mask
         logits, _ = model.apply({"params": params, "constants": constants},
                                 patch, train=False,
                                 return_distances=False)
         up = resize_bilinear(logits, (wh, ww))
         return up * taper, taper
+
+    full_mask = jnp.ones((1, wh, ww, 1), jnp.float32)
 
     def fn(params, constants, image):
         B, H, W, _ = image.shape
@@ -70,11 +94,15 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
             for sw in _window_grid(W, ww, stride_w):
                 patch = image[:, sh:sh + wh, sw:sw + ww, :]
                 ph, pw = patch.shape[1], patch.shape[2]
+                mask = full_mask
                 if (ph, pw) != (wh, ww):  # image smaller than window
                     pad = ((0, 0), (0, wh - ph), (0, ww - pw), (0, 0))
                     patch = jnp.pad(patch, pad)
+                    m = np.zeros((1, wh, ww, 1), np.float32)
+                    m[:, :ph, :pw] = 1.0
+                    mask = jnp.asarray(m)
                 logits_w, weight = window_fn(params, constants,
-                                             jnp.asarray(patch))
+                                             jnp.asarray(patch), mask)
                 acc[:, sh:sh + ph, sw:sw + pw] += np.asarray(
                     logits_w)[:, :ph, :pw]
                 norm[:, sh:sh + ph, sw:sw + pw] += np.asarray(
@@ -84,17 +112,23 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
     return fn
 
 
-def make_windowed_stats_fn(model: PPNet) -> Callable:
+def make_windowed_stats_fn(model: PPNet,
+                           normalize: Optional[Tuple] = None) -> Callable:
     """jitted per-window interpretability stats at grid resolution
     (the memory-bounded sibling of ``make_inference_fn(with_stats=True)``,
     reference eval_valid.py:191-214): per-window stat prediction,
     nearest-prototype map, and top-K purity at ``(B, n)`` random sample
-    pixels passed as [0,1) floats."""
+    pixels passed as [0,1) floats.  ``normalize`` as in
+    ``make_windowed_inference_fn`` (uint8 windows, on-device
+    normalization, post-normalization zero re-pad via ``mask`` so
+    edge-clamped windows see exactly the f32 path's zero padding)."""
 
     from adlm_tpu.interpret.evaluate import _topk_purity
 
     @jax.jit
-    def fn(params, constants, proto_class, patch, u, v):
+    def fn(params, constants, proto_class, patch, mask, u, v):
+        if normalize is not None:
+            patch = _norm_in_jit(patch, normalize) * mask
         logits, dist = model.apply({"params": params,
                                     "constants": constants},
                                    patch, train=False,
@@ -129,17 +163,25 @@ class WindowedSegEvaluator:
     window-overlap bands contribute once per covering window to the
     nearest-prototype counts, and purity pixels are drawn per window
     (``n_random_pixels`` each) rather than per image.
+
+    ``normalize=(mean, std)`` selects the raw-uint8 transfer path:
+    images arrive uint8 and every window is normalized on device (see
+    ``make_windowed_inference_fn``).
     """
 
     def __init__(self, model: PPNet, num_classes: int,
                  window: Tuple[int, int], overlap: float = 0.25,
                  with_stats: bool = False, n_random_pixels: int = 100,
-                 seed: int = 0):
+                 seed: int = 0, normalize: Optional[Tuple] = None):
         self.num_classes = num_classes
-        self.fn = make_windowed_inference_fn(model, window, overlap)
+        self.fn = make_windowed_inference_fn(model, window, overlap,
+                                             normalize=normalize)
         self.with_stats = with_stats
+        self._stats_mask = jnp.ones((1,) + tuple(window) + (1,),
+                                    jnp.float32)
         if with_stats:
-            self.stats_fn = make_windowed_stats_fn(model)
+            self.stats_fn = make_windowed_stats_fn(model,
+                                                   normalize=normalize)
             self.window = window
             self.overlap = overlap
             self.n_random = n_random_pixels
@@ -164,15 +206,19 @@ class WindowedSegEvaluator:
             for sw in _window_grid(W, ww, stride_w):
                 patch = images[:, sh:sh + wh, sw:sw + ww, :]
                 ph, pw = patch.shape[1], patch.shape[2]
+                mask = self._stats_mask
                 if (ph, pw) != (wh, ww):
                     patch = np.pad(patch, ((0, 0), (0, wh - ph),
                                            (0, ww - pw), (0, 0)))
+                    m = np.zeros((1, wh, ww, 1), np.float32)
+                    m[:, :ph, :pw] = 1.0
+                    mask = jnp.asarray(m)
                 u = jnp.asarray(self.rng.random_sample(
                     (B, self.n_random)), jnp.float32)
                 v = jnp.asarray(self.rng.random_sample(
                     (B, self.n_random)), jnp.float32)
                 sp, nr, tk = self.stats_fn(params, constants, proto_class,
-                                           jnp.asarray(patch), u, v)
+                                           jnp.asarray(patch), mask, u, v)
                 preds.append(np.asarray(sp))
                 nearests.append(np.asarray(nr))
                 topks.append(np.asarray(tk))

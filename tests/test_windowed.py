@@ -140,3 +140,53 @@ def test_windowed_stats_single_window_equals_whole_image():
                                   np.asarray(ref["stat_pred"]))
     np.testing.assert_array_equal(out["nearest_proto"],
                                   np.asarray(ref["nearest_proto"]))
+
+
+def test_windowed_raw_uint8_matches_f32_and_whole_image():
+    """normalize=(mean, std): uint8 images + per-window in-jit
+    normalization must equal the host-normalized f32 windowed run
+    (same counters AND stitched argmax), and — with one window covering
+    the whole image — the whole-image raw SegEvaluator too, restoring
+    the whole-vs-windowed mIoU equality the e2e CLI test asserts."""
+    from adlm_tpu.interpret.evaluate import SegEvaluator
+    from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+    from adlm_tpu.models.ppnet import default_proto_class
+
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=65)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, size=(1, 96, 128, 3)).astype(np.uint8)
+    labels = rng.randint(0, 4, size=(1, 96, 128))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    f32 = ((raw.astype(np.float32) / 255.0)
+           - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    v = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 65, 65, 3)))
+    params, constants = v["params"], v.get("constants", {})
+    pc = default_proto_class(6, 3)
+
+    # multi-window (2x3 grid incl. edge-clamped windows), f32 vs raw
+    a = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                             n_random_pixels=16)
+    b = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                             n_random_pixels=16, normalize=(mean, std))
+    oa = a.update(params, constants, pc, f32, labels)
+    ob = b.update(params, constants, pc, raw, labels)
+    np.testing.assert_array_equal(oa["pred"], ob["pred"])
+    np.testing.assert_array_equal(oa["stat_pred"], ob["stat_pred"])
+    np.testing.assert_array_equal(oa["nearest_proto"],
+                                  ob["nearest_proto"])
+    np.testing.assert_array_equal(a.intersection, b.intersection)
+    np.testing.assert_array_equal(a.union, b.union)
+
+    # single full-image window vs the whole-image raw evaluator
+    w = WindowedSegEvaluator(model, 3, (96, 128),
+                             normalize=(mean, std))
+    ow = w.update(params, constants, pc, raw, labels)
+    whole = SegEvaluator(model, 3, normalize=(mean, std))
+    os_ = whole.update(params, constants, pc, jnp.asarray(raw),
+                       jnp.asarray(labels))
+    np.testing.assert_array_equal(ow["pred"], np.asarray(os_["pred"]))
+    np.testing.assert_array_equal(w.intersection,
+                                  np.asarray(whole.intersection))
