@@ -1,0 +1,140 @@
+"""AOT inference export for deployment and serving.
+
+The reference has no deployment story — its eval scripts rebuild the
+torch model from source and reload the checkpoint on every run
+(reference segmentation/eval_valid.py:64-101).  Here the complete
+inference program — on-device uint8 normalization, backbone forward,
+prototype head, bilinear logit upsample, argmax, nearest-prototype
+interpretability map — is exported ONCE via ``jax.export`` to a
+self-contained StableHLO artifact with the weights baked in as
+constants.  A serving process deserializes and calls it without the
+model code, flax, or the checkpoint directory.
+
+One artifact is serialized PER platform (``platforms=("cpu", "tpu")``
+by default): each is a single-platform lowering, so the TPU artifact
+keeps the fused Pallas prototype head while the CPU artifact gets the
+pure-XLA composition (multi-platform modules must lower every branch
+for every platform, and Pallas has no compiled CPU lowering — the
+per-platform split sidesteps that while `load_inference_artifact`
+hides it behind one call).
+
+Artifact layout (``<out_dir>/``):
+
+* ``inference_<platform>.stablehlo`` — serialized
+  ``jax.export.Exported``, one per platform;
+* ``manifest.json`` — input shape/dtype, output names, normalization
+  constants, prototype→class identity, class count, platforms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.ops.resize import resize_bilinear
+
+_MANIFEST = "manifest.json"
+
+
+def _artifact_name(platform: str) -> str:
+    return f"inference_{platform}.stablehlo"
+
+
+def _serving_fn(model: PPNet, params: Any, constants: Any,
+                normalize: Optional[Tuple], out_size: Tuple[int, int],
+                compute_dtype: Any) -> Callable:
+    """images → {pred (B,H,W) int32, grid_logits (B,gh,gw,K) f32,
+    nearest_proto (B,gh,gw) int32}.  Weights are closed over so they
+    serialize into the artifact as constants."""
+
+    cast = jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+    def fn(images):
+        if normalize is not None:
+            mean = jnp.asarray(normalize[0], jnp.float32)
+            std = jnp.asarray(normalize[1], jnp.float32)
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
+        grid_logits, dist = model.apply(
+            {"params": cast, "constants": constants}, images,
+            train=False, return_distances=True)
+        logits = resize_bilinear(grid_logits, out_size)
+        return {
+            "pred": jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            "grid_logits": grid_logits.astype(jnp.float32),
+            "nearest_proto": jnp.argmin(dist, axis=-1).astype(jnp.int32),
+        }
+
+    return fn
+
+
+def export_inference_artifact(
+    model: PPNet, params: Any, constants: Any, proto_class: Any,
+    out_dir: str, batch: int, size: Tuple[int, int],
+    normalize: Optional[Tuple] = None,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    compute_dtype: Any = jnp.bfloat16,
+    class_names: Optional[list] = None,
+) -> Dict[str, Any]:
+    """Lower + serialize the inference program for ``(batch, *size, 3)``
+    inputs (uint8 when ``normalize`` is given, else pre-normalized f32)
+    and write artifact + manifest to ``out_dir``.  Returns the manifest.
+    """
+    from jax import export as jexport
+
+    H, W = size
+    in_dtype = jnp.uint8 if normalize is not None else jnp.float32
+    fn = _serving_fn(model, params, constants, normalize, (H, W),
+                     compute_dtype)
+    os.makedirs(out_dir, exist_ok=True)
+    for platform in platforms:
+        exp = jexport.export(jax.jit(fn), platforms=[platform])(
+            jax.ShapeDtypeStruct((batch, H, W, 3), in_dtype))
+        with open(os.path.join(out_dir, _artifact_name(platform)),
+                  "wb") as f:
+            f.write(exp.serialize())
+    manifest = {
+        "input": {"shape": [batch, H, W, 3], "dtype": str(np.dtype(
+            in_dtype.dtype if hasattr(in_dtype, "dtype") else in_dtype))},
+        "outputs": ["pred", "grid_logits", "nearest_proto"],
+        "normalize": ([list(normalize[0]), list(normalize[1])]
+                      if normalize is not None else None),
+        "proto_class": np.asarray(proto_class).astype(int).tolist(),
+        "num_classes": int(model.cfg.num_classes),
+        "class_names": class_names,
+        "compute_dtype": str(jnp.dtype(compute_dtype)),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_inference_artifact(out_dir: str, platform: Optional[str] = None
+                            ) -> Tuple[Callable, Dict[str, Any]]:
+    """Deserialize an exported artifact.  Returns ``(call, manifest)``
+    where ``call(images)`` runs the baked-in weights on the current
+    platform — no model code or checkpoint needed.  ``platform``
+    defaults to the current backend's (the axon relay presents as
+    ``tpu``)."""
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if platform is None:
+        platform = jax.default_backend()
+        if platform not in manifest["platforms"]:
+            raise ValueError(
+                f"current backend {platform!r} has no artifact in "
+                f"{out_dir} (exported: {manifest['platforms']})")
+    with open(os.path.join(out_dir, _artifact_name(platform)), "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    return exp.call, manifest

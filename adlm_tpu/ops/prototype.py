@@ -163,20 +163,30 @@ def prototype_head(x: jnp.ndarray,
     return logits, dist
 
 
-def _target_platform() -> str:
-    dev = jax.config.jax_default_device
-    if dev is not None:
-        return dev.platform
-    return jax.default_backend()
-
-
 def _head_fwd_impl(x, prototypes, last_layer_weight, activation, epsilon,
                    return_distances):
-    if _target_platform() != "tpu":
+    # Platform choice happens at LOWERING time, not trace time: a single
+    # traced program (e.g. a jax.export artifact lowered for
+    # ("cpu", "tpu")) gets the Pallas kernel on TPU and the pure-XLA
+    # composition elsewhere.  Under a single-platform jit the branch is
+    # resolved statically — no cond survives in the compiled program.
+    def _xla_branch(x, prototypes, last_layer_weight):
         logits, d = prototype_head_reference(
             x, prototypes, last_layer_weight, activation, epsilon)
-        return logits, (d if return_distances else None)
+        return (logits, d) if return_distances else (logits,)
 
+    def _pallas_branch(x, prototypes, last_layer_weight):
+        return _head_fwd_pallas(x, prototypes, last_layer_weight,
+                                activation, epsilon, return_distances)
+
+    out = jax.lax.platform_dependent(
+        x, prototypes, last_layer_weight,
+        tpu=_pallas_branch, default=_xla_branch)
+    return out[0], (out[1] if return_distances else None)
+
+
+def _head_fwd_pallas(x, prototypes, last_layer_weight, activation, epsilon,
+                     return_distances):
     orig_shape = x.shape
     C = orig_shape[-1]
     P, K = last_layer_weight.shape
@@ -236,10 +246,8 @@ def _head_fwd_impl(x, prototypes, last_layer_weight, activation, epsilon,
 
     logits = logits_p[:N, :K].reshape(*orig_shape[:-1], K)
     if return_distances:
-        dist = dist_p[:N, :P].reshape(*orig_shape[:-1], P)
-    else:
-        dist = None
-    return logits, dist
+        return logits, dist_p[:N, :P].reshape(*orig_shape[:-1], P)
+    return (logits,)
 
 
 def _head_fwd(x, prototypes, last_layer_weight, activation, epsilon,

@@ -1,0 +1,147 @@
+"""AOT inference export (adlm_tpu/deploy) tests.
+
+The reference has no deployment path (its eval scripts rebuild the
+torch model and reload the checkpoint on every run, reference
+segmentation/eval_valid.py:64-101); the exported StableHLO artifact is
+the framework's serving story, so these tests pin the contract: the
+deserialized program — weights baked in, no model code — must
+reproduce the live model exactly, including the uint8 on-device
+normalization path and cross-platform (cpu+tpu) lowering.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.core.config import PPNetConfig
+from adlm_tpu.deploy.export import (
+    export_inference_artifact,
+    load_inference_artifact,
+)
+from adlm_tpu.models.ppnet import PPNet, default_proto_class
+from adlm_tpu.ops.resize import resize_bilinear
+
+
+def _tiny_model(seed=0):
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=33)
+    model = PPNet(cfg=cfg)
+    v = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 33, 33, 3)))
+    return model, v["params"], v.get("constants", {})
+
+
+def test_export_roundtrip_matches_live_model(tmp_path):
+    model, params, constants = _tiny_model()
+    pc = default_proto_class(6, 3)
+    out = str(tmp_path / "artifact")
+    manifest = export_inference_artifact(
+        model, params, constants, pc, out, batch=2, size=(40, 48),
+        normalize=None, platforms=("cpu",),
+        compute_dtype=jnp.float32, class_names=["a", "b", "c"])
+    assert os.path.exists(os.path.join(out, "inference_cpu.stablehlo"))
+    assert manifest["input"] == {"shape": [2, 40, 48, 3],
+                                 "dtype": "float32"}
+    assert manifest["proto_class"] == np.asarray(pc).tolist()
+
+    call, m2 = load_inference_artifact(out)
+    assert m2 == json.loads(json.dumps(manifest))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 40, 48, 3).astype(np.float32))
+    got = call(images)
+
+    # the live comparison runs eager (unjitted) — op-fusion
+    # reassociation puts the two paths ~1e-4 apart in f32, so the
+    # contract is near-total argmax agreement + close logits, not bit
+    # equality (two different XLA programs)
+    logits, dist = model.apply({"params": params, "constants": constants},
+                               images, train=False, return_distances=True)
+    want_pred = np.argmax(np.asarray(resize_bilinear(logits, (40, 48))),
+                          axis=-1)
+    assert np.mean(np.asarray(got["pred"]) == want_pred) > 0.995
+    assert np.mean(np.asarray(got["nearest_proto"])
+                   == np.argmin(np.asarray(dist), axis=-1)) > 0.995
+    np.testing.assert_allclose(np.asarray(got["grid_logits"]),
+                               np.asarray(logits), rtol=5e-3, atol=1e-5)
+
+
+def test_export_uint8_normalize_path(tmp_path):
+    """normalize=(mean, std): the artifact takes RAW uint8 and matches
+    the live model fed host-normalized f32 (same op sequence)."""
+    model, params, constants = _tiny_model(seed=3)
+    pc = default_proto_class(6, 3)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    out = str(tmp_path / "artifact")
+    manifest = export_inference_artifact(
+        model, params, constants, pc, out, batch=1, size=(40, 48),
+        normalize=(mean, std), platforms=("cpu",),
+        compute_dtype=jnp.float32)
+    assert manifest["input"]["dtype"] == "uint8"
+
+    call, _ = load_inference_artifact(out)
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 256, size=(1, 40, 48, 3)).astype(np.uint8)
+    got = call(jnp.asarray(raw))
+
+    f32 = ((raw.astype(np.float32) / 255.0)
+           - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    logits, _ = model.apply({"params": params, "constants": constants},
+                            jnp.asarray(f32), train=False,
+                            return_distances=True)
+    want_pred = np.argmax(np.asarray(resize_bilinear(logits, (40, 48))),
+                          axis=-1)
+    assert np.mean(np.asarray(got["pred"]) == want_pred) > 0.995
+
+
+def test_export_cross_platform_lowering(tmp_path):
+    """platforms=("cpu", "tpu"): one artifact per platform — the tpu
+    lowering happens WITHOUT tpu hardware present (jax.export
+    cross-platform lowering, Pallas head included) and the cpu
+    artifact stays callable here."""
+    model, params, constants = _tiny_model(seed=5)
+    pc = default_proto_class(6, 3)
+    out = str(tmp_path / "artifact")
+    manifest = export_inference_artifact(
+        model, params, constants, pc, out, batch=1, size=(33, 33),
+        normalize=((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
+        platforms=("cpu", "tpu"), compute_dtype=jnp.bfloat16)
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    call, _ = load_inference_artifact(out)
+    got = call(jnp.asarray(np.random.RandomState(5).randint(
+        0, 256, size=(1, 33, 33, 3)).astype(np.uint8)))
+    assert np.asarray(got["pred"]).shape == (1, 33, 33)
+
+
+def test_export_cli(tmp_path):
+    """CLI `export <run> <stage>` reads a checkpoint store and writes
+    the artifact directory with the run's class table baked into the
+    manifest."""
+    from adlm_tpu.cli import main as cli_main
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import get_experiment
+
+    model, params, constants = _tiny_model(seed=7)
+    pc = default_proto_class(6, 3)
+    run_dir = str(tmp_path / "run")
+    store = CheckpointStore(run_dir)
+    import dataclasses
+    cfg = get_experiment("smoke")
+    cfg = dataclasses.replace(cfg, model=model.cfg)
+    store.save_config(cfg.to_json())
+    store.save("push", "last", {"params": dict(params),
+                                "constants": dict(constants),
+                                "proto_class": np.asarray(pc),
+                                "step": 0})
+
+    cli_main(["export", run_dir, "push", "--size", "40,48",
+              "--platforms", "cpu", "--f32-compute"])
+    out = os.path.join(run_dir, "export", "push_1x40x48")
+    call, manifest = load_inference_artifact(out)
+    assert manifest["class_names"] is not None
+    assert manifest["input"]["shape"] == [1, 40, 48, 3]
+    got = call(jnp.asarray(np.random.RandomState(7).randint(
+        0, 256, size=(1, 40, 48, 3)).astype(np.uint8)))
+    assert np.asarray(got["pred"]).shape == (1, 40, 48)
