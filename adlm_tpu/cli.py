@@ -949,6 +949,15 @@ def main(argv=None):
     np_.add_argument("--pretrained", default=None,
                      help="utility run name to initialize the noise "
                           "UNet from (architectures must match)")
+    np_.add_argument("--pretrained-torch-ckpt", default=None,
+                     help="reference pytorch-lightning UtilityModel "
+                          "checkpoint (.ckpt) to initialize the noise "
+                          "UNet from (architectures must match)")
+    np_.add_argument("--utility-torch-ckpt", default=None,
+                     help="load the FROZEN utility model from a "
+                          "reference pytorch-lightning checkpoint "
+                          "instead of --utility-run (architecture "
+                          "inferred from the state_dict)")
     np_.add_argument("--min-scale", type=float, default=1.0)
     np_.add_argument("--max-scale", type=float, default=5.0)
     np_.add_argument("--noise-coeff", type=float, default=0.001)

@@ -4,13 +4,69 @@ Mirrors the reference architecture exactly (reference src/unet.py:37-81):
 depth ``d`` conv-bn-relu×2 down blocks with 2×2 max-pool, up path of
 nearest-×2 upsample + conv-bn-relu then skip-concat + double conv, and a
 1×1 head.  BN here is *trainable* (unlike the frozen DeepLab backbone) —
-running stats live in the ``batch_stats`` collection.
+running stats live in the ``batch_stats`` collection, with torch's
+running-variance semantics (see TorchBatchNorm) so training
+trajectories are golden-comparable to the reference and torch
+checkpoints import exactly (utils/torch_import.load_unoise_unet).
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch ``nn.BatchNorm2d`` semantics.
+
+    Differs from ``flax.linen.BatchNorm`` in one way that matters for
+    parity with the reference: the running variance accumulates the
+    UNBIASED batch variance (``·n/(n−1)``) while normalization uses the
+    biased one (torch batchnorm docs); flax accumulates the biased
+    estimate.  ``momentum`` follows the torch convention — the weight
+    of the NEW batch statistic (torch default 0.1).
+
+    Statistics are computed in float32 regardless of input dtype (the
+    bf16 path would otherwise accumulate bf16 rounding into the running
+    stats); the normalized output is cast back to the input dtype.
+    Under GSPMD a ``data``-sharded batch still yields global batch
+    statistics — the means lower to psums over ICI.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // feat
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                dt = ra_mean.value.dtype
+                ra_mean.value = ((1.0 - m) * ra_mean.value.astype(jnp.float32)
+                                 + m * mean).astype(dt)
+                ra_var.value = ((1.0 - m) * ra_var.value.astype(jnp.float32)
+                                + m * unbiased).astype(dt)
+        else:
+            mean = ra_mean.value.astype(jnp.float32)
+            var = ra_var.value.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -21,8 +77,7 @@ class ConvBlock(nn.Module):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                         name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn{i}")(x)
+            x = TorchBatchNorm(name=f"bn{i}")(x, train)
             x = nn.relu(x)
         return x
 
@@ -38,8 +93,7 @@ class Up(nn.Module):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     name="up_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="up_bn")(x)
+        x = TorchBatchNorm(name="up_bn")(x, train)
         x = nn.relu(x)
         x = jnp.concatenate([x, skip], axis=-1)
         return ConvBlock(self.features, name="conv")(x, train)

@@ -37,6 +37,35 @@ def _load_arrays(args):
     return split_datasets(imgs, masks, boxes)
 
 
+def _torch_unet_payload(path: str, kind: str, sample: jnp.ndarray):
+    """{params, batch_stats, depth, cf} from a reference
+    pytorch-lightning U-Noise checkpoint (its published models ship
+    this way — reference train_util.py:12-16, train_noise.py:37-44).
+    The architecture is inferred from the state_dict itself."""
+    import math
+
+    from adlm_tpu.models.unet import UNet
+    from adlm_tpu.utils.torch_import import (load_unoise_checkpoint,
+                                             load_unoise_unet)
+    sd = load_unoise_checkpoint(path, kind)
+    depth = max(int(k.split(".")[1]) for k in sd
+                if k.startswith("downs.")) + 1
+    cf = int(round(math.log2(sd["downs.0.0.weight"].shape[0])))
+    model = UNet(out_channels=1, depth=depth, cf=cf)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
+    params = jax.tree.map(np.asarray, variables["params"])
+    bs = jax.tree.map(np.asarray, variables["batch_stats"])
+    report = load_unoise_unet(params, bs, sd)
+    if report["unexpected_keys"]:
+        raise ValueError(f"unmapped keys in {path}: "
+                         f"{report['unexpected_keys'][:5]}")
+    if report["negative_variance_keys"]:
+        raise ValueError(f"corrupt running_var in {path}: "
+                         f"{report['negative_variance_keys'][:5]}")
+    return {"params": params, "batch_stats": bs,
+            "depth": depth, "channel_factor": cf}
+
+
 def _cfg_from_args(args) -> UNoiseConfig:
     return UNoiseConfig(
         depth=args.depth, channel_factor=args.channel_factor,
@@ -126,26 +155,54 @@ def train_noise(args) -> Any:
                             args.utility_run)
     logger = RunLogger(run_dir, "unoise_noise")
     store = CheckpointStore(run_dir)
-    util_payload = CheckpointStore(util_dir).restore("utility", "best")
-
-    # rebuild the frozen utility model with the architecture it was
-    # trained with (recorded by train_utility)
-    util_cfg_path = os.path.join(util_dir, "utility_config.json")
-    if os.path.exists(util_cfg_path):
-        with open(util_cfg_path) as f:
-            uc = json.load(f)
-        cfg = dataclasses.replace(cfg, util_depth=uc["depth"],
-                                  util_channel_factor=uc["channel_factor"])
 
     train_ds, val_ds, _ = _load_arrays(args)
     sample, _ = train_ds[0]
+
+    utility_ckpt = getattr(args, "utility_torch_ckpt", None)
+    if utility_ckpt:
+        # frozen utility straight from a reference lightning checkpoint
+        util_payload = _torch_unet_payload(utility_ckpt, "utility",
+                                           jnp.asarray(sample[None]))
+        cfg = dataclasses.replace(
+            cfg, util_depth=util_payload["depth"],
+            util_channel_factor=util_payload["channel_factor"])
+        logger.log(f"Loaded frozen utility model from torch checkpoint "
+                   f"{utility_ckpt!r} (depth {util_payload['depth']}, "
+                   f"cf {util_payload['channel_factor']})")
+    else:
+        util_payload = CheckpointStore(util_dir).restore("utility", "best")
+        # rebuild the frozen utility model with the architecture it was
+        # trained with (recorded by train_utility)
+        util_cfg_path = os.path.join(util_dir, "utility_config.json")
+        if os.path.exists(util_cfg_path):
+            with open(util_cfg_path) as f:
+                uc = json.load(f)
+            cfg = dataclasses.replace(cfg, util_depth=uc["depth"],
+                                      util_channel_factor=uc["channel_factor"])
 
     # optional: initialize the noise UNet from a pretrained utility
     # model (the reference's "pretrained" variants, train_noise.py:115-119
     # — its best dice@50% results use this)
     pre_params = pre_bs = None
     pretrained_run = getattr(args, "pretrained", None)
-    if pretrained_run:
+    pretrained_ckpt = getattr(args, "pretrained_torch_ckpt", None)
+    if pretrained_ckpt:
+        pre_payload = _torch_unet_payload(pretrained_ckpt, "utility",
+                                          jnp.asarray(sample[None]))
+        if (pre_payload["depth"] != cfg.depth
+                or pre_payload["channel_factor"] != cfg.channel_factor):
+            raise SystemExit(
+                f"--pretrained-torch-ckpt architecture (depth "
+                f"{pre_payload['depth']}, cf "
+                f"{pre_payload['channel_factor']}) does not match the "
+                f"noise model (depth {cfg.depth}, cf "
+                f"{cfg.channel_factor})")
+        pre_params = pre_payload["params"]
+        pre_bs = pre_payload["batch_stats"]
+        logger.log(f"Initializing noise model from torch checkpoint "
+                   f"{pretrained_ckpt!r}")
+    elif pretrained_run:
         pre_payload = CheckpointStore(os.path.join(
             os.environ.get("RESULTS_DIR", "./runs"),
             pretrained_run)).restore("utility", "best")

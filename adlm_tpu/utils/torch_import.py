@@ -317,3 +317,143 @@ def load_classification_backbone(params: Dict[str, Any],
                                      if hasattr(v, "numpy") else v) < 0)]
     return {"loaded": loaded, "unexpected_keys": unexpected,
             "negative_variance_keys": bad_var}
+
+
+# ---------------------------------------------------------------------------
+# U-Noise UNet (reference src/unet.py:37-81)
+#
+# The reference distributes U-Noise models as pytorch-lightning
+# checkpoints whose state_dicts prefix the UNet with ``model.``
+# (UtilityModel, train_util.py:12-16) or ``noise_model.`` (NoiseModel,
+# train_noise.py:37-44).  load_unoise_unet maps a (prefix-stripped)
+# torch UNet state_dict onto our flax trees; our TorchBatchNorm keeps
+# torch's running-variance semantics so the import is exact.
+# ---------------------------------------------------------------------------
+
+_UNET_SEQ_IDX = {"0": ("conv", "conv0"), "1": ("bn", "bn0"),
+                 "3": ("conv", "conv1"), "4": ("bn", "bn1")}
+_UNET_UP_IDX = {"1": ("conv", "up_conv"), "2": ("bn", "up_bn")}
+
+
+def _unet_leaf(kind: str, mod_path: Tuple[str, ...], name: str, leaf: str):
+    if kind == "conv":
+        ln = {"weight": "kernel", "bias": "bias"}.get(leaf)
+        return [("params", (*mod_path, name, ln))] if ln else []
+    hit = {"weight": ("params", "scale"), "bias": ("params", "bias"),
+           "running_mean": ("batch_stats", "mean"),
+           "running_var": ("batch_stats", "var")}.get(leaf)
+    if hit is None:
+        return []
+    coll, ln = hit
+    return [(coll, (*mod_path, name, ln))]
+
+
+def _unet_key_to_paths(key: str, depth: int):
+    """torch UNet state_dict key → [(collection, path)] in our trees.
+
+    ``downs.{i}`` → ``down{i}``; ``ups.{j}`` → ``up{depth-2-j}`` (the
+    reference builds ``ups`` with ``reversed(range(depth-1))``, so its
+    ``ups[0]`` is the DEEPEST level — reference src/unet.py:62-67);
+    ``conv1x1`` → ``head``.
+    """
+    seg = key.split(".")
+    if seg[-1] == "num_batches_tracked":
+        return []
+    if seg[0] == "downs":
+        hit = _UNET_SEQ_IDX.get(seg[2])
+        if hit is None:
+            return []
+        return _unet_leaf(hit[0], (f"down{seg[1]}",), hit[1], seg[3])
+    if seg[0] == "ups":
+        up = f"up{depth - 2 - int(seg[1])}"
+        if seg[2] == "up":
+            hit = _UNET_UP_IDX.get(seg[3])
+            if hit is None:
+                return []
+            return _unet_leaf(hit[0], (up,), hit[1], seg[4])
+        if seg[2] == "conv":
+            hit = _UNET_SEQ_IDX.get(seg[3])
+            if hit is None:
+                return []
+            return _unet_leaf(hit[0], (up, "conv"), hit[1], seg[4])
+        return []
+    if seg[0] == "conv1x1":
+        ln = {"weight": "kernel", "bias": "bias"}.get(seg[1])
+        return [("params", ("head", ln))] if ln else []
+    return []
+
+
+def load_unoise_unet(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                     state_dict: Mapping[str, np.ndarray],
+                     prefix: str = "") -> Dict[str, Any]:
+    """Copy a torch UNet state_dict into UNet (params, batch_stats).
+
+    Args:
+      params/batch_stats: our UNet variable trees (mutated in place).
+      state_dict: torch tensors or numpy arrays; keys may carry a
+        lightning ``prefix`` (``"model."`` for a UtilityModel
+        checkpoint, ``"noise_model."`` for a NoiseModel one) — other
+        keys are skipped silently only if they belong to a DIFFERENT
+        known lightning submodule, else reported unexpected.
+      prefix: stripped from every key before mapping.
+
+    Returns report dict {loaded, unexpected_keys, negative_variance_keys}.
+    """
+    stripped = {}
+    for key, value in state_dict.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        stripped[key] = value
+    down_ids = [int(k.split(".")[1]) for k in stripped
+                if k.startswith("downs.")]
+    if not down_ids:
+        raise ValueError(
+            f"no UNet keys found (prefix {prefix!r}); state_dict has "
+            f"{sorted(state_dict)[:4]}...")
+    depth = max(down_ids) + 1
+
+    loaded, unexpected = [], []
+    for key, value in stripped.items():
+        v = np.asarray(getattr(value, "numpy", lambda: value)()
+                       if hasattr(value, "numpy") else value)
+        paths = _unet_key_to_paths(key, depth)
+        if not paths:
+            if not key.endswith("num_batches_tracked"):
+                unexpected.append(key)
+            continue
+        ok = False
+        for collection, path in paths:
+            v_t = (np.transpose(v, (2, 3, 1, 0))
+                   if path[-1] == "kernel" and v.ndim == 4 else v)
+            tree = params if collection == "params" else batch_stats
+            if _set_nested(tree, path, v_t):
+                ok = True
+        (loaded if ok else unexpected).append(key)
+
+    bad_var = [k for k, v in stripped.items()
+               if k.endswith("running_var")
+               and np.any(np.asarray(getattr(v, "numpy", lambda: v)()
+                                     if hasattr(v, "numpy") else v) < 0)]
+    return {"loaded": loaded, "unexpected_keys": unexpected,
+            "negative_variance_keys": bad_var}
+
+
+def load_unoise_checkpoint(path: str, kind: str = "utility"):
+    """Load a reference pytorch-lightning U-Noise checkpoint file.
+
+    Returns the prefix-stripped torch state_dict (numpy values) for
+    ``load_unoise_unet``.  ``kind``: 'utility' (UtilityModel, prefix
+    ``model.``) or 'noise' (NoiseModel, prefix ``noise_model.``); a raw
+    UNet state_dict (no prefix) is also accepted.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    prefix = {"utility": "model.", "noise": "noise_model."}[kind]
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = ""  # raw UNet state_dict
+    return {k[len(prefix):]: np.asarray(v.detach().cpu().numpy())
+            for k, v in sd.items() if k.startswith(prefix)}
