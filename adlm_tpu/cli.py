@@ -331,6 +331,108 @@ def cmd_prune(args):
           f"`train ... --pruned`")
 
 
+def cmd_import_protoseg(args):
+    """Import a trained reference ProtoSeg checkpoint into a run dir.
+
+    The reference saves whole-module pickles per stage
+    (``torch.save(ppnet)``, reference segmentation/train.py:60-65); this
+    accepts that file, a plain state_dict, or a ``{"state_dict": ...}``
+    wrapper, and writes a run directory our eval-valid / eval-test /
+    prune / ``train --start-checkpoint`` commands consume directly.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import get_experiment
+    from adlm_tpu.models.ppnet import PPNet, default_proto_class
+    from adlm_tpu.utils.torch_import import load_protoseg_model
+
+    try:
+        obj = torch.load(args.checkpoint, map_location="cpu",
+                         weights_only=False)
+    except (ModuleNotFoundError, AttributeError) as e:
+        raise SystemExit(
+            f"could not unpickle {args.checkpoint} ({e}); the reference "
+            "saves whole-module pickles which need its classes "
+            "importable — in the reference environment run "
+            "`torch.save(torch.load(f).state_dict(), out)` and import "
+            "that state_dict instead")
+    proto_class = None
+    if hasattr(obj, "state_dict") and callable(obj.state_dict):
+        if getattr(obj, "prototype_class_identity", None) is not None:
+            proto_class = np.argmax(
+                np.asarray(obj.prototype_class_identity.cpu()), axis=1)
+        sd = obj.state_dict()
+    elif isinstance(obj, dict):
+        sd = obj.get("state_dict", obj)
+    else:
+        raise SystemExit(f"unsupported checkpoint object {type(obj)!r}")
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+
+    cfg = get_experiment(args.experiment)
+    n_proto = int(sd["prototype_vectors"].shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    if args.proto_class:
+        proto_class = np.load(args.proto_class)
+    if proto_class is None:
+        if n_proto % cfg.model.num_classes:
+            raise SystemExit(
+                f"{n_proto} prototypes do not divide into "
+                f"{cfg.model.num_classes} classes — this looks like a "
+                "pruned checkpoint; pass --proto-class <file.npy> with "
+                "the (P,) class-id array (in the reference: "
+                "`ppnet.prototype_class_identity.argmax(1)`)")
+        proto_class = np.asarray(default_proto_class(
+            n_proto, cfg.model.num_classes))
+    if proto_class.shape != (n_proto,):
+        raise SystemExit(f"proto_class shape {proto_class.shape} != "
+                         f"({n_proto},)")
+
+    # template trees from eval_shape only — no device computation (a
+    # remote-TPU init compile would cost minutes for nothing); NaN fill
+    # proves the checkpoint covered every leaf
+    model = PPNet(cfg=cfg.model)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 65, 65, 3), jnp.float32)))
+    template = jax.tree.map(
+        lambda s: np.full(s.shape, np.nan, s.dtype), shapes)
+    params, constants = template["params"], template.get("constants", {})
+    report = load_protoseg_model(params, constants, sd)
+    if report["unexpected_keys"]:
+        raise SystemExit(f"unmapped checkpoint keys: "
+                         f"{report['unexpected_keys'][:8]}")
+    if report["negative_variance_keys"]:
+        raise SystemExit(f"corrupt BN running_var: "
+                         f"{report['negative_variance_keys'][:8]}")
+    holes = [
+        "/".join(p.key for p in path)
+        for tree in (params, constants)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        if np.isnan(np.asarray(leaf)).any()]
+    if holes:
+        raise SystemExit(f"checkpoint left {len(holes)} uninitialized "
+                         f"leaves: {holes[:8]}")
+
+    run_dir = _results_dir(args.run_name)
+    store = CheckpointStore(run_dir)
+    store.save_config(cfg.to_json())
+    payload = {"params": params, "constants": constants,
+               "proto_class": np.asarray(proto_class, np.int32),
+               "step": np.zeros((), np.int32)}
+    store.save(args.stage, "last", payload)
+    store.save(args.stage, "best", payload)
+    print(f"imported {len(report['loaded'])} tensors "
+          f"({n_proto} prototypes) into {run_dir} stage "
+          f"{args.stage!r}; run eval-valid/eval-test/prune on it, or "
+          f"continue training with --start-checkpoint")
+
+
 def cmd_cls_train(args):
     """ProtoPNet image-classification training (reference main.py:107-189
     over ImageFolder datasets from settings.py:14-17 env vars)."""
@@ -871,6 +973,22 @@ def main(argv=None):
                     help="keep float32 weights/activations (default "
                          "bfloat16)")
     xp.set_defaults(fn=cmd_export)
+
+    ip = sub.add_parser(
+        "import-protoseg",
+        help="import a trained reference ProtoSeg checkpoint "
+             "(torch.save'd ppnet module or state_dict) into a run dir")
+    ip.add_argument("experiment")
+    ip.add_argument("run_name")
+    ip.add_argument("checkpoint")
+    ip.add_argument("--stage", default="push",
+                    choices=["warmup", "nopush", "push", "pruned"],
+                    help="stage to file the checkpoint under (the "
+                         "reference names its files by the same stages)")
+    ip.add_argument("--proto-class", default=None,
+                    help="(P,) class-id .npy for pruned checkpoints "
+                         "whose identity is not in the pickle")
+    ip.set_defaults(fn=cmd_import_protoseg)
 
     pp = sub.add_parser("prune")
     pp.add_argument("run_dir")

@@ -457,3 +457,76 @@ def load_unoise_checkpoint(path: str, kind: str = "utility"):
         prefix = ""  # raw UNet state_dict
     return {k[len(prefix):]: np.asarray(v.detach().cpu().numpy())
             for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# Full ProtoSeg PPNet checkpoints (mid-project migration)
+#
+# The reference saves whole-module pickles per stage
+# (``torch.save(ppnet)``, reference segmentation/train.py:60-65 and
+# push/prune flows); the module's state_dict contains the deeplab-named
+# backbone under ``features.base.``, the add-on Sequential, the
+# prototype vectors, the constant ``ones`` helper, and the bias-free
+# last layer (reference model.py:54-143).  load_protoseg_model maps all
+# of it onto our (params, constants) trees so a reference run trained
+# in torch can continue (eval / push / prune / finetune) here.
+# ---------------------------------------------------------------------------
+
+
+def load_protoseg_model(params: Dict[str, Any], constants: Dict[str, Any],
+                        state_dict: Mapping[str, np.ndarray]
+                        ) -> Dict[str, Any]:
+    """Copy a full reference segmentation PPNet state_dict into our
+    PPNet (params, constants) trees (mutated in place).
+
+    Mapping: ``features.base.*`` → the deeplab backbone importer
+    (deeplab naming); ``add_on_layers.{2i}`` convs (even Sequential
+    indices — odd ones are activations, reference model.py:97-136) →
+    ``add_on/conv{i}``; ``prototype_vectors`` (P,C,1,1) →
+    ``prototype_vectors`` (P,C); ``last_layer.weight`` (K,P) →
+    ``last_layer`` (P,K); ``ones`` (the constant L2-conv helper,
+    model.py:140) is skipped.
+
+    The target trees must already have the checkpoint's prototype
+    count (build the model with ``num_prototypes`` taken from the
+    checkpoint — pruned reference checkpoints are smaller).
+    """
+    base_sd, rest = {}, {}
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue  # BN bookkeeping, no home in our trees
+        if k.startswith("features.base."):
+            base_sd[k[len("features.base."):]] = v
+        else:
+            rest[k] = v
+
+    report = load_deeplab_backbone(params, constants, base_sd,
+                                   naming="deeplab")
+    loaded = [f"features.base.{k}" for k in report["loaded"]]
+    unexpected = [f"features.base.{k}" for k in report["unexpected_keys"]]
+    bad_var = [f"features.base.{k}"
+               for k in report["negative_variance_keys"]]
+
+    for k, v in rest.items():
+        v = np.asarray(getattr(v, "numpy", lambda: v)()
+                       if hasattr(v, "numpy") else v)
+        seg = k.split(".")
+        ok = False
+        if k == "ones":
+            continue
+        if k == "prototype_vectors":
+            ok = _set_nested(params, ("prototype_vectors",),
+                             v.reshape(v.shape[0], v.shape[1]))
+        elif k == "last_layer.weight":
+            ok = _set_nested(params, ("last_layer",), v.T)
+        elif seg[0] == "add_on_layers" and seg[-1] in ("weight", "bias"):
+            idx = int(seg[1])
+            if idx % 2 == 0:
+                leaf = "kernel" if seg[-1] == "weight" else "bias"
+                vv = np.transpose(v, (2, 3, 1, 0)) if v.ndim == 4 else v
+                ok = _set_nested(params, ("add_on", f"conv{idx // 2}",
+                                          leaf), vv)
+        (loaded if ok else unexpected).append(k)
+
+    return {"loaded": loaded, "unexpected_keys": unexpected,
+            "negative_variance_keys": bad_var}
