@@ -433,6 +433,98 @@ def cmd_import_protoseg(args):
           f"continue training with --start-checkpoint")
 
 
+def cmd_import_protopnet(args):
+    """Import a trained reference CLASSIFICATION ProtoPNet checkpoint
+    (``torch.save(obj=model, ...)``, reference save.py:11) into a run
+    dir that cls-prune / analyze-* and last-layer finetuning consume."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import PPNetConfig
+    from adlm_tpu.models.ppnet import PPNet, default_proto_class
+    from adlm_tpu.train.classification import ClassificationConfig
+    from adlm_tpu.train.classification_pipeline import _save_cls_config
+    from adlm_tpu.utils.torch_import import load_protopnet_cls
+
+    try:
+        obj = torch.load(args.checkpoint, map_location="cpu",
+                         weights_only=False)
+    except (ModuleNotFoundError, AttributeError) as e:
+        raise SystemExit(
+            f"could not unpickle {args.checkpoint} ({e}); export the "
+            "state_dict in the reference environment "
+            "(`torch.save(torch.load(f).state_dict(), out)`) and "
+            "import that")
+    proto_class = None
+    if hasattr(obj, "state_dict") and callable(obj.state_dict):
+        if getattr(obj, "prototype_class_identity", None) is not None:
+            proto_class = np.argmax(
+                np.asarray(obj.prototype_class_identity.cpu()), axis=1)
+        sd = obj.state_dict()
+    elif isinstance(obj, dict):
+        sd = obj.get("state_dict", obj)
+    else:
+        raise SystemExit(f"unsupported checkpoint object {type(obj)!r}")
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+
+    n_proto, proto_ch = sd["prototype_vectors"].shape[:2]
+    num_classes = sd["last_layer.weight"].shape[0]
+    cfg = ClassificationConfig(model=PPNetConfig(
+        base_architecture=args.arch, img_size=args.img_size,
+        num_prototypes=int(n_proto), prototype_channels=int(proto_ch),
+        num_classes=int(num_classes), add_on_layers_type=args.add_on,
+        patch_classification=False))
+    if args.proto_class:
+        proto_class = np.load(args.proto_class)
+    if proto_class is None:
+        if n_proto % num_classes:
+            raise SystemExit(
+                f"{n_proto} prototypes do not divide into "
+                f"{num_classes} classes — pruned checkpoint; pass "
+                "--proto-class <file.npy> with the (P,) class-id array")
+        proto_class = np.asarray(default_proto_class(
+            int(n_proto), int(num_classes)))
+
+    model = PPNet(cfg=cfg.model)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, args.img_size, args.img_size, 3),
+                                     jnp.float32), train=True))
+    template = jax.tree.map(
+        lambda s: np.full(s.shape, np.nan, s.dtype), shapes)
+    params = template["params"]
+    batch_stats = template.get("batch_stats", {})
+    report = load_protopnet_cls(params, batch_stats, sd,
+                                cfg.model.base_architecture)
+    if report["unexpected_keys"]:
+        raise SystemExit(f"unmapped checkpoint keys: "
+                         f"{report['unexpected_keys'][:8]}")
+    holes = [
+        "/".join(p.key for p in path)
+        for tree in (params, batch_stats)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        if np.isnan(np.asarray(leaf)).any()]
+    if holes:
+        raise SystemExit(f"checkpoint left {len(holes)} uninitialized "
+                         f"leaves: {holes[:8]}")
+
+    run_dir = _results_dir(args.run_name)
+    store = CheckpointStore(run_dir)
+    _save_cls_config(run_dir, cfg)
+    payload = {"params": params, "batch_stats": batch_stats,
+               "proto_class": np.asarray(proto_class, np.int32),
+               "step": np.zeros((), np.int32)}
+    store.save(args.stage, "last", payload)
+    store.save(args.stage, "best", payload)
+    print(f"imported {len(report['loaded'])} tensors ({n_proto} "
+          f"prototypes / {num_classes} classes, {args.arch}) into "
+          f"{run_dir} stage {args.stage!r}")
+
+
 def cmd_cls_train(args):
     """ProtoPNet image-classification training (reference main.py:107-189
     over ImageFolder datasets from settings.py:14-17 env vars)."""
@@ -989,6 +1081,24 @@ def main(argv=None):
                     help="(P,) class-id .npy for pruned checkpoints "
                          "whose identity is not in the pickle")
     ip.set_defaults(fn=cmd_import_protoseg)
+
+    icp = sub.add_parser(
+        "import-protopnet",
+        help="import a trained reference classification ProtoPNet "
+             "checkpoint into a run dir")
+    icp.add_argument("run_name")
+    icp.add_argument("checkpoint")
+    icp.add_argument("--arch", default="vgg19",
+                     help="feature stem architecture (reference "
+                          "settings.py base_architecture)")
+    icp.add_argument("--img-size", type=int, default=224)
+    icp.add_argument("--add-on", default="regular",
+                     choices=["regular", "bottleneck", "deeplab_simple"])
+    icp.add_argument("--stage", default="push",
+                     choices=["nopush", "push", "pruned"])
+    icp.add_argument("--proto-class", default=None,
+                     help="(P,) class-id .npy for pruned checkpoints")
+    icp.set_defaults(fn=cmd_import_protopnet)
 
     pp = sub.add_parser("prune")
     pp.add_argument("run_dir")

@@ -507,6 +507,18 @@ def load_protoseg_model(params: Dict[str, Any], constants: Dict[str, Any],
     bad_var = [f"features.base.{k}"
                for k in report["negative_variance_keys"]]
 
+    _load_ppnet_head(params, rest, loaded, unexpected)
+
+    return {"loaded": loaded, "unexpected_keys": unexpected,
+            "negative_variance_keys": bad_var}
+
+
+def _load_ppnet_head(params, rest, loaded, unexpected) -> None:
+    """The parts of a PPNet state_dict shared by the segmentation and
+    classification models: add-on Sequential (convs at even indices,
+    reference model.py:97-136), prototype vectors, and the bias-free
+    last layer.  ``ones`` (the constant L2-conv helper, model.py:140)
+    is skipped."""
     for k, v in rest.items():
         v = np.asarray(getattr(v, "numpy", lambda: v)()
                        if hasattr(v, "numpy") else v)
@@ -527,6 +539,38 @@ def load_protoseg_model(params: Dict[str, Any], constants: Dict[str, Any],
                 ok = _set_nested(params, ("add_on", f"conv{idx // 2}",
                                           leaf), vv)
         (loaded if ok else unexpected).append(k)
+
+
+def load_protopnet_cls(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                       state_dict: Mapping[str, np.ndarray], arch: str
+                       ) -> Dict[str, Any]:
+    """Copy a full reference CLASSIFICATION PPNet state_dict into our
+    cls PPNet (params, batch_stats) trees (mutated in place).
+
+    The reference saves its classification models as whole-module
+    pickles too (``torch.save(obj=model, ...)``, reference save.py:11);
+    their state_dicts carry the feature stem under ``features.`` with
+    torchvision-compatible naming (the reference's own
+    resnet/vgg/densenet_features modules keep torchvision keys — the
+    same fact the stem-import golden tests rely on), plus the shared
+    PPNet head surface (model.py:54-143).
+    """
+    stem_sd, rest = {}, {}
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith("features."):
+            stem_sd[k[len("features."):]] = v
+        else:
+            rest[k] = v
+
+    report = load_classification_backbone(params, batch_stats, stem_sd,
+                                          arch)
+    loaded = [f"features.{k}" for k in report["loaded"]]
+    unexpected = [f"features.{k}" for k in report["unexpected_keys"]]
+    bad_var = [f"features.{k}" for k in report["negative_variance_keys"]]
+
+    _load_ppnet_head(params, rest, loaded, unexpected)
 
     return {"loaded": loaded, "unexpected_keys": unexpected,
             "negative_variance_keys": bad_var}
