@@ -433,6 +433,30 @@ def cmd_import_protoseg(args):
           f"continue training with --start-checkpoint")
 
 
+def cmd_export_torch(args):
+    """Export a trained run's ProtoSeg model as a reference-named torch
+    state_dict (the reverse of import-protoseg) so it can be consumed
+    by reference tooling or compared tensor-by-tensor."""
+    import torch
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.utils.torch_import import export_protoseg_state_dict
+
+    store = CheckpointStore(args.run_dir)
+    payload = store.restore(args.stage, args.kind)
+    sd = export_protoseg_state_dict(payload["params"],
+                                    payload["constants"])
+    out = args.out or os.path.join(
+        args.run_dir, "export_torch", f"{args.stage}_{args.kind}.pth")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, out)
+    pc_out = os.path.splitext(out)[0] + "_proto_class.npy"
+    np.save(pc_out, np.asarray(payload["proto_class"], np.int32))
+    print(f"exported {len(sd)} tensors to {out} "
+          f"(+ prototype class ids in {pc_out})")
+
+
 def cmd_import_protopnet(args):
     """Import a trained reference CLASSIFICATION ProtoPNet checkpoint
     (``torch.save(obj=model, ...)``, reference save.py:11) into a run
@@ -1081,6 +1105,16 @@ def main(argv=None):
                     help="(P,) class-id .npy for pruned checkpoints "
                          "whose identity is not in the pickle")
     ip.set_defaults(fn=cmd_import_protoseg)
+
+    et = sub.add_parser(
+        "export-torch",
+        help="export a run's ProtoSeg model as a reference-named torch "
+             "state_dict (reverse of import-protoseg)")
+    et.add_argument("run_dir")
+    et.add_argument("stage")
+    et.add_argument("--kind", default="best", choices=["last", "best"])
+    et.add_argument("--out", default=None)
+    et.set_defaults(fn=cmd_export_torch)
 
     icp = sub.add_parser(
         "import-protopnet",

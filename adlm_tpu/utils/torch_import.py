@@ -574,3 +574,62 @@ def load_protopnet_cls(params: Dict[str, Any], batch_stats: Dict[str, Any],
 
     return {"loaded": loaded, "unexpected_keys": unexpected,
             "negative_variance_keys": bad_var}
+
+
+# ---------------------------------------------------------------------------
+# Reverse export: our trained ProtoSeg state → reference-named torch
+# state_dict, so runs trained here can be handed back to reference
+# tooling (or compared tensor-by-tensor).  Exact inverse of
+# load_protoseg_model; round-trip tested.
+# ---------------------------------------------------------------------------
+
+
+def _flatten_str_tree(tree: Any, prefix: Tuple[str, ...] = ()):
+    if isinstance(tree, Mapping):
+        for k in tree:
+            yield from _flatten_str_tree(tree[k], prefix + (str(k),))
+    else:
+        yield prefix, np.asarray(tree)
+
+
+def export_protoseg_state_dict(params: Dict[str, Any],
+                               constants: Dict[str, Any]
+                               ) -> Dict[str, np.ndarray]:
+    """Our PPNet (params, constants) → a torch state_dict with the
+    reference's exact key names and layouts (reference model.py:54-143;
+    conv kernels HWIO→OIHW, BN constants → bn.{weight,bias,running_*},
+    prototypes back to (P,C,1,1), last layer transposed, ``ones``
+    regenerated).  ``prototype_class_identity`` is NOT part of a torch
+    state_dict (plain attribute in the reference) — callers save the
+    class-id array separately.
+    """
+    out: Dict[str, np.ndarray] = {}
+    bn_leaf = {"gamma": "weight", "beta": "bias",
+               "mean": "running_mean", "var": "running_var"}
+
+    for path, v in _flatten_str_tree(params):
+        if path == ("prototype_vectors",):
+            out["prototype_vectors"] = v[:, :, None, None]
+            out["ones"] = np.ones_like(v)[:, :, None, None]
+        elif path == ("last_layer",):
+            out["last_layer.weight"] = np.ascontiguousarray(v.T)
+        elif path[0] == "add_on":
+            # add_on/conv{i}/{kernel,bias} → add_on_layers.{2i}.*
+            i = int(path[1][len("conv"):])
+            leaf = "weight" if path[-1] == "kernel" else "bias"
+            vv = np.transpose(v, (3, 2, 0, 1)) if v.ndim == 4 else v
+            out[f"add_on_layers.{2 * i}.{leaf}"] = vv
+        elif path[-1] == "kernel":
+            # backbone convs (incl. aspp.cN): join path, HWIO→OIHW
+            key = ".".join(path[:-1]) + ".weight"
+            out[key] = np.transpose(v, (3, 2, 0, 1))
+        else:
+            out[".".join(path[:-1]) + "." + path[-1]] = v
+
+    for path, v in _flatten_str_tree(constants):
+        if path[-2] == "bn":
+            key = ".".join(path[:-1]) + "." + bn_leaf[path[-1]]
+            out[key] = v
+        else:  # pragma: no cover - no other constants exist today
+            out[".".join(path)] = v
+    return out

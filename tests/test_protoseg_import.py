@@ -143,3 +143,43 @@ def test_import_protoseg_pruned_needs_identity(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(payload["proto_class"]), pc)
     assert np.asarray(payload["params"]["prototype_vectors"]).shape \
         == (5, 8)
+
+
+def test_export_torch_roundtrip(tmp_path, monkeypatch):
+    """export-torch is the exact inverse of import-protoseg: a run
+    exported to a reference-named state_dict re-imports bit-equal."""
+    from adlm_tpu.cli import cmd_export_torch, cmd_import_protoseg
+    from adlm_tpu.core.checkpoint import CheckpointStore
+
+    t_model, run_dir = _import_run(tmp_path, monkeypatch)
+    original = CheckpointStore(run_dir).restore("push", "best")
+
+    cmd_export_torch(argparse.Namespace(
+        run_dir=run_dir, stage="push", kind="best", out=None))
+    out = os.path.join(run_dir, "export_torch", "push_best.pth")
+    assert os.path.exists(out)
+    pc = np.load(os.path.splitext(out)[0] + "_proto_class.npy")
+    np.testing.assert_array_equal(pc, [0, 0, 1, 1, 2, 2])
+
+    # the exported dict has the reference's exact key set
+    sd = {k: v.numpy() for k, v in torch.load(
+        out, map_location="cpu", weights_only=True).items()}
+    want_keys = {k for k in t_model.state_dict()
+                 if not k.endswith("num_batches_tracked")}
+    assert set(sd) == want_keys
+
+    # re-import → bit-equal to the original run
+    monkeypatch.setenv("RESULTS_DIR", str(tmp_path / "runs2"))
+    cmd_import_protoseg(argparse.Namespace(
+        experiment="smoke", run_name="roundtrip", checkpoint=out,
+        stage="push", proto_class=None))
+    again = CheckpointStore(
+        str(tmp_path / "runs2" / "roundtrip")).restore("push", "best")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        original["params"], again["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        original["constants"], again["constants"])
