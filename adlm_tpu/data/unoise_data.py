@@ -23,12 +23,18 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 class UNoiseDataset:
     def __init__(self, images: np.ndarray, masks: np.ndarray,
-                 augment: bool = False, seed: int = 0):
-        # 1-channel → 3-channel tile (reference src/data.py:48)
-        self.images = np.tile(images[..., None], (1, 1, 1, 3)).astype(
-            np.float32)
+                 augment: bool = False, seed: int = 0, raw: bool = False):
+        """``raw=True`` returns each augmented slice as (H, W, 1)
+        UNNORMALIZED — the train steps tile to 3 channels and apply the
+        ImageNet normalization in-jit (``make_*_step(..., raw=True)``):
+        3× less host work, host memory, and host→device transfer than
+        the reference's tile-then-normalize-on-host order
+        (src/data.py:48).  Every augmentation op acts per-channel on
+        identical channel copies, so augment-then-tile is exact."""
+        self.images = images.astype(np.float32)  # (N, H, W), 1 channel
         self.masks = (masks > 0).astype(np.float32)
         self.augment = augment
+        self.raw = raw
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -59,13 +65,16 @@ class UNoiseDataset:
                     img = np.clip(img + rng.uniform(-0.2, 0.2), 0, 1)
             from adlm_tpu.data.warps import reference_geometric_augment
             img, mask = reference_geometric_augment(img, mask, rng)
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        if self.raw:
+            return img[..., None].astype(np.float32), mask[..., None]
+        img = (np.repeat(img[..., None], 3, axis=-1)
+               - IMAGENET_MEAN) / IMAGENET_STD
         return img.astype(np.float32), mask[..., None]
 
 
 def split_datasets(images: np.ndarray, masks: np.ndarray,
                    boxes: Optional[np.ndarray] = None,
-                   seed: int = 0
+                   seed: int = 0, raw: bool = False
                    ) -> Tuple[UNoiseDataset, UNoiseDataset, UNoiseDataset]:
     """Ordered patient-safe 80/10/10 split (reference src/data.py:67-87)."""
     if boxes is not None:
@@ -75,9 +84,10 @@ def split_datasets(images: np.ndarray, masks: np.ndarray,
     n = images.shape[0]
     s0, s1 = int(n * 0.8), int(n * 0.9)
     return (
-        UNoiseDataset(images[:s0], masks[:s0], augment=True, seed=seed),
-        UNoiseDataset(images[s0:s1], masks[s0:s1]),
-        UNoiseDataset(images[s1:], masks[s1:]),
+        UNoiseDataset(images[:s0], masks[:s0], augment=True, seed=seed,
+                      raw=raw),
+        UNoiseDataset(images[s0:s1], masks[s0:s1], raw=raw),
+        UNoiseDataset(images[s1:], masks[s1:], raw=raw),
     )
 
 

@@ -85,7 +85,8 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
     )
 
 
-def make_sharded_utility_step(cfg, mesh: Mesh, donate: bool = False):
+def make_sharded_utility_step(cfg, mesh: Mesh, donate: bool = False,
+                              raw: bool = False):
     """dp-sharded U-Noise utility train step: batch over ``data``,
     UNet params/optimizer state replicated; gradient AND batch-norm
     batch-statistics reductions become psums over ICI (flax BatchNorm
@@ -94,7 +95,7 @@ def make_sharded_utility_step(cfg, mesh: Mesh, donate: bool = False):
     """
     from adlm_tpu.train.unoise import make_utility_train_step
 
-    inner = make_utility_train_step(cfg)
+    inner = make_utility_train_step(cfg, raw=raw)
     repl = replicated(mesh)
     dp = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
@@ -105,13 +106,14 @@ def make_sharded_utility_step(cfg, mesh: Mesh, donate: bool = False):
     )
 
 
-def make_sharded_noise_step(cfg, mesh: Mesh, donate: bool = False):
+def make_sharded_noise_step(cfg, mesh: Mesh, donate: bool = False,
+                            raw: bool = False):
     """dp-sharded U-Noise noise-model step (frozen utility replicated;
     the per-step RNG is replicated so every shard draws the same noise
     for its own batch slice)."""
     from adlm_tpu.train.unoise import make_noise_train_step
 
-    inner = make_noise_train_step(cfg)
+    inner = make_noise_train_step(cfg, raw=raw)
     repl = replicated(mesh)
     dp = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(

@@ -82,6 +82,18 @@ def init_noise_state(cfg: UNoiseConfig, rng: jax.Array,
                       step=jnp.zeros((), jnp.int32))
 
 
+def _prep_images(images: jnp.ndarray, raw: bool, bf16: bool) -> jnp.ndarray:
+    """In-jit input prep.  ``raw``: (B,H,W,1) unnormalized slices from
+    ``UNoiseDataset(raw=True)`` are tiled to 3 channels and ImageNet-
+    normalized ON DEVICE — same numbers as the host path (the channels
+    are identical copies), 3× less host work and host→device transfer."""
+    if raw:
+        from adlm_tpu.data.unoise_data import IMAGENET_MEAN, IMAGENET_STD
+        images = (jnp.repeat(images, 3, axis=-1)
+                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return images.astype(jnp.bfloat16) if bf16 else images
+
+
 def _bf16(tree):
     return jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
@@ -94,7 +106,7 @@ def _f32(tree):
         if x.dtype == jnp.bfloat16 else x, tree)
 
 
-def make_utility_train_step(cfg: UNoiseConfig):
+def make_utility_train_step(cfg: UNoiseConfig, raw: bool = False):
     model = UNet(out_channels=1, depth=cfg.util_depth,
                  cf=cfg.util_channel_factor)
     tx = optax.adam(cfg.learning_rate, eps=1e-8)
@@ -107,7 +119,7 @@ def make_utility_train_step(cfg: UNoiseConfig):
             # in the params' own dtype (f32); running stats re-cast to
             # f32 so the state pytree keeps stable dtypes across steps
             fwd_params = _bf16(params) if bf16 else params
-            x = images.astype(jnp.bfloat16) if bf16 else images
+            x = _prep_images(images, raw, bf16)
             logits, upd = model.apply(
                 {"params": fwd_params,
                  "batch_stats": _bf16(state.batch_stats)
@@ -127,12 +139,13 @@ def make_utility_train_step(cfg: UNoiseConfig):
     return step
 
 
-def make_utility_eval_step(cfg: UNoiseConfig):
+def make_utility_eval_step(cfg: UNoiseConfig, raw: bool = False):
     model = UNet(out_channels=1, depth=cfg.util_depth,
                  cf=cfg.util_channel_factor)
 
     @jax.jit
     def step(state: UtilityState, images: jnp.ndarray, masks: jnp.ndarray):
+        images = _prep_images(images, raw, False)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
@@ -164,7 +177,7 @@ def noise_forward(cfg: UNoiseConfig, params: Any, batch_stats: Any,
     return noise, B, new_bs
 
 
-def make_noise_train_step(cfg: UNoiseConfig):
+def make_noise_train_step(cfg: UNoiseConfig, raw: bool = False):
     util_model = UNet(out_channels=1, depth=cfg.util_depth,
                       cf=cfg.util_channel_factor)
     tx = optax.adam(cfg.learning_rate, eps=1e-8)
@@ -175,7 +188,7 @@ def make_noise_train_step(cfg: UNoiseConfig):
              rng: jax.Array):
         def lfn(params):
             fwd_params = _bf16(params) if bf16 else params
-            x = images.astype(jnp.bfloat16) if bf16 else images
+            x = _prep_images(images, raw, bf16)
             noise, B, new_bs = noise_forward(
                 cfg, fwd_params,
                 _bf16(state.batch_stats) if bf16 else state.batch_stats,
@@ -207,13 +220,14 @@ def make_noise_train_step(cfg: UNoiseConfig):
     return step
 
 
-def make_noise_eval_step(cfg: UNoiseConfig):
+def make_noise_eval_step(cfg: UNoiseConfig, raw: bool = False):
     util_model = UNet(out_channels=1, depth=cfg.util_depth,
                       cf=cfg.util_channel_factor)
 
     @jax.jit
     def step(state: NoiseState, images: jnp.ndarray, masks: jnp.ndarray,
              rng: jax.Array):
+        images = _prep_images(images, raw, False)
         noise, B, _ = noise_forward(cfg, state.params, state.batch_stats,
                                     images, rng, False)
         pred = util_model.apply(

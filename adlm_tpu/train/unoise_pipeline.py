@@ -34,7 +34,10 @@ def _load_arrays(args):
     masks = np.load(args.masks)
     boxes = (np.load(args.boxes, allow_pickle=True)
              if os.path.exists(args.boxes) else None)
-    return split_datasets(imgs, masks, boxes)
+    # raw single-channel mode: tile-to-3 + ImageNet normalization
+    # happen in-jit (3x less host work and transfer; see
+    # UNoiseDataset.raw / unoise._prep_images)
+    return split_datasets(imgs, masks, boxes, raw=True)
 
 
 def _torch_unet_payload(path: str, kind: str, sample: jnp.ndarray):
@@ -91,8 +94,8 @@ def train_utility(args) -> Any:
     train_ds, val_ds, _ = _load_arrays(args)
 
     sample, _ = train_ds[0]
-    state = init_utility_state(cfg, jax.random.PRNGKey(0),
-                               jnp.asarray(sample[None]))
+    init_x = jnp.tile(jnp.asarray(sample[None]), (1, 1, 1, 3))
+    state = init_utility_state(cfg, jax.random.PRNGKey(0), init_x)
     mesh_data = getattr(args, "mesh_data", 0)
     if mesh_data:
         from adlm_tpu.core.mesh import MeshSpec, make_mesh
@@ -101,10 +104,10 @@ def train_utility(args) -> Any:
         mesh = make_mesh(MeshSpec(data=mesh_data),
                          devices=jax.devices()[:mesh_data])
         state = shard_state(state, mesh)
-        step = make_sharded_utility_step(cfg, mesh)
+        step = make_sharded_utility_step(cfg, mesh, raw=True)
     else:
-        step = make_utility_train_step(cfg)
-    evaluate = make_utility_eval_step(cfg)
+        step = make_utility_train_step(cfg, raw=True)
+    evaluate = make_utility_eval_step(cfg, raw=True)
 
     # record the utility architecture so the noise trainer can rebuild
     # the frozen model correctly
@@ -158,12 +161,15 @@ def train_noise(args) -> Any:
 
     train_ds, val_ds, _ = _load_arrays(args)
     sample, _ = train_ds[0]
+    # raw datasets yield (H, W, 1); model init needs the post-prep
+    # 3-channel shape
+    init_x = jnp.tile(jnp.asarray(sample[None]), (1, 1, 1, 3))
 
     utility_ckpt = getattr(args, "utility_torch_ckpt", None)
     if utility_ckpt:
         # frozen utility straight from a reference lightning checkpoint
         util_payload = _torch_unet_payload(utility_ckpt, "utility",
-                                           jnp.asarray(sample[None]))
+                                           init_x)
         cfg = dataclasses.replace(
             cfg, util_depth=util_payload["depth"],
             util_channel_factor=util_payload["channel_factor"])
@@ -189,7 +195,7 @@ def train_noise(args) -> Any:
     pretrained_ckpt = getattr(args, "pretrained_torch_ckpt", None)
     if pretrained_ckpt:
         pre_payload = _torch_unet_payload(pretrained_ckpt, "utility",
-                                          jnp.asarray(sample[None]))
+                                          init_x)
         if (pre_payload["depth"] != cfg.depth
                 or pre_payload["channel_factor"] != cfg.channel_factor):
             raise SystemExit(
@@ -213,7 +219,7 @@ def train_noise(args) -> Any:
 
     from adlm_tpu.train.unoise import FrozenUtility
     state = init_noise_state(
-        cfg, jax.random.PRNGKey(0), jnp.asarray(sample[None]),
+        cfg, jax.random.PRNGKey(0), init_x,
         util=FrozenUtility(params=util_payload["params"],
                            batch_stats=util_payload["batch_stats"]),
         pretrained_params=pre_params, pretrained_batch_stats=pre_bs)
@@ -225,10 +231,10 @@ def train_noise(args) -> Any:
         mesh = make_mesh(MeshSpec(data=mesh_data),
                          devices=jax.devices()[:mesh_data])
         state = shard_state(state, mesh)
-        step = make_sharded_noise_step(cfg, mesh)
+        step = make_sharded_noise_step(cfg, mesh, raw=True)
     else:
-        step = make_noise_train_step(cfg)
-    evaluate = make_noise_eval_step(cfg)
+        step = make_noise_train_step(cfg, raw=True)
+    evaluate = make_noise_eval_step(cfg, raw=True)
 
     # record the noise architecture so visualization/figures commands
     # can rebuild each run's UNet without trusting CLI flags
