@@ -11,7 +11,8 @@ data/dataset.py).  Covers the reference's preprocessing scripts:
   error, which are recorded reference bugs)
 * U-Noise slice/bbox arrays (data/prepare_data.py:13-60)
 
-NIfTI readers are gated on nibabel availability.
+NIfTI volumes load through nibabel when installed, else the
+bundled dependency-free reader (data/nifti.py).
 """
 
 from __future__ import annotations
@@ -183,14 +184,16 @@ def preprocess_pascal(source_path: str, target_path: str,
         json.dump(all_images, f)
 
 
-def _require_nibabel():
+def _nifti_fdata(path: str) -> np.ndarray:
+    """``nibabel.load(path).get_fdata()`` when nibabel is installed
+    (bit-parity with the reference environment), else the bundled
+    dependency-free NIfTI-1 reader (adlm_tpu/data/nifti.py)."""
     try:
-        import nibabel  # noqa: F401
-        return nibabel
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "nibabel is required for NIfTI preprocessing; install it or "
-            "convert volumes to .npy slices externally") from e
+        import nibabel as nib
+    except ImportError:
+        from adlm_tpu.data.nifti import load_fdata
+        return load_fdata(path)
+    return nib.load(path).get_fdata()
 
 
 def preprocess_pancreas(source_path: str, target_path: str,
@@ -199,7 +202,6 @@ def preprocess_pancreas(source_path: str, target_path: str,
     """Medical Decathlon Task07 NIfTI → per-slice npy in the ProtoSeg
     layout with a 63/26/11 patient split
     (reference preprocessPancreasScans.py:10-167)."""
-    nib = _require_nibabel()
     img_dir = os.path.join(source_path, "imagesTr")
     lab_dir = os.path.join(source_path, "labelsTr")
     files = sorted(f for f in os.listdir(img_dir)
@@ -215,8 +217,8 @@ def preprocess_pancreas(source_path: str, target_path: str,
         os.makedirs(os.path.join(img_out, split), exist_ok=True)
         ids = []
         for fname in split_files:
-            vol = nib.load(os.path.join(img_dir, fname)).get_fdata()
-            seg = nib.load(os.path.join(lab_dir, fname)).get_fdata()
+            vol = _nifti_fdata(os.path.join(img_dir, fname))
+            seg = _nifti_fdata(os.path.join(lab_dir, fname))
             vmin, vmax = vol.min(), vol.max()
             vol = (vol - vmin) / (vmax - vmin + 1e-8) * 255.0
             for z in range(vol.shape[2]):
@@ -268,7 +270,6 @@ def prepare_unoise_data(source_path: str, target_path: str,
                         downscale: int = 2) -> None:
     """Pancreas volumes → (slices, masks, bboxes) arrays for U-Noise
     (reference data/prepare_data.py:13-60)."""
-    nib = _require_nibabel()
     img_dir = os.path.join(source_path, "imagesTr")
     lab_dir = os.path.join(source_path, "labelsTr")
     files = sorted(f for f in os.listdir(img_dir)
@@ -276,14 +277,14 @@ def prepare_unoise_data(source_path: str, target_path: str,
     images, masks, boxes = [], [], []
     gmin, gmax = np.inf, -np.inf
     for fname in files:
-        vol = nib.load(os.path.join(img_dir, fname)).get_fdata()
+        vol = _nifti_fdata(os.path.join(img_dir, fname))
         gmin = min(gmin, float(vol.min()))
         gmax = max(gmax, float(vol.max()))
     for fname in files:
         if len(images) >= max_slices:
             break
-        vol = nib.load(os.path.join(img_dir, fname)).get_fdata()
-        seg = nib.load(os.path.join(lab_dir, fname)).get_fdata()
+        vol = _nifti_fdata(os.path.join(img_dir, fname))
+        seg = _nifti_fdata(os.path.join(lab_dir, fname))
         vol = (vol - gmin) / (gmax - gmin + 1e-8)
         for z in range(vol.shape[2]):
             m = seg[::downscale, ::downscale, z]
