@@ -46,7 +46,12 @@ inference throughput — BASELINE.md):
   forward PLUS nearest-prototype argmin over bilinearly UPSAMPLED
   distances at label resolution (chunked scan) and 100 per-image
   random-pixel purity samples, batch 8 bf16 (reference
-  eval_valid.py:158-214).
+  eval_valid.py:158-214);
+* ``inference_b1_ips``: the serving-latency shape — full-res inference
+  at batch 1, pipelined steady state;
+* ``cls_train_step_ms``: classification ProtoPNet joint step at the
+  reference CUB-200 budget (vgg19, 2000×128 prototypes, 200 classes,
+  batch 80 × 224² — reference settings.py:5-48).
 """
 
 import json
