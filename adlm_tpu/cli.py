@@ -297,6 +297,44 @@ def cmd_export(args):
           f"{manifest['platforms']} to {out_dir}")
 
 
+def cmd_unoise_export(args):
+    """AOT-export a trained U-Noise model (utility segmenter or noise
+    importance map) for serving — see deploy/export.py."""
+    _enable_compile_cache()
+    import json
+
+    import jax.numpy as jnp
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import UNoiseConfig
+    from adlm_tpu.deploy.export import export_unoise_artifact
+
+    store = CheckpointStore(args.run_dir)
+    payload = store.restore(args.model, args.kind)
+    meta_name = ("utility_config" if args.model == "utility"
+                 else "noise_config")
+    meta_path = os.path.join(args.run_dir, f"{meta_name}.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        depth, cf = meta["depth"], meta["channel_factor"]
+    else:
+        depth, cf = args.depth, args.channel_factor
+    cfg = UNoiseConfig(depth=depth, channel_factor=cf,
+                       util_depth=depth, util_channel_factor=cf)
+
+    h, w = (int(x) for x in args.size.split(","))
+    out_dir = args.out or os.path.join(
+        args.run_dir, "export", f"{args.model}_{args.batch}x{h}x{w}")
+    manifest = export_unoise_artifact(
+        cfg, payload["params"], payload["batch_stats"], args.model,
+        out_dir, args.batch, (h, w),
+        platforms=tuple(args.platforms.split(",")),
+        compute_dtype=jnp.float32 if args.f32_compute else jnp.bfloat16)
+    print(f"exported {manifest['model']} {manifest['input']['shape']} "
+          f"for platforms {manifest['platforms']} to {out_dir}")
+
+
 def cmd_prune(args):
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -331,30 +369,19 @@ def cmd_prune(args):
           f"`train ... --pruned`")
 
 
-def cmd_import_protoseg(args):
-    """Import a trained reference ProtoSeg checkpoint into a run dir.
-
-    The reference saves whole-module pickles per stage
-    (``torch.save(ppnet)``, reference segmentation/train.py:60-65); this
-    accepts that file, a plain state_dict, or a ``{"state_dict": ...}``
-    wrapper, and writes a run directory our eval-valid / eval-test /
-    prune / ``train --start-checkpoint`` commands consume directly.
-    """
-    import jax
-    import jax.numpy as jnp
+def _load_torch_ppnet_checkpoint(path):
+    """torch.load a reference PPNet checkpoint file — a whole-module
+    pickle (their save format), a plain state_dict, or a
+    ``{"state_dict": ...}`` wrapper.  Returns (numpy state_dict,
+    proto_class-or-None: argmax of the module's
+    ``prototype_class_identity`` when available)."""
     import torch
 
-    from adlm_tpu.core.checkpoint import CheckpointStore
-    from adlm_tpu.core.config import get_experiment
-    from adlm_tpu.models.ppnet import PPNet, default_proto_class
-    from adlm_tpu.utils.torch_import import load_protoseg_model
-
     try:
-        obj = torch.load(args.checkpoint, map_location="cpu",
-                         weights_only=False)
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     except (ModuleNotFoundError, AttributeError) as e:
         raise SystemExit(
-            f"could not unpickle {args.checkpoint} ({e}); the reference "
+            f"could not unpickle {path} ({e}); the reference "
             "saves whole-module pickles which need its classes "
             "importable — in the reference environment run "
             "`torch.save(torch.load(f).state_dict(), out)` and import "
@@ -372,38 +399,49 @@ def cmd_import_protoseg(args):
     sd = {k: np.asarray(v.detach().cpu().numpy())
           if hasattr(v, "detach") else np.asarray(v)
           for k, v in sd.items()}
+    return sd, proto_class
 
-    cfg = get_experiment(args.experiment)
-    n_proto = int(sd["prototype_vectors"].shape[0])
-    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-        cfg.model, num_prototypes=n_proto))
-    if args.proto_class:
-        proto_class = np.load(args.proto_class)
+
+def _resolve_proto_class(proto_class, proto_class_file, n_proto,
+                         num_classes):
+    """The explicit (P,) class-id array for an imported checkpoint:
+    --proto-class file > module attribute > contiguous default (only
+    valid when P divides evenly — pruned checkpoints are ragged)."""
+    from adlm_tpu.models.ppnet import default_proto_class
+
+    if proto_class_file:
+        proto_class = np.load(proto_class_file)
     if proto_class is None:
-        if n_proto % cfg.model.num_classes:
+        if n_proto % num_classes:
             raise SystemExit(
                 f"{n_proto} prototypes do not divide into "
-                f"{cfg.model.num_classes} classes — this looks like a "
+                f"{num_classes} classes — this looks like a "
                 "pruned checkpoint; pass --proto-class <file.npy> with "
                 "the (P,) class-id array (in the reference: "
                 "`ppnet.prototype_class_identity.argmax(1)`)")
         proto_class = np.asarray(default_proto_class(
-            n_proto, cfg.model.num_classes))
+            n_proto, num_classes))
     if proto_class.shape != (n_proto,):
         raise SystemExit(f"proto_class shape {proto_class.shape} != "
                          f"({n_proto},)")
+    return proto_class
 
-    # template trees from eval_shape only — no device computation (a
-    # remote-TPU init compile would cost minutes for nothing); NaN fill
-    # proves the checkpoint covered every leaf
-    model = PPNet(cfg=cfg.model)
+
+def _nan_template(model, init_x, **init_kwargs):
+    """Variable trees from eval_shape only — no device computation (a
+    remote-TPU init compile would cost minutes for nothing); NaN fill
+    lets _assert_fully_imported prove checkpoint coverage."""
+    import jax
+
     shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 65, 65, 3), jnp.float32)))
-    template = jax.tree.map(
-        lambda s: np.full(s.shape, np.nan, s.dtype), shapes)
-    params, constants = template["params"], template.get("constants", {})
-    report = load_protoseg_model(params, constants, sd)
+        lambda: model.init(jax.random.PRNGKey(0), init_x, **init_kwargs))
+    return jax.tree.map(lambda s: np.full(s.shape, np.nan, s.dtype),
+                        shapes)
+
+
+def _assert_fully_imported(report, *trees):
+    import jax
+
     if report["unexpected_keys"]:
         raise SystemExit(f"unmapped checkpoint keys: "
                          f"{report['unexpected_keys'][:8]}")
@@ -412,12 +450,45 @@ def cmd_import_protoseg(args):
                          f"{report['negative_variance_keys'][:8]}")
     holes = [
         "/".join(p.key for p in path)
-        for tree in (params, constants)
+        for tree in trees
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
         if np.isnan(np.asarray(leaf)).any()]
     if holes:
         raise SystemExit(f"checkpoint left {len(holes)} uninitialized "
                          f"leaves: {holes[:8]}")
+
+
+def cmd_import_protoseg(args):
+    """Import a trained reference ProtoSeg checkpoint into a run dir.
+
+    The reference saves whole-module pickles per stage
+    (``torch.save(ppnet)``, reference segmentation/train.py:60-65); this
+    accepts that file, a plain state_dict, or a ``{"state_dict": ...}``
+    wrapper, and writes a run directory our eval-valid / eval-test /
+    prune / ``train --start-checkpoint`` commands consume directly.
+    """
+    import jax.numpy as jnp
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.core.config import get_experiment
+    from adlm_tpu.models.ppnet import PPNet
+    from adlm_tpu.utils.torch_import import load_protoseg_model
+
+    sd, proto_class = _load_torch_ppnet_checkpoint(args.checkpoint)
+
+    cfg = get_experiment(args.experiment)
+    n_proto = int(sd["prototype_vectors"].shape[0])
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=n_proto))
+    proto_class = _resolve_proto_class(proto_class, args.proto_class,
+                                       n_proto, cfg.model.num_classes)
+
+    model = PPNet(cfg=cfg.model)
+    template = _nan_template(model, jnp.zeros((1, 65, 65, 3),
+                                              jnp.float32))
+    params, constants = template["params"], template.get("constants", {})
+    report = load_protoseg_model(params, constants, sd)
+    _assert_fully_imported(report, params, constants)
 
     run_dir = _results_dir(args.run_name)
     store = CheckpointStore(run_dir)
@@ -448,7 +519,8 @@ def cmd_export_torch(args):
                                     payload["constants"])
     out = args.out or os.path.join(
         args.run_dir, "export_torch", f"{args.stage}_{args.kind}.pth")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.dirname(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, out)
     pc_out = os.path.splitext(out)[0] + "_proto_class.npy"
@@ -461,80 +533,36 @@ def cmd_import_protopnet(args):
     """Import a trained reference CLASSIFICATION ProtoPNet checkpoint
     (``torch.save(obj=model, ...)``, reference save.py:11) into a run
     dir that cls-prune / analyze-* and last-layer finetuning consume."""
-    import jax
     import jax.numpy as jnp
-    import torch
 
     from adlm_tpu.core.checkpoint import CheckpointStore
     from adlm_tpu.core.config import PPNetConfig
-    from adlm_tpu.models.ppnet import PPNet, default_proto_class
+    from adlm_tpu.models.ppnet import PPNet
     from adlm_tpu.train.classification import ClassificationConfig
     from adlm_tpu.train.classification_pipeline import _save_cls_config
     from adlm_tpu.utils.torch_import import load_protopnet_cls
 
-    try:
-        obj = torch.load(args.checkpoint, map_location="cpu",
-                         weights_only=False)
-    except (ModuleNotFoundError, AttributeError) as e:
-        raise SystemExit(
-            f"could not unpickle {args.checkpoint} ({e}); export the "
-            "state_dict in the reference environment "
-            "(`torch.save(torch.load(f).state_dict(), out)`) and "
-            "import that")
-    proto_class = None
-    if hasattr(obj, "state_dict") and callable(obj.state_dict):
-        if getattr(obj, "prototype_class_identity", None) is not None:
-            proto_class = np.argmax(
-                np.asarray(obj.prototype_class_identity.cpu()), axis=1)
-        sd = obj.state_dict()
-    elif isinstance(obj, dict):
-        sd = obj.get("state_dict", obj)
-    else:
-        raise SystemExit(f"unsupported checkpoint object {type(obj)!r}")
-    sd = {k: np.asarray(v.detach().cpu().numpy())
-          if hasattr(v, "detach") else np.asarray(v)
-          for k, v in sd.items()}
+    sd, proto_class = _load_torch_ppnet_checkpoint(args.checkpoint)
 
     n_proto, proto_ch = sd["prototype_vectors"].shape[:2]
-    num_classes = sd["last_layer.weight"].shape[0]
+    num_classes = int(sd["last_layer.weight"].shape[0])
     cfg = ClassificationConfig(model=PPNetConfig(
         base_architecture=args.arch, img_size=args.img_size,
         num_prototypes=int(n_proto), prototype_channels=int(proto_ch),
-        num_classes=int(num_classes), add_on_layers_type=args.add_on,
+        num_classes=num_classes, add_on_layers_type=args.add_on,
         patch_classification=False))
-    if args.proto_class:
-        proto_class = np.load(args.proto_class)
-    if proto_class is None:
-        if n_proto % num_classes:
-            raise SystemExit(
-                f"{n_proto} prototypes do not divide into "
-                f"{num_classes} classes — pruned checkpoint; pass "
-                "--proto-class <file.npy> with the (P,) class-id array")
-        proto_class = np.asarray(default_proto_class(
-            int(n_proto), int(num_classes)))
+    proto_class = _resolve_proto_class(proto_class, args.proto_class,
+                                       int(n_proto), num_classes)
 
     model = PPNet(cfg=cfg.model)
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, args.img_size, args.img_size, 3),
-                                     jnp.float32), train=True))
-    template = jax.tree.map(
-        lambda s: np.full(s.shape, np.nan, s.dtype), shapes)
+    template = _nan_template(
+        model, jnp.zeros((1, args.img_size, args.img_size, 3),
+                         jnp.float32), train=True)
     params = template["params"]
     batch_stats = template.get("batch_stats", {})
     report = load_protopnet_cls(params, batch_stats, sd,
                                 cfg.model.base_architecture)
-    if report["unexpected_keys"]:
-        raise SystemExit(f"unmapped checkpoint keys: "
-                         f"{report['unexpected_keys'][:8]}")
-    holes = [
-        "/".join(p.key for p in path)
-        for tree in (params, batch_stats)
-        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
-        if np.isnan(np.asarray(leaf)).any()]
-    if holes:
-        raise SystemExit(f"checkpoint left {len(holes)} uninitialized "
-                         f"leaves: {holes[:8]}")
+    _assert_fully_imported(report, params, batch_stats)
 
     run_dir = _results_dir(args.run_name)
     store = CheckpointStore(run_dir)
@@ -1089,6 +1117,24 @@ def main(argv=None):
                     help="keep float32 weights/activations (default "
                          "bfloat16)")
     xp.set_defaults(fn=cmd_export)
+
+    ux = sub.add_parser(
+        "unoise-export",
+        help="AOT-export a trained U-Noise model (utility segmenter "
+             "or noise importance map) for serving")
+    ux.add_argument("run_dir")
+    ux.add_argument("--model", default="utility",
+                    choices=["utility", "noise"])
+    ux.add_argument("--kind", default="best", choices=["last", "best"])
+    ux.add_argument("--batch", type=int, default=8)
+    ux.add_argument("--size", default="256,256", metavar="H,W")
+    ux.add_argument("--platforms", default="cpu,tpu")
+    ux.add_argument("--depth", type=int, default=5,
+                    help="fallback when the run has no config metadata")
+    ux.add_argument("--channel-factor", type=int, default=6)
+    ux.add_argument("--f32-compute", action="store_true")
+    ux.add_argument("--out", default=None)
+    ux.set_defaults(fn=cmd_unoise_export)
 
     ip = sub.add_parser(
         "import-protoseg",

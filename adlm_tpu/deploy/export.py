@@ -118,6 +118,74 @@ def export_inference_artifact(
     return manifest
 
 
+def export_unoise_artifact(
+    cfg: Any, params: Any, batch_stats: Any, kind: str,
+    out_dir: str, batch: int, size: Tuple[int, int],
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    compute_dtype: Any = jnp.bfloat16,
+) -> Dict[str, Any]:
+    """AOT-export a U-Noise model for serving.
+
+    ``kind='utility'``: raw (B,H,W,1) slice → segmentation
+    ``{mask_prob, mask}`` (σ(logits), logits>0 — the reference's
+    val-dice threshold, src/train_util.py:36).
+    ``kind='noise'``: slice → ``{importance}`` = the per-pixel noise
+    tolerance ``B = σ(noise_unet(x))`` — the interpretation the system
+    exists to produce (reference src/train_noise.py:54-64).
+    Inputs are raw unnormalized slices; the tile-to-3-channels +
+    ImageNet normalization is baked into the artifact.
+    """
+    from jax import export as jexport
+
+    from adlm_tpu.models.unet import UNet
+    from adlm_tpu.train.unoise import _prep_images
+
+    depth = cfg.util_depth if kind == "utility" else cfg.depth
+    cf = (cfg.util_channel_factor if kind == "utility"
+          else cfg.channel_factor)
+    model = UNet(out_channels=1, depth=depth, cf=cf)
+    cast = jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    bs_cast = jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        batch_stats)
+
+    def fn(images):
+        x = _prep_images(images, True, compute_dtype == jnp.bfloat16)
+        logits = model.apply({"params": cast, "batch_stats": bs_cast},
+                             x, train=False)
+        prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if kind == "utility":
+            return {"mask_prob": prob,
+                    "mask": (logits > 0).astype(jnp.int32)}
+        return {"importance": prob}
+
+    H, W = size
+    os.makedirs(out_dir, exist_ok=True)
+    for platform in platforms:
+        exp = jexport.export(jax.jit(fn), platforms=[platform])(
+            jax.ShapeDtypeStruct((batch, H, W, 1), jnp.float32))
+        with open(os.path.join(out_dir, _artifact_name(platform)),
+                  "wb") as f:
+            f.write(exp.serialize())
+    manifest = {
+        "model": f"unoise_{kind}",
+        "input": {"shape": [batch, H, W, 1], "dtype": "float32",
+                  "note": "raw unnormalized slice values"},
+        "outputs": (["mask_prob", "mask"] if kind == "utility"
+                    else ["importance"]),
+        "unet": {"depth": depth, "channel_factor": cf},
+        "compute_dtype": str(jnp.dtype(compute_dtype)),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def load_inference_artifact(out_dir: str, platform: Optional[str] = None
                             ) -> Tuple[Callable, Dict[str, Any]]:
     """Deserialize an exported artifact.  Returns ``(call, manifest)``

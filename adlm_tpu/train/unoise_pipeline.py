@@ -55,9 +55,14 @@ def _torch_unet_payload(path: str, kind: str, sample: jnp.ndarray):
                 if k.startswith("downs.")) + 1
     cf = int(round(math.log2(sd["downs.0.0.weight"].shape[0])))
     model = UNet(out_channels=1, depth=depth, cf=cf)
-    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
-    params = jax.tree.map(np.asarray, variables["params"])
-    bs = jax.tree.map(np.asarray, variables["batch_stats"])
+    # template from eval_shape only (a real init would compile on the
+    # remote TPU for minutes); NaN fill proves the checkpoint wrote
+    # EVERY leaf — a truncated state_dict must not leave random weights
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), sample, train=True))
+    template = jax.tree.map(lambda s: np.full(s.shape, np.nan, s.dtype),
+                            shapes)
+    params, bs = template["params"], template["batch_stats"]
     report = load_unoise_unet(params, bs, sd)
     if report["unexpected_keys"]:
         raise ValueError(f"unmapped keys in {path}: "
@@ -65,6 +70,14 @@ def _torch_unet_payload(path: str, kind: str, sample: jnp.ndarray):
     if report["negative_variance_keys"]:
         raise ValueError(f"corrupt running_var in {path}: "
                          f"{report['negative_variance_keys'][:5]}")
+    holes = [
+        "/".join(str(getattr(p, "key", p)) for p in kp)
+        for tree in (params, bs)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        if np.isnan(np.asarray(leaf)).any()]
+    if holes:
+        raise ValueError(f"{path} left {len(holes)} uninitialized "
+                         f"UNet leaves: {holes[:5]}")
     return {"params": params, "batch_stats": bs,
             "depth": depth, "channel_factor": cf}
 

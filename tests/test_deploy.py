@@ -145,3 +145,76 @@ def test_export_cli(tmp_path):
     got = call(jnp.asarray(np.random.RandomState(7).randint(
         0, 256, size=(1, 40, 48, 3)).astype(np.uint8)))
     assert np.asarray(got["pred"]).shape == (1, 40, 48)
+
+
+def test_unoise_export_roundtrip(tmp_path):
+    """U-Noise artifacts: utility mask server + noise importance map,
+    raw-slice inputs with the tile/normalize baked in."""
+    from adlm_tpu.core.config import UNoiseConfig
+    from adlm_tpu.deploy.export import export_unoise_artifact
+    from adlm_tpu.models.unet import UNet
+    from adlm_tpu.train.unoise import _prep_images
+
+    cfg = UNoiseConfig(depth=2, channel_factor=3, util_depth=2,
+                       util_channel_factor=3)
+    model = UNet(out_channels=1, depth=2, cf=3)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)),
+                   train=True)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 16, 16, 1).astype(np.float32))
+
+    out_u = str(tmp_path / "util")
+    manifest = export_unoise_artifact(
+        cfg, v["params"], v["batch_stats"], "utility", out_u, batch=2,
+        size=(16, 16), platforms=("cpu",), compute_dtype=jnp.float32)
+    assert manifest["outputs"] == ["mask_prob", "mask"]
+    call, m2 = load_inference_artifact(out_u, platform="cpu")
+    got = call(x)
+    want_logits = model.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]},
+        _prep_images(x, True, False), train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["mask_prob"]),
+        np.asarray(jax.nn.sigmoid(want_logits)), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got["mask"]), np.asarray(want_logits > 0))
+
+    out_n = str(tmp_path / "noise")
+    manifest = export_unoise_artifact(
+        cfg, v["params"], v["batch_stats"], "noise", out_n, batch=2,
+        size=(16, 16), platforms=("cpu",), compute_dtype=jnp.float32)
+    assert manifest["outputs"] == ["importance"]
+    call, _ = load_inference_artifact(out_n, platform="cpu")
+    got = call(x)
+    np.testing.assert_allclose(
+        np.asarray(got["importance"]),
+        np.asarray(jax.nn.sigmoid(want_logits)), rtol=1e-5, atol=1e-6)
+
+
+def test_unoise_export_cli(tmp_path, monkeypatch):
+    """unoise-export consumes a real utility run directory."""
+    import argparse
+
+    from adlm_tpu.cli import cmd_unoise_export
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.models.unet import UNet
+
+    run_dir = str(tmp_path / "run")
+    store = CheckpointStore(run_dir)
+    model = UNet(out_channels=1, depth=2, cf=3)
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 16, 16, 3)),
+                   train=True)
+    store.save("utility", "best", {"params": dict(v["params"]),
+                                   "batch_stats": dict(v["batch_stats"]),
+                                   "step": 0})
+    store.save_metadata("utility_config",
+                        {"depth": 2, "channel_factor": 3})
+    cmd_unoise_export(argparse.Namespace(
+        run_dir=run_dir, model="utility", kind="best", batch=2,
+        size="16,16", platforms="cpu", depth=5, channel_factor=6,
+        f32_compute=True, out=None))
+    out = os.path.join(run_dir, "export", "utility_2x16x16")
+    assert os.path.exists(os.path.join(out, "inference_cpu.stablehlo"))
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["unet"] == {"depth": 2, "channel_factor": 3}

@@ -99,3 +99,34 @@ def test_import_protopnet_roundtrip_and_eval(tmp_path, monkeypatch):
     metrics = ev(state, x, labels)
     assert np.asarray(metrics["correct"]).shape == (2,)
     assert np.isfinite(float(metrics["cross_entropy"]))
+
+
+def test_import_protopnet_rejects_bad_identity_and_corrupt_var(
+        tmp_path, monkeypatch):
+    """Review findings: --proto-class shape mismatches and negative BN
+    running_var are hard errors (parity with import-protoseg)."""
+    from adlm_tpu.cli import cmd_import_protopnet
+
+    torch.manual_seed(8)
+    t_model = TorchProtoPNetCls()
+    sd = t_model.state_dict()
+    monkeypatch.setenv("RESULTS_DIR", str(tmp_path / "runs"))
+
+    bad_pc = str(tmp_path / "bad_pc.npy")
+    np.save(bad_pc, np.zeros(P - 1, np.int32))
+    ckpt = str(tmp_path / "cls.pth")
+    torch.save(sd, ckpt)
+    with pytest.raises(SystemExit, match="proto_class shape"):
+        cmd_import_protopnet(argparse.Namespace(
+            run_name="bad_pc", checkpoint=ckpt, arch="resnet18",
+            img_size=64, add_on="regular", stage="push",
+            proto_class=bad_pc))
+
+    sd["features.bn1.running_var"][3] = -1.0
+    ckpt2 = str(tmp_path / "cls_corrupt.pth")
+    torch.save(sd, ckpt2)
+    with pytest.raises(SystemExit, match="running_var"):
+        cmd_import_protopnet(argparse.Namespace(
+            run_name="corrupt", checkpoint=ckpt2, arch="resnet18",
+            img_size=64, add_on="regular", stage="push",
+            proto_class=None))

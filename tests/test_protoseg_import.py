@@ -183,3 +183,16 @@ def test_export_torch_roundtrip(tmp_path, monkeypatch):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         original["constants"], again["constants"])
+
+
+def test_export_torch_bare_out_filename(tmp_path, monkeypatch):
+    """--out without a directory component must not crash on
+    os.makedirs('') (review finding)."""
+    from adlm_tpu.cli import cmd_export_torch
+
+    _, run_dir = _import_run(tmp_path, monkeypatch)
+    monkeypatch.chdir(tmp_path)
+    cmd_export_torch(argparse.Namespace(
+        run_dir=run_dir, stage="push", kind="best", out="bare.pth"))
+    assert os.path.exists(tmp_path / "bare.pth")
+    assert os.path.exists(tmp_path / "bare_proto_class.npy")

@@ -293,3 +293,20 @@ def test_train_noise_from_torch_lightning_checkpoint(tmp_path, monkeypatch):
     args.depth = 3
     with pytest.raises(SystemExit):
         unoise_pipeline.train_noise(args)
+
+
+def test_torch_ckpt_truncated_fails_loudly(tmp_path):
+    """A checkpoint missing keys must NOT leave silently-random weights
+    in the imported UNet (review finding: the template is NaN-filled
+    and every unwritten leaf is reported)."""
+    from adlm_tpu.train.unoise_pipeline import _torch_unet_payload
+
+    torch.manual_seed(12)
+    t_model = REF_UNET.UNet(in_channels=3, out_channels=1, depth=2, cf=2)
+    sd = {f"model.{k}": v for k, v in t_model.state_dict().items()
+          if "conv1x1" not in k}  # drop the head
+    ckpt_path = tmp_path / "truncated.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt_path))
+    with pytest.raises(ValueError, match="uninitialized"):
+        _torch_unet_payload(str(ckpt_path), "utility",
+                            jnp.zeros((1, 16, 16, 3)))
