@@ -47,6 +47,9 @@ class ClassificationConfig:
     num_warm_epochs: int = 5
     num_train_epochs: int = 1000
     push_start: int = 10
+    # bf16 weights/activations on the MXU (the reference trains f32;
+    # loss math and stored state stay f32)
+    compute_dtype: str = "float32"
 
 
 @flax.struct.dataclass
@@ -181,22 +184,44 @@ def init_classifier_state(model: PPNet, cfg: ClassificationConfig,
                            step=jnp.zeros((), jnp.int32))
 
 
+def _bf16_tree(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
+def _f32_tree(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree)
+
+
 def make_cls_train_step(model: PPNet, cfg: ClassificationConfig,
                         phase: str, steps_per_epoch: int = 1) -> Callable:
     tx = make_cls_optimizer(cfg, phase, steps_per_epoch)
+    bf16 = cfg.compute_dtype == "bfloat16"
 
     @jax.jit
     def step(state: ClassifierState, images: jnp.ndarray,
              labels: jnp.ndarray):
         def lfn(params):
+            # bf16: cast inside the differentiated fn so gradients come
+            # back in the params' own dtype (f32); running stats return
+            # to f32 so the state keeps stable dtypes across steps
+            fwd_params = _bf16_tree(params) if bf16 else params
+            x = images.astype(jnp.bfloat16) if bf16 else images
             out, upd = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                {"params": fwd_params,
+                 "batch_stats": _bf16_tree(state.batch_stats)
+                 if bf16 else state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
             logits, min_d = out
             loss, metrics = classification_loss(
-                logits, min_d, labels, state.proto_class,
+                logits.astype(jnp.float32), min_d.astype(jnp.float32),
+                labels, state.proto_class,
                 params["last_layer"], cfg)
-            return loss, (metrics, upd.get("batch_stats", {}))
+            new_bs = upd.get("batch_stats", {})
+            return loss, (metrics, _f32_tree(new_bs) if bf16 else new_bs)
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             lfn, has_aux=True)(state.params)

@@ -309,15 +309,17 @@ def _bench_inference_b1(cfg, model, params, constants, pc):
     return n / (time.perf_counter() - t0)
 
 
-def _bench_cls_train(batch=80):
+def _bench_cls_train(batch=80, bf16=False):
     """Classification ProtoPNet joint step at the reference's CUB-200
     budget (reference settings.py: train_batch_size 80, img 224, vgg19,
-    2000 prototypes × 128 channels, 200 classes; main.py epoch loop)."""
+    2000 prototypes × 128 channels, 200 classes; main.py epoch loop).
+    ``bf16`` = `cls-train --bf16` (f32 is the reference's dtype)."""
     from adlm_tpu.models.ppnet import PPNet, default_proto_class
     from adlm_tpu.train.classification import (
         ClassificationConfig, init_classifier_state, make_cls_train_step)
 
-    cfg = ClassificationConfig()
+    cfg = ClassificationConfig(
+        compute_dtype="bfloat16" if bf16 else "float32")
     model = PPNet(cfg=cfg.model)
     rng = jax.random.PRNGKey(0)
     init_x = jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -409,6 +411,8 @@ def _run() -> None:
         print(f"# batch-1 inference extra metric skipped: {e}", flush=True)
     try:
         extra["cls_train_step_ms"] = round(_bench_cls_train(), 1)
+        extra["cls_train_step_bf16_ms"] = round(
+            _bench_cls_train(bf16=True), 1)
         extra["cls_train_batch"] = 80
     except Exception as e:  # pragma: no cover
         print(f"# cls-train extra metric skipped: {e}", flush=True)

@@ -286,3 +286,31 @@ def test_k_nearest_dedups_wrapped_tail():
          (np.stack([images[2], images[0]]),
           np.asarray([labels[2], labels[0]]), 1)], k=2)
     np.testing.assert_array_equal(direct, wrapped)
+
+
+def test_cls_bf16_step_tracks_f32():
+    """bf16 classification train step: loss close to f32, state dtypes
+    stay f32 across steps (mirrors the ProtoSeg/U-Noise bf16 contract)."""
+    cfg = tiny_cls_cfg()
+    cfg_b = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, size=(4,)))
+
+    state = init_classifier_state(model, cfg, "joint",
+                                  jax.random.PRNGKey(0), images)
+    s_f32, m_f32 = make_cls_train_step(model, cfg, "joint")(
+        state, images, labels)
+    s_b16, m_b16 = make_cls_train_step(model, cfg_b, "joint")(
+        state, images, labels)
+
+    assert abs(float(m_f32["loss"]) - float(m_b16["loss"])) \
+        < 0.05 * max(1.0, abs(float(m_f32["loss"])))
+    for tree in (s_b16.params, s_b16.batch_stats):
+        for leaf in jax.tree.leaves(tree):
+            assert leaf.dtype != jnp.bfloat16
+    # a second step consumes the first's state without dtype drift
+    s3, m3 = make_cls_train_step(model, cfg_b, "joint")(
+        s_b16, images, labels)
+    assert np.isfinite(float(m3["loss"]))
