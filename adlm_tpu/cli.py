@@ -611,7 +611,18 @@ def cmd_cls_train(args):
             patch_classification=False),
         num_warm_epochs=args.warm_epochs,
         num_train_epochs=args.epochs,
-        push_start=args.push_start)
+        push_start=args.push_start,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+
+    mesh = None
+    if args.mesh_data:
+        if args.batch_size % args.mesh_data:
+            raise SystemExit("--batch-size must be divisible by "
+                             "--mesh-data")
+        import jax
+        from adlm_tpu.core.mesh import MeshSpec, make_mesh
+        mesh = make_mesh(MeshSpec(data=args.mesh_data),
+                         devices=jax.devices()[:args.mesh_data])
 
     run_dir = _results_dir(args.run_name)
     run_classification_training(
@@ -625,7 +636,8 @@ def cmd_cls_train(args):
         target_accuracy=args.target_accuracy,
         last_layer_iterations=args.last_layer_iterations,
         push_every=args.push_every,
-        pretrained_path=args.pretrained)
+        pretrained_path=args.pretrained,
+        mesh=mesh)
 
 
 def cmd_cls_prune(args):
@@ -1213,6 +1225,12 @@ def main(argv=None):
     cp.add_argument("--pretrained", default=None,
                     help="torchvision .pth state_dict (or .npz) with "
                          "ImageNet stem weights")
+    cp.add_argument("--bf16", action="store_true",
+                    help="bf16 train forward/backward on the MXU "
+                         "(push/eval stay f32)")
+    cp.add_argument("--mesh-data", type=int, default=0,
+                    help="data-parallel mesh axis size for the train "
+                         "steps (0 = single device)")
     cp.set_defaults(fn=cmd_cls_train)
 
     cq = sub.add_parser("cls-prune")

@@ -106,6 +106,28 @@ def make_sharded_utility_step(cfg, mesh: Mesh, donate: bool = False,
     )
 
 
+def make_sharded_cls_step(model: PPNet, cfg, phase: str, mesh: Mesh,
+                          steps_per_epoch: int = 1,
+                          donate: bool = False):
+    """dp-sharded classification (legacy ProtoPNet) train step: the
+    batch-80 CUB budget sharded over ``data``, params/optimizer state
+    replicated. The CE / cluster / separation losses are batch means,
+    so GSPMD lowers them to psums over ICI; VGG stems have no BN, and
+    for *_bn stems the batch-stats reduction is global like the U-Noise
+    case (reference train_and_test.py:37-99 is single-GPU)."""
+    from adlm_tpu.train.classification import make_cls_train_step
+
+    inner = make_cls_train_step(model, cfg, phase, steps_per_epoch)
+    repl = replicated(mesh)
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        inner.__wrapped__,
+        in_shardings=(repl, dp, dp),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_sharded_noise_step(cfg, mesh: Mesh, donate: bool = False,
                             raw: bool = False):
     """dp-sharded U-Noise noise-model step (frozen utility replicated;

@@ -84,6 +84,7 @@ def run_classification_training(
     last_layer_iterations: int = 20,  # reference main.py:180 runs 20
     push_every: int = 10,  # reference: push_epochs = every 10th epoch
     pretrained_path: Optional[str] = None,
+    mesh=None,  # (data,) mesh → dp-sharded train steps, psum over ICI
 ) -> ClassifierState:
     logger = RunLogger(run_dir, "classification")
     store = CheckpointStore(run_dir)
@@ -123,9 +124,23 @@ def run_classification_training(
         state = state.replace(
             params=jax.tree.map(jnp.asarray, p_host),
             batch_stats=jax.tree.map(jnp.asarray, b_host))
-    warm_step = make_cls_train_step(model, cfg, "warm", steps_per_epoch)
-    joint_step = make_cls_train_step(model, cfg, "joint", steps_per_epoch)
-    last_step = make_cls_train_step(model, cfg, "last", steps_per_epoch)
+    if mesh is not None:
+        # train batches shard over `data`; eval/push run on the
+        # replicated state (their batches aren't guaranteed divisible)
+        from adlm_tpu.parallel.sharding import (
+            make_sharded_cls_step, shard_state)
+        state = shard_state(state, mesh)
+
+        def _mk_step(phase):
+            return make_sharded_cls_step(model, cfg, phase, mesh,
+                                         steps_per_epoch)
+    else:
+        def _mk_step(phase):
+            return make_cls_train_step(model, cfg, phase, steps_per_epoch)
+
+    warm_step = _mk_step("warm")
+    joint_step = _mk_step("joint")
+    last_step = _mk_step("last")
     eval_fn = make_cls_eval_step(model, cfg)
 
     best = 0.0

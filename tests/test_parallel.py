@@ -397,3 +397,68 @@ def test_distributed_two_process_train_step_parity(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and "MULTIHOST_PARITY_OK" in out, \
             (pid, out[-2000:])
+
+
+def test_sharded_cls_step_matches_single_device():
+    """dp-sharded classification step (resnet18 stem → BN batch-stats
+    psum) equals the single-device step: loss, metrics, running stats,
+    and gradients on the 8-CPU mesh."""
+    import dataclasses
+    from adlm_tpu.core.config import PPNetConfig
+    from adlm_tpu.parallel.sharding import make_sharded_cls_step
+    from adlm_tpu.train.classification import (
+        ClassificationConfig, classification_loss, init_classifier_state,
+        make_cls_train_step)
+
+    cfg = ClassificationConfig(model=PPNetConfig(
+        base_architecture="resnet18", img_size=32, num_prototypes=6,
+        prototype_channels=16, num_classes=3,
+        add_on_layers_type="regular", patch_classification=False))
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(23)
+    images = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, size=(8,)))
+    mesh = make_mesh(MeshSpec(data=8))
+
+    state = init_classifier_state(model, cfg, "joint",
+                                  jax.random.PRNGKey(23), images)
+    s1, m1 = make_cls_train_step(model, cfg, "joint")(state, images, labels)
+    ss = shard_state(state, mesh)
+    s2, m2 = make_sharded_cls_step(model, cfg, "joint", mesh)(
+        ss, images, labels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for k in ("cross_entropy", "cluster", "separation"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4)
+    # BN running stats are batch means/vars — psum-exact
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s1.batch_stats, s2.batch_stats)
+
+    # gradient parity (first-step post-Adam params are sign-dominated,
+    # same caveat as the U-Noise test above); tolerance is looser than
+    # the UNet case because resnet18's train-mode BN chain amplifies
+    # psum reassociation noise (~1e-7 in the batch var) to ~2e-4 in the
+    # stem-conv gradient — 18 normalization layers vs the UNet's 4
+    def loss(params, imgs, labs):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            imgs, train=True, mutable=["batch_stats"])
+        logits, min_d = out
+        l, _ = classification_loss(logits, min_d, labs, state.proto_class,
+                                   params["last_layer"], cfg)
+        return l
+
+    g1 = jax.jit(jax.grad(loss))(state.params, images, labels)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    dp = jax.sharding.NamedSharding(mesh,
+                                    jax.sharding.PartitionSpec("data"))
+    g2 = jax.jit(jax.grad(loss), in_shardings=(rep, dp, dp))(
+        jax.device_put(state.params, rep),
+        jax.device_put(images, dp), jax.device_put(labels, dp))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g1, g2)
