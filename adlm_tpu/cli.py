@@ -335,6 +335,42 @@ def cmd_unoise_export(args):
           f"for platforms {manifest['platforms']} to {out_dir}")
 
 
+def cmd_cls_export(args):
+    """AOT-export a trained ProtoPNet classifier (logits + per-prototype
+    activation vector) for serving — see deploy/export.py."""
+    _enable_compile_cache()
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.data.image_folder import IMAGENET_MEAN, IMAGENET_STD
+    from adlm_tpu.deploy.export import export_cls_artifact
+    from adlm_tpu.models.ppnet import PPNet
+    from adlm_tpu.train.classification_pipeline import load_cls_config
+
+    store = CheckpointStore(args.run_dir)
+    cfg = load_cls_config(args.run_dir)
+    payload = store.restore(args.stage, args.kind)
+    n_proto = int(np.asarray(payload["params"]
+                             ["prototype_vectors"]).shape[0])
+    mcfg = dataclasses.replace(cfg.model, num_prototypes=n_proto)
+    model = PPNet(cfg=mcfg)
+
+    normalize = None if args.f32_inputs else (IMAGENET_MEAN, IMAGENET_STD)
+    size = mcfg.img_size
+    out_dir = args.out or os.path.join(
+        args.run_dir, "export", f"{args.stage}_{args.batch}x{size}x{size}")
+    manifest = export_cls_artifact(
+        model, payload["params"], payload.get("batch_stats", {}),
+        payload["proto_class"], out_dir, args.batch, (size, size),
+        normalize=normalize, platforms=tuple(args.platforms.split(",")),
+        compute_dtype=jnp.float32 if args.f32_compute else jnp.bfloat16)
+    print(f"exported {manifest['model']} {manifest['input']['shape']} "
+          f"for platforms {manifest['platforms']} to {out_dir}")
+
+
 def cmd_prune(args):
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -1147,6 +1183,22 @@ def main(argv=None):
     ux.add_argument("--f32-compute", action="store_true")
     ux.add_argument("--out", default=None)
     ux.set_defaults(fn=cmd_unoise_export)
+
+    cx = sub.add_parser(
+        "cls-export",
+        help="AOT-export a trained ProtoPNet classifier for serving "
+             "(logits + prototype activations, weights baked in)")
+    cx.add_argument("run_dir")
+    cx.add_argument("stage", choices=["nopush", "push", "pruned"])
+    cx.add_argument("--kind", default="best", choices=["last", "best"])
+    cx.add_argument("--batch", type=int, default=1)
+    cx.add_argument("--platforms", default="cpu,tpu")
+    cx.add_argument("--f32-inputs", action="store_true",
+                    help="expect pre-normalized float32 inputs instead "
+                         "of raw uint8 + on-device normalization")
+    cx.add_argument("--f32-compute", action="store_true")
+    cx.add_argument("--out", default=None)
+    cx.set_defaults(fn=cmd_cls_export)
 
     ip = sub.add_parser(
         "import-protoseg",

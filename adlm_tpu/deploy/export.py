@@ -186,6 +186,80 @@ def export_unoise_artifact(
     return manifest
 
 
+def export_cls_artifact(
+    model: PPNet, params: Any, batch_stats: Any, proto_class: Any,
+    out_dir: str, batch: int, size: Tuple[int, int],
+    normalize: Optional[Tuple] = None,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    compute_dtype: Any = jnp.bfloat16,
+    class_names: Optional[list] = None,
+) -> Dict[str, Any]:
+    """AOT-export a legacy-ProtoPNet classifier for serving.
+
+    images → ``{logits (B,K) f32, pred (B,) int32,
+    proto_activation (B,P) f32, min_distances (B,P) f32}`` —
+    ``proto_activation`` is the reference's ``prototype_activations``
+    interpretability vector (local_analysis.py computes it per query;
+    here it ships with every prediction) and ``proto_class`` in the
+    manifest maps each prototype to its class.
+    """
+    from jax import export as jexport
+
+    from adlm_tpu.ops.prototype import distance_to_similarity
+
+    cast = jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    bs_cast = jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        batch_stats)
+
+    def fn(images):
+        if normalize is not None:
+            mean = jnp.asarray(normalize[0], jnp.float32)
+            std = jnp.asarray(normalize[1], jnp.float32)
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
+        logits, min_d = model.apply(
+            {"params": cast, "batch_stats": bs_cast}, images, train=False)
+        min_d = min_d.astype(jnp.float32)
+        act = distance_to_similarity(min_d, model.cfg.prototype_activation,
+                                     model.cfg.epsilon)
+        return {
+            "logits": logits.astype(jnp.float32),
+            "pred": jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            "proto_activation": act,
+            "min_distances": min_d,
+        }
+
+    H, W = size
+    in_dtype = jnp.uint8 if normalize is not None else jnp.float32
+    os.makedirs(out_dir, exist_ok=True)
+    for platform in platforms:
+        exp = jexport.export(jax.jit(fn), platforms=[platform])(
+            jax.ShapeDtypeStruct((batch, H, W, 3), in_dtype))
+        with open(os.path.join(out_dir, _artifact_name(platform)),
+                  "wb") as f:
+            f.write(exp.serialize())
+    manifest = {
+        "model": "protopnet_classifier",
+        "input": {"shape": [batch, H, W, 3], "dtype": str(np.dtype(
+            in_dtype.dtype if hasattr(in_dtype, "dtype") else in_dtype))},
+        "outputs": ["logits", "pred", "proto_activation", "min_distances"],
+        "normalize": ([list(normalize[0]), list(normalize[1])]
+                      if normalize is not None else None),
+        "proto_class": np.asarray(proto_class).astype(int).tolist(),
+        "num_classes": int(model.cfg.num_classes),
+        "class_names": class_names,
+        "compute_dtype": str(jnp.dtype(compute_dtype)),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def load_inference_artifact(out_dir: str, platform: Optional[str] = None
                             ) -> Tuple[Callable, Dict[str, Any]]:
     """Deserialize an exported artifact.  Returns ``(call, manifest)``

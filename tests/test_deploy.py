@@ -218,3 +218,91 @@ def test_unoise_export_cli(tmp_path, monkeypatch):
     with open(os.path.join(out, "manifest.json")) as f:
         m = json.load(f)
     assert m["unet"] == {"depth": 2, "channel_factor": 3}
+
+
+def test_cls_export_roundtrip(tmp_path):
+    """Classifier artifact: logits/pred plus the reference's
+    prototype_activations interpretability vector (local_analysis.py)."""
+    from adlm_tpu.deploy.export import export_cls_artifact
+    from adlm_tpu.ops.prototype import distance_to_similarity
+
+    cfg = PPNetConfig(base_architecture="resnet18", img_size=32,
+                      num_prototypes=6, prototype_channels=8,
+                      num_classes=3, add_on_layers_type="regular",
+                      patch_classification=False)
+    model = PPNet(cfg=cfg)
+    v = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)))
+    pc = default_proto_class(6, 3)
+
+    out = str(tmp_path / "cls")
+    manifest = export_cls_artifact(
+        model, v["params"], v.get("batch_stats", {}), pc, out, batch=2,
+        size=(32, 32), normalize=None, platforms=("cpu",),
+        compute_dtype=jnp.float32, class_names=["a", "b", "c"])
+    assert manifest["outputs"] == ["logits", "pred", "proto_activation",
+                                   "min_distances"]
+    call, _ = load_inference_artifact(out, platform="cpu")
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    got = call(x)
+
+    logits, min_d = model.apply(
+        {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+        x, train=False)
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(logits), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["min_distances"]),
+                               np.asarray(min_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["proto_activation"]),
+        np.asarray(distance_to_similarity(min_d, cfg.prototype_activation,
+                                          cfg.epsilon)),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                  np.argmax(np.asarray(logits), -1))
+
+
+def test_cls_export_cli(tmp_path):
+    """cls-export consumes a real classification run directory
+    (cls_config.json + orbax checkpoint) and bakes in the uint8
+    ImageNet-normalization serving path."""
+    import argparse
+
+    from adlm_tpu.cli import cmd_cls_export
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.train.classification import ClassificationConfig
+    from adlm_tpu.train.classification_pipeline import _save_cls_config
+
+    cfg = ClassificationConfig(model=PPNetConfig(
+        base_architecture="resnet18", img_size=32, num_prototypes=6,
+        prototype_channels=8, num_classes=3,
+        add_on_layers_type="regular", patch_classification=False))
+    model = PPNet(cfg=cfg.model)
+    v = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 32, 32, 3)))
+    run_dir = str(tmp_path / "run")
+    _save_cls_config(run_dir, cfg)
+    store = CheckpointStore(run_dir)
+    store.save("push", "best", {
+        "params": dict(v["params"]),
+        "batch_stats": dict(v.get("batch_stats", {})),
+        "proto_class": np.asarray(default_proto_class(6, 3)),
+        "step": 0})
+
+    cmd_cls_export(argparse.Namespace(
+        run_dir=run_dir, stage="push", kind="best", batch=2,
+        platforms="cpu", f32_inputs=False, f32_compute=True, out=None))
+    out = os.path.join(run_dir, "export", "push_2x32x32")
+    call, m = load_inference_artifact(out, platform="cpu")
+    assert m["input"]["dtype"] == "uint8"
+    rng = np.random.RandomState(10)
+    raw = rng.randint(0, 255, size=(2, 32, 32, 3)).astype(np.uint8)
+    got = call(jnp.asarray(raw))
+
+    mean = np.asarray(m["normalize"][0], np.float32)
+    std = np.asarray(m["normalize"][1], np.float32)
+    x = jnp.asarray((raw.astype(np.float32) / 255.0 - mean) / std)
+    logits, _ = model.apply(
+        {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+        x, train=False)
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(logits), rtol=1e-4, atol=1e-5)
