@@ -18,6 +18,14 @@ for every platform, and Pallas has no compiled CPU lowering — the
 per-platform split sidesteps that while `load_inference_artifact`
 hides it behind one call).
 
+Mixed precision: ``compute_dtype=bfloat16`` (default) casts weights AND
+activations — images are cast right after the on-device normalization
+so the convs actually hit the MXU in bf16 (an f32 image against bf16
+kernels would silently promote the whole network back to f32).  BN
+running statistics are never down-cast: eval-mode BN consumes them as
+normalization constants and their dtype does not leak into the
+activations' dtype (see core/dtypes.py).
+
 Artifact layout (``<out_dir>/``):
 
 * ``inference_<platform>.stablehlo`` — serialized
@@ -36,6 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from adlm_tpu.core.dtypes import tree_cast
 from adlm_tpu.models.ppnet import PPNet
 from adlm_tpu.ops.resize import resize_bilinear
 
@@ -46,33 +55,37 @@ def _artifact_name(platform: str) -> str:
     return f"inference_{platform}.stablehlo"
 
 
-def _serving_fn(model: PPNet, params: Any, constants: Any,
-                normalize: Optional[Tuple], out_size: Tuple[int, int],
-                compute_dtype: Any) -> Callable:
-    """images → {pred (B,H,W) int32, grid_logits (B,gh,gw,K) f32,
-    nearest_proto (B,gh,gw) int32}.  Weights are closed over so they
-    serialize into the artifact as constants."""
+def _normalize_in_jit(images, normalize, compute_dtype):
+    """uint8 (or f32) → normalized images in ``compute_dtype``."""
+    if normalize is not None:
+        mean = jnp.asarray(normalize[0], jnp.float32)
+        std = jnp.asarray(normalize[1], jnp.float32)
+        images = (images.astype(jnp.float32) / 255.0 - mean) / std
+    return images.astype(compute_dtype)
 
-    cast = jax.tree.map(
-        lambda x: x.astype(compute_dtype)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
-    def fn(images):
-        if normalize is not None:
-            mean = jnp.asarray(normalize[0], jnp.float32)
-            std = jnp.asarray(normalize[1], jnp.float32)
-            images = (images.astype(jnp.float32) / 255.0 - mean) / std
-        grid_logits, dist = model.apply(
-            {"params": cast, "constants": constants}, images,
-            train=False, return_distances=True)
-        logits = resize_bilinear(grid_logits, out_size)
-        return {
-            "pred": jnp.argmax(logits, axis=-1).astype(jnp.int32),
-            "grid_logits": grid_logits.astype(jnp.float32),
-            "nearest_proto": jnp.argmin(dist, axis=-1).astype(jnp.int32),
-        }
+def _write_artifact(fn: Callable, in_struct, out_dir: str,
+                    platforms: Tuple[str, ...],
+                    manifest: Dict[str, Any]) -> Dict[str, Any]:
+    """Serialize ``fn`` once per platform + write the manifest."""
+    from jax import export as jexport
 
-    return fn
+    os.makedirs(out_dir, exist_ok=True)
+    for platform in platforms:
+        exp = jexport.export(jax.jit(fn), platforms=[platform])(in_struct)
+        with open(os.path.join(out_dir, _artifact_name(platform)),
+                  "wb") as f:
+            f.write(exp.serialize())
+    manifest = {**manifest, "platforms": list(platforms),
+                "jax_version": jax.__version__}
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _input_manifest(shape, in_dtype) -> Dict[str, Any]:
+    return {"shape": list(shape), "dtype": str(np.dtype(
+        in_dtype.dtype if hasattr(in_dtype, "dtype") else in_dtype))}
 
 
 def export_inference_artifact(
@@ -83,39 +96,40 @@ def export_inference_artifact(
     compute_dtype: Any = jnp.bfloat16,
     class_names: Optional[list] = None,
 ) -> Dict[str, Any]:
-    """Lower + serialize the inference program for ``(batch, *size, 3)``
-    inputs (uint8 when ``normalize`` is given, else pre-normalized f32)
-    and write artifact + manifest to ``out_dir``.  Returns the manifest.
+    """Lower + serialize the ProtoSeg inference program for
+    ``(batch, *size, 3)`` inputs (uint8 when ``normalize`` is given,
+    else pre-normalized f32) and write artifact + manifest to
+    ``out_dir``.  images → {pred (B,H,W) int32, grid_logits (B,gh,gw,K)
+    f32, nearest_proto (B,gh,gw) int32}.  Returns the manifest.
     """
-    from jax import export as jexport
-
     H, W = size
     in_dtype = jnp.uint8 if normalize is not None else jnp.float32
-    fn = _serving_fn(model, params, constants, normalize, (H, W),
-                     compute_dtype)
-    os.makedirs(out_dir, exist_ok=True)
-    for platform in platforms:
-        exp = jexport.export(jax.jit(fn), platforms=[platform])(
-            jax.ShapeDtypeStruct((batch, H, W, 3), in_dtype))
-        with open(os.path.join(out_dir, _artifact_name(platform)),
-                  "wb") as f:
-            f.write(exp.serialize())
-    manifest = {
-        "input": {"shape": [batch, H, W, 3], "dtype": str(np.dtype(
-            in_dtype.dtype if hasattr(in_dtype, "dtype") else in_dtype))},
-        "outputs": ["pred", "grid_logits", "nearest_proto"],
-        "normalize": ([list(normalize[0]), list(normalize[1])]
-                      if normalize is not None else None),
-        "proto_class": np.asarray(proto_class).astype(int).tolist(),
-        "num_classes": int(model.cfg.num_classes),
-        "class_names": class_names,
-        "compute_dtype": str(jnp.dtype(compute_dtype)),
-        "platforms": list(platforms),
-        "jax_version": jax.__version__,
-    }
-    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
-    return manifest
+    cast = tree_cast(params, compute_dtype)
+
+    def fn(images):
+        x = _normalize_in_jit(images, normalize, compute_dtype)
+        grid_logits, dist = model.apply(
+            {"params": cast, "constants": constants}, x,
+            train=False, return_distances=True)
+        logits = resize_bilinear(grid_logits, (H, W))
+        return {
+            "pred": jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            "grid_logits": grid_logits.astype(jnp.float32),
+            "nearest_proto": jnp.argmin(dist, axis=-1).astype(jnp.int32),
+        }
+
+    return _write_artifact(
+        fn, jax.ShapeDtypeStruct((batch, H, W, 3), in_dtype), out_dir,
+        platforms, {
+            "input": _input_manifest((batch, H, W, 3), in_dtype),
+            "outputs": ["pred", "grid_logits", "nearest_proto"],
+            "normalize": ([list(normalize[0]), list(normalize[1])]
+                          if normalize is not None else None),
+            "proto_class": np.asarray(proto_class).astype(int).tolist(),
+            "num_classes": int(model.cfg.num_classes),
+            "class_names": class_names,
+            "compute_dtype": str(jnp.dtype(compute_dtype)),
+        })
 
 
 def export_unoise_artifact(
@@ -135,8 +149,6 @@ def export_unoise_artifact(
     Inputs are raw unnormalized slices; the tile-to-3-channels +
     ImageNet normalization is baked into the artifact.
     """
-    from jax import export as jexport
-
     from adlm_tpu.models.unet import UNet
     from adlm_tpu.train.unoise import _prep_images
 
@@ -144,17 +156,11 @@ def export_unoise_artifact(
     cf = (cfg.util_channel_factor if kind == "utility"
           else cfg.channel_factor)
     model = UNet(out_channels=1, depth=depth, cf=cf)
-    cast = jax.tree.map(
-        lambda x: x.astype(compute_dtype)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    bs_cast = jax.tree.map(
-        lambda x: x.astype(compute_dtype)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        batch_stats)
+    cast = tree_cast(params, compute_dtype)
 
     def fn(images):
         x = _prep_images(images, True, compute_dtype == jnp.bfloat16)
-        logits = model.apply({"params": cast, "batch_stats": bs_cast},
+        logits = model.apply({"params": cast, "batch_stats": batch_stats},
                              x, train=False)
         prob = jax.nn.sigmoid(logits.astype(jnp.float32))
         if kind == "utility":
@@ -163,27 +169,17 @@ def export_unoise_artifact(
         return {"importance": prob}
 
     H, W = size
-    os.makedirs(out_dir, exist_ok=True)
-    for platform in platforms:
-        exp = jexport.export(jax.jit(fn), platforms=[platform])(
-            jax.ShapeDtypeStruct((batch, H, W, 1), jnp.float32))
-        with open(os.path.join(out_dir, _artifact_name(platform)),
-                  "wb") as f:
-            f.write(exp.serialize())
-    manifest = {
-        "model": f"unoise_{kind}",
-        "input": {"shape": [batch, H, W, 1], "dtype": "float32",
-                  "note": "raw unnormalized slice values"},
-        "outputs": (["mask_prob", "mask"] if kind == "utility"
-                    else ["importance"]),
-        "unet": {"depth": depth, "channel_factor": cf},
-        "compute_dtype": str(jnp.dtype(compute_dtype)),
-        "platforms": list(platforms),
-        "jax_version": jax.__version__,
-    }
-    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
-    return manifest
+    return _write_artifact(
+        fn, jax.ShapeDtypeStruct((batch, H, W, 1), jnp.float32), out_dir,
+        platforms, {
+            "model": f"unoise_{kind}",
+            "input": {"shape": [batch, H, W, 1], "dtype": "float32",
+                      "note": "raw unnormalized slice values"},
+            "outputs": (["mask_prob", "mask"] if kind == "utility"
+                        else ["importance"]),
+            "unet": {"depth": depth, "channel_factor": cf},
+            "compute_dtype": str(jnp.dtype(compute_dtype)),
+        })
 
 
 def export_cls_artifact(
@@ -203,25 +199,14 @@ def export_cls_artifact(
     here it ships with every prediction) and ``proto_class`` in the
     manifest maps each prototype to its class.
     """
-    from jax import export as jexport
-
     from adlm_tpu.ops.prototype import distance_to_similarity
 
-    cast = jax.tree.map(
-        lambda x: x.astype(compute_dtype)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    bs_cast = jax.tree.map(
-        lambda x: x.astype(compute_dtype)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        batch_stats)
+    cast = tree_cast(params, compute_dtype)
 
     def fn(images):
-        if normalize is not None:
-            mean = jnp.asarray(normalize[0], jnp.float32)
-            std = jnp.asarray(normalize[1], jnp.float32)
-            images = (images.astype(jnp.float32) / 255.0 - mean) / std
+        x = _normalize_in_jit(images, normalize, compute_dtype)
         logits, min_d = model.apply(
-            {"params": cast, "batch_stats": bs_cast}, images, train=False)
+            {"params": cast, "batch_stats": batch_stats}, x, train=False)
         min_d = min_d.astype(jnp.float32)
         act = distance_to_similarity(min_d, model.cfg.prototype_activation,
                                      model.cfg.epsilon)
@@ -234,30 +219,20 @@ def export_cls_artifact(
 
     H, W = size
     in_dtype = jnp.uint8 if normalize is not None else jnp.float32
-    os.makedirs(out_dir, exist_ok=True)
-    for platform in platforms:
-        exp = jexport.export(jax.jit(fn), platforms=[platform])(
-            jax.ShapeDtypeStruct((batch, H, W, 3), in_dtype))
-        with open(os.path.join(out_dir, _artifact_name(platform)),
-                  "wb") as f:
-            f.write(exp.serialize())
-    manifest = {
-        "model": "protopnet_classifier",
-        "input": {"shape": [batch, H, W, 3], "dtype": str(np.dtype(
-            in_dtype.dtype if hasattr(in_dtype, "dtype") else in_dtype))},
-        "outputs": ["logits", "pred", "proto_activation", "min_distances"],
-        "normalize": ([list(normalize[0]), list(normalize[1])]
-                      if normalize is not None else None),
-        "proto_class": np.asarray(proto_class).astype(int).tolist(),
-        "num_classes": int(model.cfg.num_classes),
-        "class_names": class_names,
-        "compute_dtype": str(jnp.dtype(compute_dtype)),
-        "platforms": list(platforms),
-        "jax_version": jax.__version__,
-    }
-    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
-    return manifest
+    return _write_artifact(
+        fn, jax.ShapeDtypeStruct((batch, H, W, 3), in_dtype), out_dir,
+        platforms, {
+            "model": "protopnet_classifier",
+            "input": _input_manifest((batch, H, W, 3), in_dtype),
+            "outputs": ["logits", "pred", "proto_activation",
+                        "min_distances"],
+            "normalize": ([list(normalize[0]), list(normalize[1])]
+                          if normalize is not None else None),
+            "proto_class": np.asarray(proto_class).astype(int).tolist(),
+            "num_classes": int(model.cfg.num_classes),
+            "class_names": class_names,
+            "compute_dtype": str(jnp.dtype(compute_dtype)),
+        })
 
 
 def load_inference_artifact(out_dir: str, platform: Optional[str] = None

@@ -184,20 +184,10 @@ def init_classifier_state(model: PPNet, cfg: ClassificationConfig,
                            step=jnp.zeros((), jnp.int32))
 
 
-def _bf16_tree(tree):
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
-
-
-def _f32_tree(tree):
-    return jax.tree.map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree)
-
-
 def make_cls_train_step(model: PPNet, cfg: ClassificationConfig,
                         phase: str, steps_per_epoch: int = 1) -> Callable:
+    from adlm_tpu.core.dtypes import tree_bf16, tree_f32
+
     tx = make_cls_optimizer(cfg, phase, steps_per_epoch)
     bf16 = cfg.compute_dtype == "bfloat16"
 
@@ -205,15 +195,14 @@ def make_cls_train_step(model: PPNet, cfg: ClassificationConfig,
     def step(state: ClassifierState, images: jnp.ndarray,
              labels: jnp.ndarray):
         def lfn(params):
-            # bf16: cast inside the differentiated fn so gradients come
-            # back in the params' own dtype (f32); running stats return
-            # to f32 so the state keeps stable dtypes across steps
-            fwd_params = _bf16_tree(params) if bf16 else params
+            # bf16: cast params/images inside the differentiated fn so
+            # gradients come back in the params' own dtype (f32); BN
+            # running stats stay f32 end to end (see core/dtypes.py —
+            # down-casting them would quantize the momentum update)
+            fwd_params = tree_bf16(params) if bf16 else params
             x = images.astype(jnp.bfloat16) if bf16 else images
             out, upd = model.apply(
-                {"params": fwd_params,
-                 "batch_stats": _bf16_tree(state.batch_stats)
-                 if bf16 else state.batch_stats},
+                {"params": fwd_params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"])
             logits, min_d = out
             loss, metrics = classification_loss(
@@ -221,7 +210,7 @@ def make_cls_train_step(model: PPNet, cfg: ClassificationConfig,
                 labels, state.proto_class,
                 params["last_layer"], cfg)
             new_bs = upd.get("batch_stats", {})
-            return loss, (metrics, _f32_tree(new_bs) if bf16 else new_bs)
+            return loss, (metrics, tree_f32(new_bs) if bf16 else new_bs)
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             lfn, has_aux=True)(state.params)

@@ -94,16 +94,9 @@ def _prep_images(images: jnp.ndarray, raw: bool, bf16: bool) -> jnp.ndarray:
     return images.astype(jnp.bfloat16) if bf16 else images
 
 
-def _bf16(tree):
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, tree)
-
-
-def _f32(tree):
-    return jax.tree.map(
-        lambda x: x.astype(jnp.float32)
-        if x.dtype == jnp.bfloat16 else x, tree)
+# shared mixed-precision casts (see core/dtypes.py for the BN
+# running-stats precision contract)
+from adlm_tpu.core.dtypes import tree_bf16 as _bf16, tree_f32 as _f32  # noqa: E402
 
 
 def make_utility_train_step(cfg: UNoiseConfig, raw: bool = False):
@@ -120,10 +113,11 @@ def make_utility_train_step(cfg: UNoiseConfig, raw: bool = False):
             # f32 so the state pytree keeps stable dtypes across steps
             fwd_params = _bf16(params) if bf16 else params
             x = _prep_images(images, raw, bf16)
+            # BN running stats stay f32: flax computes batch stats in
+            # f32 and the stats dtype does not leak into y's dtype, so
+            # down-casting would only quantize the momentum update
             logits, upd = model.apply(
-                {"params": fwd_params,
-                 "batch_stats": _bf16(state.batch_stats)
-                 if bf16 else state.batch_stats},
+                {"params": fwd_params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"])
             new_bs = _f32(upd["batch_stats"]) if bf16 else \
                 upd["batch_stats"]
@@ -190,17 +184,17 @@ def make_noise_train_step(cfg: UNoiseConfig, raw: bool = False):
             fwd_params = _bf16(params) if bf16 else params
             x = _prep_images(images, raw, bf16)
             noise, B, new_bs = noise_forward(
-                cfg, fwd_params,
-                _bf16(state.batch_stats) if bf16 else state.batch_stats,
-                x, rng, True)
+                cfg, fwd_params, state.batch_stats, x, rng, True)
             if bf16:
                 new_bs = _f32(new_bs)
-            # frozen utility model in eval mode (train_noise.py:74-75)
+            # frozen utility model in eval mode (train_noise.py:74-75):
+            # weights bf16, but eval-mode BN consumes the running stats
+            # directly — keep them f32 (full-precision normalization
+            # constants; y stays bf16 either way)
             pred = util_model.apply(
                 {"params": _bf16(state.util_params)
                  if bf16 else state.util_params,
-                 "batch_stats": _bf16(state.util_batch_stats)
-                 if bf16 else state.util_batch_stats},
+                 "batch_stats": state.util_batch_stats},
                 x + noise, train=False)
             # the log-B regularizer in f32: log of a bf16 sigmoid tail
             # underflows

@@ -411,9 +411,9 @@ def _run() -> None:
         print(f"# batch-1 inference extra metric skipped: {e}", flush=True)
     try:
         extra["cls_train_step_ms"] = round(_bench_cls_train(), 1)
+        extra["cls_train_batch"] = 80
         extra["cls_train_step_bf16_ms"] = round(
             _bench_cls_train(bf16=True), 1)
-        extra["cls_train_batch"] = 80
     except Exception as e:  # pragma: no cover
         print(f"# cls-train extra metric skipped: {e}", flush=True)
     extra["flops_per_image_tflop"] = 3.17  # measured, see docstring

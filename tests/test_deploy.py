@@ -306,3 +306,38 @@ def test_cls_export_cli(tmp_path):
         x, train=False)
     np.testing.assert_allclose(np.asarray(got["logits"]),
                                np.asarray(logits), rtol=1e-4, atol=1e-5)
+
+
+def test_export_bf16_actually_lowers_bf16():
+    """Guards the image cast: without it an f32 image against bf16
+    kernels silently promotes every conv back to f32 (the artifact
+    would be slower AND less accurate than a pure-f32 export)."""
+    import tempfile
+
+    from jax import export as jexport
+    from adlm_tpu.deploy.export import export_cls_artifact
+
+    cfg = PPNetConfig(base_architecture="resnet18", img_size=32,
+                      num_prototypes=6, prototype_channels=8,
+                      num_classes=3, add_on_layers_type="regular",
+                      patch_classification=False)
+    model = PPNet(cfg=cfg)
+    v = model.init(jax.random.PRNGKey(11), jnp.zeros((1, 32, 32, 3)))
+    pc = default_proto_class(6, 3)
+    with tempfile.TemporaryDirectory() as out:
+        export_cls_artifact(
+            model, v["params"], v.get("batch_stats", {}), pc, out,
+            batch=1, size=(32, 32), normalize=((0.5,) * 3, (0.25,) * 3),
+            platforms=("cpu",), compute_dtype=jnp.bfloat16)
+        with open(os.path.join(out, "inference_cpu.stablehlo"),
+                  "rb") as f:
+            exp = jexport.deserialize(bytearray(f.read()))
+        mlir = exp.mlir_module()
+        assert "bf16" in mlir
+        # the convolutions themselves run bf16, not just the cast
+        conv_lines = [l for l in mlir.splitlines()
+                      if "stablehlo.convolution" in l]
+        assert conv_lines and all("bf16" in l for l in conv_lines)
+        # and it still executes end-to-end with sane outputs
+        out_v = exp.call(jnp.zeros((1, 32, 32, 3), jnp.uint8))
+        assert np.isfinite(np.asarray(out_v["logits"])).all()
