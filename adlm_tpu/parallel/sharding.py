@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from adlm_tpu.core.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    prototype_sharding,
     replicated,
     spatial_sharding,
 )
@@ -62,11 +63,41 @@ def make_sharded_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
     )
 
 
+def prototype_parallel_params(params: Any, mesh: Mesh) -> Any:
+    """Tensor-parallel placement of the prototype head: the
+    ``prototype_vectors`` (P, C) bank and the ``last_layer`` (P, K)
+    weight are sharded over the ``model`` axis on their prototype dim;
+    everything else is replicated.  The head's two matmuls partition
+    cleanly — each shard computes distances/activations for its own
+    prototype slice and the logits contraction over P becomes a psum —
+    the scaling story for prototype banks too large to replicate.
+    Combine with ``make_sharded_inference_fn(...,
+    prototype_parallel=True)``."""
+    proto = prototype_sharding(mesh)
+    repl = replicated(mesh)
+
+    def place(path, x):
+        key = getattr(path[0], "key", None) if path else None
+        return jax.device_put(
+            x, proto if key in ("prototype_vectors", "last_layer")
+            else repl)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
                               spatial: bool = True,
-                              with_stats: bool = False):
+                              with_stats: bool = False,
+                              prototype_parallel: bool = False):
     """Full-res eval fn: batch over ``data``, H over ``model`` (spatial
-    sharding — the segmentation analogue of context parallelism)."""
+    sharding — the segmentation analogue of context parallelism).
+
+    ``prototype_parallel=True`` keeps the params' own (committed)
+    shardings instead of forcing replication — pass params through
+    `prototype_parallel_params` first to run the prototype head
+    tensor-parallel over the ``model`` axis.  (On TPU the fused Pallas
+    head gathers the local bank per shard; the pure-XLA lowering
+    partitions the head's matmuls fully.)"""
     from adlm_tpu.interpret.evaluate import make_inference_fn
 
     inner = make_inference_fn(model, num_classes, with_stats)
@@ -78,9 +109,11 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
 
     # with_stats adds the two (B, n) sample-coordinate args (replicated)
     extra = (repl, repl) if with_stats else ()
+    params_sharding = None if prototype_parallel else repl
     return jax.jit(
         inner.__wrapped__,
-        in_shardings=(repl, repl, repl, img_shard, lab_shard) + extra,
+        in_shardings=(params_sharding, repl, repl, img_shard, lab_shard)
+        + extra,
         out_shardings=None,
     )
 

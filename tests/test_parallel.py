@@ -462,3 +462,48 @@ def test_sharded_cls_step_matches_single_device():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
         g1, g2)
+
+
+def test_prototype_parallel_inference_matches_replicated():
+    """Tensor-parallel prototype head: bank + last layer sharded over
+    the model axis — counters, nearest-prototype maps, and purity equal
+    the fully replicated eval on a (data=4, model=2) mesh."""
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+    from adlm_tpu.models.ppnet import default_proto_class
+    from adlm_tpu.parallel.sharding import (
+        make_sharded_inference_fn, prototype_parallel_params)
+
+    cfg = tiny_experiment()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(31)
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    v = model.init(jax.random.PRNGKey(31), jnp.zeros((1, 33, 33, 3)))
+    params, constants = v["params"], v.get("constants", {})
+    pc = jnp.asarray(default_proto_class(cfg.model.num_prototypes,
+                                         cfg.model.num_classes))
+
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=(4, 64, 64)))
+    u = jnp.asarray(rng.random_sample((4, 16)).astype(np.float32))
+    v_ = jnp.asarray(rng.random_sample((4, 16)).astype(np.float32))
+
+    ref = make_inference_fn(model, cfg.model.num_classes,
+                            with_stats=True)(
+        params, constants, pc, images, labels, u, v_)
+
+    tp_params = prototype_parallel_params(params, mesh)
+    fn = make_sharded_inference_fn(model, cfg.model.num_classes, mesh,
+                                   spatial=False, with_stats=True,
+                                   prototype_parallel=True)
+    got = fn(tp_params, constants, pc, images, labels, u, v_)
+
+    for k in ("intersection", "union", "correct", "total"):
+        np.testing.assert_array_equal(np.asarray(ref[k]),
+                                      np.asarray(got[k]))
+    np.testing.assert_array_equal(np.asarray(ref["nearest_proto"]),
+                                  np.asarray(got["nearest_proto"]))
+    np.testing.assert_array_equal(np.asarray(ref["nearest_proto_class"]),
+                                  np.asarray(got["nearest_proto_class"]))
+    np.testing.assert_allclose(np.asarray(ref["topk_purity"]),
+                               np.asarray(got["topk_purity"]),
+                               rtol=1e-5, atol=1e-6)
