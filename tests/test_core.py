@@ -85,3 +85,31 @@ def test_checkpoint_targetfree_restore_is_device_agnostic(tmp_path):
     np.testing.assert_array_equal(out["params"]["w"],
                                   np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(out["pc"], [0, 1, 2])
+
+
+def test_dtypes_tree_casts():
+    """core/dtypes: f32↔bf16 casts touch only the matching leaves and
+    tree_cast(f32) is the identity."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adlm_tpu.core.dtypes import tree_bf16, tree_cast, tree_f32
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32),
+            "i": jnp.ones((2,), jnp.int32),
+            "b": jnp.ones((2,), jnp.bfloat16),
+            "n": 3}
+    b = tree_bf16(tree)
+    assert b["w"].dtype == jnp.bfloat16
+    assert b["i"].dtype == jnp.int32 and b["n"] == 3
+    f = tree_f32(b)
+    assert f["w"].dtype == jnp.float32
+    assert f["b"].dtype == jnp.float32  # was bf16 already
+    assert f["i"].dtype == jnp.int32
+
+    same = tree_cast(tree, jnp.float32)
+    assert same["w"] is tree["w"]
+    c = tree_cast(tree, jnp.bfloat16)
+    assert c["w"].dtype == jnp.bfloat16 and c["i"].dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(c["w"], np.float32),
+                                  np.asarray(tree["w"]))

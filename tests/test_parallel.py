@@ -271,7 +271,7 @@ print("DIST_SMOKE_OK", float(metrics["loss"]))
                XLA_FLAGS="--xla_force_host_platform_device_count=4",
                JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=480,
+                         capture_output=True, text=True, timeout=900,
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
     assert "DIST_SMOKE_OK" in out.stdout, (out.stdout, out.stderr)
@@ -388,7 +388,7 @@ def test_distributed_two_process_train_step_parity(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=480)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
