@@ -197,9 +197,10 @@ class SegmentationDataset:
         bit-identical on both CPU and TPU) — while the host→device
         transfer and the input device buffer shrink 4× (the remote
         relay wedges on ≳400 MB buffers; batch-16 full-res f32 inputs
-        are 402 MB, uint8 are 100).  Push datasets skip both the
-        normalize AND the eval resize, so they qualify whenever /255
-        scaling applies."""
+        are 402 MB, uint8 are 100).  Push items are normalized exactly
+        like eval items (the reference's push applies ToTensor+Normalize
+        itself, segmentation/push.py:187) but skip the eval resize, so
+        they qualify whenever /255 scaling applies."""
         return ((self.push_prototypes or self.cfg.eval_resize is None)
                 and not self.cfg.cells)
 

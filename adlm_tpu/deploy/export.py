@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adlm_tpu.core.dtypes import tree_cast
+from adlm_tpu.ops.normalize import normalize_in_jit
 from adlm_tpu.models.ppnet import PPNet
 from adlm_tpu.ops.resize import resize_bilinear
 
@@ -57,11 +58,7 @@ def _artifact_name(platform: str) -> str:
 
 def _normalize_in_jit(images, normalize, compute_dtype):
     """uint8 (or f32) → normalized images in ``compute_dtype``."""
-    if normalize is not None:
-        mean = jnp.asarray(normalize[0], jnp.float32)
-        std = jnp.asarray(normalize[1], jnp.float32)
-        images = (images.astype(jnp.float32) / 255.0 - mean) / std
-    return images.astype(compute_dtype)
+    return normalize_in_jit(images, normalize).astype(compute_dtype)
 
 
 def _write_artifact(fn: Callable, in_struct, out_dir: str,

@@ -34,6 +34,7 @@ import numpy as np
 
 from adlm_tpu.models.ppnet import PPNet
 from adlm_tpu.ops.resize import resize_bilinear
+from adlm_tpu.ops.normalize import normalize_in_jit
 
 
 def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
@@ -179,10 +180,7 @@ def make_inference_fn(model: PPNet, num_classes: int,
     """
 
     def fn(params, constants, proto_class, images, labels, *uv):
-        if normalize is not None:
-            mean = jnp.asarray(normalize[0], jnp.float32)
-            std = jnp.asarray(normalize[1], jnp.float32)
-            images = (images.astype(jnp.float32) / 255.0 - mean) / std
+        images = normalize_in_jit(images, normalize)
         variables = {"params": params, "constants": constants}
         grid_logits, dist = model.apply(variables, images, train=False,
                                         return_distances=with_stats)

@@ -36,6 +36,7 @@ import numpy as np
 
 from adlm_tpu.core.config import ExperimentConfig
 from adlm_tpu.models.ppnet import PPNet, prune_params
+from adlm_tpu.ops.normalize import normalize_in_jit
 
 _INF = jnp.float32(1e30)
 
@@ -82,7 +83,7 @@ def make_push_batch_fn(model: PPNet, num_classes: int) -> Callable:
 
 
 def make_push_batched_fn(model: PPNet, num_classes: int,
-                         scale255: bool = False) -> Callable:
+                         normalize: Optional[Tuple] = None) -> Callable:
     """Batched push kernel: (params, constants, proto_class,
     images (B,H,W,3), labels (B,H,W)) → per-prototype batch winner
     (min_dist (P,), img_in_batch (P,), patch_i, patch_j, fmap (P,C)).
@@ -93,18 +94,19 @@ def make_push_batched_fn(model: PPNet, num_classes: int,
     cross-device min+argmin reduction over ICI) reproduces the
     reference's sequential semantics exactly.
 
-    ``scale255`` moves the push path's only preprocessing (u8→f32 /255;
-    push skips normalization, reference dataset.py:77-79) into the jit
-    so full-res images ship as uint8 — numerically equivalent to the
-    host path at fp-ulp level (XLA may fuse the division differently),
-    4× less transfer and a 4× smaller input buffer (relay wedge
-    margin, see CLAUDE.md).
+    ``normalize=(mean, std)`` moves the push preprocessing into the jit
+    so full-res images ship as uint8 (4× less transfer, 4× smaller
+    input buffer — relay wedge margin, CLAUDE.md).  The reference's
+    push normalizes each image exactly like eval (its push dataset has
+    transform=None, but update_prototypes_on_image applies
+    ToTensor+Normalize itself — reference segmentation/push.py:187 via
+    find_nearest.py:21-24), so the full (x/255 − mean)/std sequence
+    runs here, ulp-equivalent to the host path.
     """
 
     @jax.jit
     def fn(params, constants, proto_class, images, labels):
-        if scale255:
-            images = images.astype(jnp.float32) / 255.0
+        images = normalize_in_jit(images, normalize)
         variables = {"params": params, "constants": constants}
         f, d = model.apply(variables, images, method=PPNet.push_forward)
         B, h, w, P = d.shape
@@ -143,6 +145,7 @@ def push_prototypes(
     denorm: Optional[Callable] = None,
     get_item: Optional[Callable] = None,
     raw_uint8: bool = False,
+    raw_normalize: Optional[Tuple] = None,
 ) -> Tuple[Any, jnp.ndarray, Dict[str, Any]]:
     """Project each prototype onto its nearest training patch.
 
@@ -158,10 +161,11 @@ def push_prototypes(
         winner images in a second pass to render artifacts and grow the
         95th-percentile bound boxes, like
         ``nearest.save_nearest_artifacts``).
-      raw_uint8: dataset yields RAW uint8 images; the /255 scaling
-        happens inside the jit (ulp-equivalent — see
-        make_push_batched_fn).  Batched path only; visualizations keep
-        the f32 items.
+      raw_uint8: dataset yields RAW uint8 images; the full
+        (x/255 − mean)/std preprocessing happens inside the jit
+        (ulp-equivalent — see make_push_batched_fn) with the stats
+        given in ``raw_normalize`` (required).  Batched path only;
+        visualizations keep the f32 items.
 
     Returns:
       (new_params, new_proto_class, info) where info carries the
@@ -190,12 +194,17 @@ def push_prototypes(
     if raw_uint8 and (batch_size <= 1 or save_visualizations):
         raise ValueError("raw_uint8 push requires batch_size > 1 and "
                          "save_visualizations=False")
+    if raw_uint8 and raw_normalize is None:
+        raise ValueError("raw_uint8 push requires raw_normalize="
+                         "(mean, std) — the reference's push normalizes "
+                         "its inputs (segmentation/push.py:187)")
     if batch_size > 1:
         if save_visualizations and (get_item is None or run_dir is None):
             raise ValueError("batched push visualizations need "
                              "get_item= random access and run_dir=")
-        bfn = make_push_batched_fn(model, num_classes,
-                                   scale255=raw_uint8)
+        bfn = make_push_batched_fn(
+            model, num_classes,
+            normalize=raw_normalize if raw_uint8 else None)
         grid_dims: Dict[Tuple[int, ...], Tuple[int, int]] = {}
         pending_imgs: list = []
         pending_labs: list = []

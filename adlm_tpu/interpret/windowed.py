@@ -15,7 +15,10 @@ stand-in"):
   cosine-weighted toward their centers to suppress boundary effects of
   the convs' zero padding);
 * the output matches whole-image inference in the interior and differs
-  only by boundary-context effects near window seams.
+  only by boundary-context effects near window seams;
+* with ``--stats`` the SAME per-window program also emits the
+  grid-resolution interpretability statistics (one forward per window,
+  not two).
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adlm_tpu.models.ppnet import PPNet
+from adlm_tpu.ops.normalize import normalize_in_jit
 from adlm_tpu.ops.resize import resize_bilinear
 
 
@@ -41,15 +45,72 @@ def _window_grid(size: int, window: int, stride: int):
     return starts
 
 
-def _norm_in_jit(patch, normalize):
-    """(u8→f32)/255 − mean then /std — the same f32 op sequence as the
-    host path (``SegmentationDataset.get_eval_item``), run on device so
-    full-res windows ship as uint8 (4× less relay traffic — see
-    ``dataset.supports_raw_eval``)."""
-    mean, std = normalize
-    x = patch.astype(jnp.float32) / 255.0
-    return (x - jnp.asarray(mean, jnp.float32)) \
-        / jnp.asarray(std, jnp.float32)
+def _strides(window: Tuple[int, int], overlap: float) -> Tuple[int, int]:
+    wh, ww = window
+    return (max(int(wh * (1.0 - overlap)), 1),
+            max(int(ww * (1.0 - overlap)), 1))
+
+
+def _make_window_program(model: PPNet, window: Tuple[int, int],
+                         with_stats: bool,
+                         normalize: Optional[Tuple]) -> Callable:
+    """ONE jitted program per window: stitched-logits contribution and
+    (with ``with_stats``) the grid-resolution statistics from the same
+    forward — the stats never pay a second backbone pass.
+
+    Signature: ``fn(params, constants, proto_class, patch, mask,
+    valid_gh, valid_gw, u, v)`` →
+    ``(up·taper, taper[, stat_pred, nearest, topk])``.
+
+    ``normalize=(mean, std)`` moves input normalization INTO the jit:
+    windows arrive uint8 and are normalized on device, then re-zeroed
+    via ``mask`` so edge-clamped windows see exactly the zero padding
+    the host-normalized f32 path would have produced.
+
+    ``valid_gh``/``valid_gw`` are the real (unpadded) extents of the
+    stats grid for edge-clamped windows: pad-only grid cells get
+    ``stat_pred = -1`` (excluded from nearest-prototype counts — the
+    whole-image path never produces them) and the ``(u, v)`` purity
+    sample pixels are scaled into the valid region only.
+    """
+    wh, ww = window
+
+    # cosine taper: weight 1 at the center, ~0.05 at the border
+    hy = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(wh) + 0.5) / wh)
+    hx = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(ww) + 0.5) / ww)
+    taper = (hy[:, None] * hx[None, :])[None, :, :, None]
+
+    from adlm_tpu.interpret.evaluate import _topk_purity
+
+    @jax.jit
+    def fn(params, constants, proto_class, patch, mask,
+           valid_gh, valid_gw, u, v):
+        if normalize is not None:
+            patch = normalize_in_jit(patch, normalize) * mask
+        logits, dist = model.apply(
+            {"params": params, "constants": constants}, patch,
+            train=False, return_distances=with_stats)
+        up = resize_bilinear(logits, (wh, ww))
+        outs = (up * taper, taper)
+        if not with_stats:
+            return outs
+
+        stat_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nearest = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        B, gh, gw = stat_pred.shape
+        grid_ok = (jnp.arange(gh)[:, None] < valid_gh) & \
+            (jnp.arange(gw)[None, :] < valid_gw)
+        stat_pred = jnp.where(grid_ok[None], stat_pred, -1)
+        rows = jnp.minimum((u * valid_gh).astype(jnp.int32), valid_gh - 1)
+        cols = jnp.minimum((v * valid_gw).astype(jnp.int32), valid_gw - 1)
+        bidx = jnp.arange(B)[:, None]
+        sample_d = dist[bidx, rows, cols]                    # (B, n, P)
+        sample_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)[
+            bidx, rows, cols]                                # (B, n)
+        topk = _topk_purity(sample_d, sample_pred, proto_class)
+        return outs + (stat_pred, nearest, topk)
+
+    return fn
 
 
 def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
@@ -61,30 +122,13 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
 
     ``normalize=(mean, std)`` moves input normalization INTO the
     per-window jit: the image arrives uint8 and each window is
-    normalized on device.  Windows clamped at image edges are padded
-    host-side and re-zeroed AFTER normalization via a validity mask, so
-    the model sees exactly the zero padding the host-normalized f32
-    path would have produced."""
+    normalized on device (see ``_make_window_program``)."""
     wh, ww = window
-    stride_h = max(int(wh * (1.0 - overlap)), 1)
-    stride_w = max(int(ww * (1.0 - overlap)), 1)
-
-    # cosine taper: weight 1 at the center, ~0.05 at the border
-    hy = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(wh) + 0.5) / wh)
-    hx = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(ww) + 0.5) / ww)
-    taper = (hy[:, None] * hx[None, :])[None, :, :, None]
-
-    @jax.jit
-    def window_fn(params, constants, patch, mask):
-        if normalize is not None:
-            patch = _norm_in_jit(patch, normalize) * mask
-        logits, _ = model.apply({"params": params, "constants": constants},
-                                patch, train=False,
-                                return_distances=False)
-        up = resize_bilinear(logits, (wh, ww))
-        return up * taper, taper
-
+    stride_h, stride_w = _strides(window, overlap)
+    window_fn = _make_window_program(model, window, False, normalize)
     full_mask = jnp.ones((1, wh, ww, 1), jnp.float32)
+    zero = jnp.zeros((1, 1), jnp.float32)
+    one = jnp.asarray(1, jnp.int32)
 
     def fn(params, constants, image):
         B, H, W, _ = image.shape
@@ -101,48 +145,14 @@ def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
                     m = np.zeros((1, wh, ww, 1), np.float32)
                     m[:, :ph, :pw] = 1.0
                     mask = jnp.asarray(m)
-                logits_w, weight = window_fn(params, constants,
-                                             jnp.asarray(patch), mask)
+                logits_w, weight = window_fn(
+                    params, constants, zero[0], jnp.asarray(patch), mask,
+                    one, one, zero, zero)
                 acc[:, sh:sh + ph, sw:sw + pw] += np.asarray(
                     logits_w)[:, :ph, :pw]
                 norm[:, sh:sh + ph, sw:sw + pw] += np.asarray(
                     weight)[:, :ph, :pw]
         return acc / np.maximum(norm, 1e-8)
-
-    return fn
-
-
-def make_windowed_stats_fn(model: PPNet,
-                           normalize: Optional[Tuple] = None) -> Callable:
-    """jitted per-window interpretability stats at grid resolution
-    (the memory-bounded sibling of ``make_inference_fn(with_stats=True)``,
-    reference eval_valid.py:191-214): per-window stat prediction,
-    nearest-prototype map, and top-K purity at ``(B, n)`` random sample
-    pixels passed as [0,1) floats.  ``normalize`` as in
-    ``make_windowed_inference_fn`` (uint8 windows, on-device
-    normalization, post-normalization zero re-pad via ``mask`` so
-    edge-clamped windows see exactly the f32 path's zero padding)."""
-
-    from adlm_tpu.interpret.evaluate import _topk_purity
-
-    @jax.jit
-    def fn(params, constants, proto_class, patch, mask, u, v):
-        if normalize is not None:
-            patch = _norm_in_jit(patch, normalize) * mask
-        logits, dist = model.apply({"params": params,
-                                    "constants": constants},
-                                   patch, train=False,
-                                   return_distances=True)
-        stat_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nearest = jnp.argmin(dist, axis=-1).astype(jnp.int32)
-        B, gh, gw = stat_pred.shape
-        rows = jnp.minimum((u * gh).astype(jnp.int32), gh - 1)
-        cols = jnp.minimum((v * gw).astype(jnp.int32), gw - 1)
-        bidx = jnp.arange(B)[:, None]
-        sample_d = dist[bidx, rows, cols]                    # (B, n, P)
-        sample_pred = stat_pred[bidx, rows, cols]            # (B, n)
-        topk = _topk_purity(sample_d, sample_pred, proto_class)
-        return stat_pred, nearest, topk
 
     return fn
 
@@ -155,18 +165,20 @@ class WindowedSegEvaluator:
     (reference eval_valid.py:178-189); logits are resized to the label
     size before argmax when the input was resized for eval.
 
-    With ``with_stats`` each window also yields grid-resolution
-    nearest/purity statistics (reference eval_valid.py:191-214) from a
-    second jitted per-window program whose buffers stay window-sized —
-    the memory-bounded alternative to whole-image ``--stats``.
-    Deviations from the whole-image mode, by construction: cells in
-    window-overlap bands contribute once per covering window to the
-    nearest-prototype counts, and purity pixels are drawn per window
-    (``n_random_pixels`` each) rather than per image.
+    With ``with_stats`` the SAME per-window forward also yields the
+    grid-resolution nearest/purity statistics (reference
+    eval_valid.py:191-214) — buffers stay window-sized and the stats
+    cost no extra backbone pass.  Deviations from the whole-image mode,
+    by construction: cells in window-overlap bands contribute once per
+    covering window to the nearest-prototype counts, and purity pixels
+    are drawn per window (``n_random_pixels`` each) rather than per
+    image.  Pad-only grid cells of edge-clamped windows are excluded
+    (``stat_pred = -1`` never matches a prototype class) and purity
+    pixels are confined to the valid region.
 
     ``normalize=(mean, std)`` selects the raw-uint8 transfer path:
     images arrive uint8 and every window is normalized on device (see
-    ``make_windowed_inference_fn``).
+    ``_make_window_program``).
     """
 
     def __init__(self, model: PPNet, num_classes: int,
@@ -174,18 +186,17 @@ class WindowedSegEvaluator:
                  with_stats: bool = False, n_random_pixels: int = 100,
                  seed: int = 0, normalize: Optional[Tuple] = None):
         self.num_classes = num_classes
-        self.fn = make_windowed_inference_fn(model, window, overlap,
-                                             normalize=normalize)
+        self.window = window
+        self.overlap = overlap
         self.with_stats = with_stats
-        self._stats_mask = jnp.ones((1,) + tuple(window) + (1,),
-                                    jnp.float32)
-        if with_stats:
-            self.stats_fn = make_windowed_stats_fn(model,
-                                                   normalize=normalize)
-            self.window = window
-            self.overlap = overlap
-            self.n_random = n_random_pixels
-            self.rng = np.random.RandomState(seed)
+        self.fn = _make_window_program(model, window, with_stats,
+                                       normalize)
+        self.model = model
+        self.n_random = n_random_pixels
+        self.rng = np.random.RandomState(seed)
+        self._full_mask = jnp.ones((1,) + tuple(window) + (1,),
+                                   jnp.float32)
+        self._zero_uv = jnp.zeros((1, 1), jnp.float32)
         self.reset()
 
     def reset(self):
@@ -194,46 +205,66 @@ class WindowedSegEvaluator:
         self.correct = 0
         self.total = 0
 
-    def _stats_windows(self, params, constants, proto_class, images):
-        """Run the stats program over the window grid; returns stacked
-        per-window maps + the window-mean purity per image."""
-        B, H, W, _ = images.shape
+    def _grid_extent(self, ph: int, pw: int, gh: int, gw: int
+                     ) -> Tuple[int, int]:
+        """Valid stats-grid extent of a window whose real content is
+        (ph, pw) inside the padded (wh, ww) frame."""
         wh, ww = self.window
-        stride_h = max(int(wh * (1.0 - self.overlap)), 1)
-        stride_w = max(int(ww * (1.0 - self.overlap)), 1)
+        return (max(1, math.ceil(ph * gh / wh)),
+                max(1, math.ceil(pw * gw / ww)))
+
+    def update(self, params, constants, proto_class, images, labels
+               ) -> dict:
+        labels = np.asarray(labels)
+        images = np.asarray(images)
+        wh, ww = self.window
+        stride_h, stride_w = _strides(self.window, self.overlap)
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        acc = np.zeros((B, H, W, self.model.cfg.num_classes), np.float32)
+        norm = np.zeros((B, H, W, 1), np.float32)
         preds, nearests, topks = [], [], []
+
+        # ONE pass over the window grid: stitched logits AND (with
+        # stats) the per-window statistics from the same forward
         for sh in _window_grid(H, wh, stride_h):
             for sw in _window_grid(W, ww, stride_w):
                 patch = images[:, sh:sh + wh, sw:sw + ww, :]
                 ph, pw = patch.shape[1], patch.shape[2]
-                mask = self._stats_mask
+                mask = self._full_mask
                 if (ph, pw) != (wh, ww):
                     patch = np.pad(patch, ((0, 0), (0, wh - ph),
                                            (0, ww - pw), (0, 0)))
                     m = np.zeros((1, wh, ww, 1), np.float32)
                     m[:, :ph, :pw] = 1.0
                     mask = jnp.asarray(m)
-                u = jnp.asarray(self.rng.random_sample(
-                    (B, self.n_random)), jnp.float32)
-                v = jnp.asarray(self.rng.random_sample(
-                    (B, self.n_random)), jnp.float32)
-                sp, nr, tk = self.stats_fn(params, constants, proto_class,
-                                           jnp.asarray(patch), mask, u, v)
-                preds.append(np.asarray(sp))
-                nearests.append(np.asarray(nr))
-                topks.append(np.asarray(tk))
-        return (np.concatenate(preds), np.concatenate(nearests),
-                np.mean(topks, axis=0), len(preds))
+                if self.with_stats:
+                    u = jnp.asarray(self.rng.random_sample(
+                        (B, self.n_random)), jnp.float32)
+                    v = jnp.asarray(self.rng.random_sample(
+                        (B, self.n_random)), jnp.float32)
+                else:
+                    u = v = self._zero_uv
+                # grid extent needs the grid dims; infer lazily from the
+                # first call's stat_pred shape (static per window size)
+                out = self.fn(params, constants, jnp.asarray(proto_class),
+                              jnp.asarray(patch), mask,
+                              *self._valid_extents(ph, pw, params,
+                                                   constants, proto_class),
+                              u, v)
+                logits_w, weight = out[0], out[1]
+                acc[:, sh:sh + ph, sw:sw + pw] += np.asarray(
+                    logits_w)[:, :ph, :pw]
+                norm[:, sh:sh + ph, sw:sw + pw] += np.asarray(
+                    weight)[:, :ph, :pw]
+                if self.with_stats:
+                    preds.append(np.asarray(out[2]))
+                    nearests.append(np.asarray(out[3]))
+                    topks.append(np.asarray(out[4]))
 
-    def update(self, params, constants, proto_class, images, labels
-               ) -> dict:
-        labels = np.asarray(labels)
-        images = np.asarray(images)
-        logits = self.fn(params, constants, images)
-        H, W = labels.shape[1], labels.shape[2]
-        if logits.shape[1:3] != (H, W):
-            logits = np.asarray(resize_bilinear(jnp.asarray(logits),
-                                                (H, W)))
+        logits = acc / np.maximum(norm, 1e-8)
+        if logits.shape[1:3] != labels.shape[1:3]:
+            logits = np.asarray(resize_bilinear(
+                jnp.asarray(logits), (labels.shape[1], labels.shape[2])))
         pred = np.argmax(logits, axis=-1)
         valid = labels > 0
         gt = np.clip(labels.astype(np.int64) - 1, 0, self.num_classes - 1)
@@ -248,23 +279,40 @@ class WindowedSegEvaluator:
                  + np.bincount(gt[valid], minlength=C) - inter)
         self.intersection += inter
         self.union += union
-        out = {"pred": pred, "intersection": inter, "union": union}
+        out_d = {"pred": pred, "intersection": inter, "union": union}
         if self.with_stats:
-            sp, nr, topk, n_wins = self._stats_windows(
-                params, constants, proto_class, images)
-            B = images.shape[0]
+            n_wins = len(preds)
+            sp = np.concatenate(preds)
+            nr = np.concatenate(nearests)
             gh, gw = sp.shape[1], sp.shape[2]
             # image-major stacking so CLI tail-padding slices
             # ([:n_real·n_wins]) drop exactly the padded images
-            out["stat_pred"] = (sp.reshape(n_wins, B, gh, gw)
-                                .transpose(1, 0, 2, 3)
-                                .reshape(n_wins * B, gh, gw))
-            out["nearest_proto"] = (nr.reshape(n_wins, B, gh, gw)
-                                    .transpose(1, 0, 2, 3)
-                                    .reshape(n_wins * B, gh, gw))
-            out["topk_purity"] = topk                        # (B, P)
-            out["stat_windows"] = n_wins
-        return out
+            out_d["stat_pred"] = (sp.reshape(n_wins, B, gh, gw)
+                                  .transpose(1, 0, 2, 3)
+                                  .reshape(n_wins * B, gh, gw))
+            out_d["nearest_proto"] = (nr.reshape(n_wins, B, gh, gw)
+                                      .transpose(1, 0, 2, 3)
+                                      .reshape(n_wins * B, gh, gw))
+            out_d["topk_purity"] = np.mean(topks, axis=0)    # (B, P)
+            out_d["stat_windows"] = n_wins
+        return out_d
+
+    def _valid_extents(self, ph: int, pw: int, params, constants,
+                       proto_class):
+        """(valid_gh, valid_gw) as traced scalars; the stats grid dims
+        come from the model's output stride (computed once)."""
+        if not hasattr(self, "_grid_hw"):
+            wh, ww = self.window
+            shapes = jax.eval_shape(
+                lambda p, c: self.model.apply(
+                    {"params": p, "constants": c},
+                    jnp.zeros((1, wh, ww, 3), jnp.float32), train=False,
+                    return_distances=True)[1],
+                params, constants)
+            self._grid_hw = (shapes.shape[1], shapes.shape[2])
+        gh, gw = self._grid_hw
+        vgh, vgw = self._grid_extent(ph, pw, gh, gw)
+        return (jnp.asarray(vgh, jnp.int32), jnp.asarray(vgw, jnp.int32))
 
     def results(self) -> dict:
         from adlm_tpu.interpret.evaluate import mean_iou_from_confusion

@@ -318,8 +318,9 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     push_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
                                   data_path=data_path, is_eval=True,
                                   push_prototypes=True)
-    # uint8 items + in-jit /255 when bit-equal (4× less relay traffic;
-    # see make_push_batched_fn) — batched, non-visualizing pushes only
+    # uint8 items + the full in-jit (x/255 − mean)/std when
+    # ulp-equivalent (4× less relay traffic; see make_push_batched_fn)
+    # — batched, non-visualizing pushes only
     raw_push = (push_batch_size > 1 and not save_push_visualizations
                 and push_ds.supports_raw_eval())
     new_params, new_pc, _ = push_prototypes(
@@ -328,6 +329,7 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         run_dir=os.path.join(run_dir, "prototypes"),
         save_visualizations=save_push_visualizations,
         batch_size=push_batch_size, raw_uint8=raw_push,
+        raw_normalize=(cfg.data.mean, cfg.data.std),
         get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
             *push_ds.get_eval_item(i)),
         class_names=table.class_names, log=logger.log,

@@ -88,10 +88,10 @@ def main():
           f"({eff / 197 * 100:.0f}% of bf16 peak)")
 
     # 3. forward+loss only (same dtype semantics as the step's loss fn)
-    from adlm_tpu.train.classification import _bf16_tree
+    from adlm_tpu.core.dtypes import tree_bf16
 
     def fwd(params, imgs, labs):
-        p = _bf16_tree(params) if bf16 else params
+        p = tree_bf16(params) if bf16 else params
         x = imgs.astype(jnp.bfloat16) if bf16 else imgs
         out, _ = model.apply(
             {"params": p, "batch_stats": state.batch_stats},
@@ -116,7 +116,7 @@ def main():
 
     # 4. backbone-only forward (prototype-head share of the forward)
     def backbone(params, imgs):
-        p = _bf16_tree(params) if bf16 else params
+        p = tree_bf16(params) if bf16 else params
         x = imgs.astype(jnp.bfloat16) if bf16 else imgs
         f = model.apply({"params": p, "batch_stats": state.batch_stats},
                         x, train=True, mutable=["batch_stats"],

@@ -326,15 +326,19 @@ def test_batched_push_visualizations_require_get_item(tmp_path):
 
 
 def test_batched_push_raw_uint8_matches_f32():
-    """Raw-uint8 items + in-jit /255 (raw_uint8=True) must match the
-    f32 batched push to fp ulp level (XLA may fuse the in-jit division
-    differently, e.g. reciprocal-multiply, so exact bit equality is not
-    guaranteed) — the 4×-smaller-transfer push path."""
+    """Raw-uint8 items + the FULL in-jit (x/255 − mean)/std
+    (raw_uint8=True) must match the batched push over host-normalized
+    f32 items — the exact host sequence of
+    ``SegmentationDataset.get_eval_item`` and the reference's own push
+    normalization (segmentation/push.py:187) — to fp ulp level (XLA may
+    fuse the division differently, e.g. reciprocal-multiply)."""
     model, _, _, pc, _, labels = _make_model_and_data(seed=11, n_imgs=4)
     rng = np.random.RandomState(11)
+    mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+    std = np.asarray((0.229, 0.224, 0.225), np.float32)
     raws = [rng.randint(0, 256, size=(1, 33, 33, 3)).astype(np.uint8)
             for _ in range(4)]
-    f32s = [r.astype(np.float32) / 255.0 for r in raws]
+    f32s = [(r.astype(np.float32) / 255.0 - mean) / std for r in raws]
     v = model.init(jax.random.PRNGKey(11), f32s[0])
     params, constants = v["params"], v.get("constants", {})
 
@@ -343,7 +347,9 @@ def test_batched_push_raw_uint8_matches_f32():
                         batch_size=2, log=lambda *_: None)
     b = push_prototypes(model, params, constants, pc,
                         list(zip(raws, labels)), 3, dedup=False,
-                        batch_size=2, raw_uint8=True, log=lambda *_: None)
+                        batch_size=2, raw_uint8=True,
+                        raw_normalize=(tuple(mean), tuple(std)),
+                        log=lambda *_: None)
     np.testing.assert_allclose(a[2]["min_distances"],
                                b[2]["min_distances"], rtol=1e-5)
     np.testing.assert_allclose(
@@ -356,3 +362,8 @@ def test_batched_push_raw_uint8_matches_f32():
         push_prototypes(model, params, constants, pc,
                         list(zip(raws, labels)), 3, raw_uint8=True,
                         log=lambda *_: None)  # needs batch_size > 1
+    with np.testing.assert_raises(ValueError):
+        push_prototypes(model, params, constants, pc,
+                        list(zip(raws, labels)), 3, raw_uint8=True,
+                        batch_size=2,
+                        log=lambda *_: None)  # needs raw_normalize=

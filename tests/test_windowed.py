@@ -190,3 +190,65 @@ def test_windowed_raw_uint8_matches_f32_and_whole_image():
     np.testing.assert_array_equal(ow["pred"], np.asarray(os_["pred"]))
     np.testing.assert_array_equal(w.intersection,
                                   np.asarray(whole.intersection))
+
+
+def test_windowed_stats_exclude_pad_cells():
+    """Edge-clamped windows (image smaller than the window) zero-pad
+    the input; the stats grid cells that cover ONLY padding must be
+    excluded: ``stat_pred = -1`` there (never matches a prototype
+    class, so the accumulator skips them — the whole-image path never
+    produces pad cells), while valid cells equal the whole-image stats
+    program run on the same zero-padded input."""
+    from adlm_tpu.interpret.evaluate import make_inference_fn
+    from adlm_tpu.interpret.stats import ProtoStatsAccumulator
+    from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+    from adlm_tpu.models.ppnet import default_proto_class
+
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=65)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(9)
+    images = rng.rand(1, 40, 50, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=(1, 40, 50))
+    v = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 65, 65, 3)))
+    params, constants = v["params"], v.get("constants", {})
+    pc = default_proto_class(6, 3)
+
+    ev = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                              n_random_pixels=16)
+    out = ev.update(params, constants, pc, images, labels)
+    assert out["stat_windows"] == 1
+    sp = out["stat_pred"][0]
+    gh, gw = sp.shape
+    vgh = max(1, int(np.ceil(40 * gh / 65)))
+    vgw = max(1, int(np.ceil(50 * gw / 65)))
+    assert vgh < gh and vgw < gw  # the case under test exists
+    assert (sp[vgh:, :] == -1).all()
+    assert (sp[:, vgw:] == -1).all()
+    assert (sp[:vgh, :vgw] >= 0).all()
+
+    # valid cells match the whole-image stats program on the padded img
+    padded = np.zeros((1, 65, 65, 3), np.float32)
+    padded[:, :40, :50] = images
+    fn = make_inference_fn(model, 3, with_stats=True)
+    uv = jnp.zeros((1, 16), jnp.float32)
+    ref = fn(params, constants, pc, jnp.asarray(padded),
+             jnp.asarray(np.zeros((1, 65, 65), np.int64)), uv, uv)
+    np.testing.assert_array_equal(
+        sp[:vgh, :vgw], np.asarray(ref["stat_pred"])[0, :vgh, :vgw])
+    np.testing.assert_array_equal(
+        out["nearest_proto"][0, :vgh, :vgw],
+        np.asarray(ref["nearest_proto"])[0, :vgh, :vgw])
+
+    # the accumulator ignores -1 cells: counts equal a run over the
+    # manually cropped valid region
+    a = ProtoStatsAccumulator(6, 3, np.asarray(pc))
+    a.update(out["stat_pred"], out["nearest_proto"],
+             topk_purity=out["topk_purity"], n_images=1)
+    b = ProtoStatsAccumulator(6, 3, np.asarray(pc))
+    b.update(out["stat_pred"][:, :vgh, :vgw],
+             out["nearest_proto"][:, :vgh, :vgw],
+             topk_purity=out["topk_purity"], n_images=1)
+    np.testing.assert_array_equal(a.results()["nearest_proto_counts"],
+                                  b.results()["nearest_proto_counts"])
