@@ -42,6 +42,7 @@ from adlm_tpu.train.protoseg import (  # noqa: E402
 from test_train_step_golden import (  # noqa: E402
     N_CLASSES,
     N_PROTOS,
+    PROTO_CH,
     _build_pair,
     _flax_backbone_to_torch_sd,
     _make_cfg,
@@ -348,3 +349,133 @@ def test_trajectory_joint_fused_accumulation():
                                    rtol=1e-3)
         checker.check(state.params, state.constants, tp,
                       f"fused joint window {w}", max_lr=1e-2)
+
+
+def _torch_reference_push(tp, proto_class, dataset):
+    """The reference push scan, literally (segmentation/push.py:101,
+    161-280): sequential over images, per-pixel patch-index dict,
+    per-prototype argmin over eligible patches, strict-< global update.
+    Independent of the framework's device-side masked-argmin path."""
+    gmin = np.full(N_PROTOS, np.inf, np.float64)
+    gfmap = np.zeros((N_PROTOS, PROTO_CH), np.float32)
+    gimg = np.full(N_PROTOS, -1, np.int64)
+    tp.eval()
+    with torch.no_grad():
+        for img_idx, (images, labels) in enumerate(dataset):
+            xt = torch.tensor(np.transpose(images, (0, 3, 1, 2)))
+            f = torch.sigmoid(tp.backbone(xt))       # conv_features
+            d = tp._ref_l2(f, tp.prototype_vectors, tp.ones)
+            fmap = f[0].numpy()                      # (C, h, w)
+            dist = d[0].permute(1, 2, 0).numpy()     # (h, w, P)
+            h, w = dist.shape[0], dist.shape[1]
+            lab = labels[0]
+            H, W = lab.shape
+            patch_h, patch_w = H / h, W / w
+            cls_to_patches = {c: set() for c in range(N_CLASSES)}
+            for pi in range(H):                      # push.py:216-230
+                for pj in range(W):
+                    c = int(lab[pi, pj])
+                    if c > 0:
+                        cls_to_patches[c - 1].add(
+                            (int(pi / patch_h), int(pj / patch_w)))
+            for j in range(N_PROTOS):                # push.py:249-280
+                patches = list(cls_to_patches[int(proto_class[j])])
+                if not patches:
+                    continue
+                dists = np.asarray([dist[a, b, j] for a, b in patches])
+                k = int(np.argmin(dists))
+                if dists[k] < gmin[j]:
+                    a, b = patches[k]
+                    gmin[j] = dists[k]
+                    gfmap[j] = fmap[:, a, b]
+                    gimg[j] = img_idx
+    return gmin, gfmap, gimg
+
+
+def test_trajectory_joint_push_finetune():
+    """The push phase composed INTO the trajectory (the reference's
+    joint → push_prototypes → last-layer flow, train.py:150-233): after
+    shared joint windows both frameworks project prototypes onto the
+    same 4-image push set — winner images, distances, and the written
+    prototype vectors must agree — then the last-layer finetune
+    continues from the pushed weights with per-window delta checks.
+    Covers what the per-phase tests can't: training on REPLACED
+    prototype vectors with freshly reset optimizers."""
+    from adlm_tpu.interpret.push import push_prototypes
+
+    cfg = _make_cfg()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, iter_size=ITER_SIZE,
+        joint_optimizer_lr_features=1e-3,
+        joint_optimizer_lr_prototype_vectors=2.5e-3))
+
+    model, params, constants, tp = _build_pair(cfg, seed=17)
+    proto_class = default_proto_class(N_PROTOS, N_CLASSES)
+
+    # ---- short joint phase so the pushed net is off-init ----
+    n_joint = 2
+    max_steps = n_joint * cfg.train.iter_size
+    state = init_protoseg_state(
+        model, cfg, phase=1, max_steps=max_steps,
+        rng=jax.random.PRNGKey(1), sample_input=jnp.zeros((1, 33, 33, 3)),
+        params=params, constants=constants, proto_class=proto_class)
+    step = make_train_step(model, cfg, phase=1, max_steps=max_steps)
+    opt, sched = _make_torch_optimizer(tp, cfg, phase=1,
+                                       max_steps=max_steps)
+    checker = _DeltaChecker(state.params, state.constants, tp)
+    for w in range(n_joint):
+        batches = _window_batches(500 + w)
+        loss_t = _torch_window(tp, opt, sched, cfg, proto_class, batches)
+        imgs = jnp.asarray(np.stack([b[0] for b in batches]))
+        labs = jnp.asarray(np.stack([b[1] for b in batches]))
+        state, metrics = step(state, imgs, labs)
+        np.testing.assert_allclose(float(metrics["loss"]), loss_t,
+                                   rtol=1e-3)
+        checker.check(state.params, state.constants, tp,
+                      f"pre-push joint window {w}", max_lr=1e-2)
+
+    # ---- push on a shared 4-image set (batched path, batch 2) ----
+    rng = np.random.RandomState(600)
+    push_set = [(rng.rand(1, 33, 33, 3).astype(np.float32),
+                 _random_labels(600 + i, B=1)) for i in range(4)]
+    gmin_t, gfmap_t, gimg_t = _torch_reference_push(
+        tp, np.asarray(proto_class), push_set)
+    assert (gimg_t >= 0).all()  # every prototype's class occurs
+
+    new_params, new_pc, info = push_prototypes(
+        model, state.params, state.constants, proto_class, push_set,
+        N_CLASSES, dedup=False, batch_size=2, log=lambda *_: None)
+    np.testing.assert_array_equal(info["proto_rf_boxes"][:, 0], gimg_t)
+    np.testing.assert_allclose(info["min_distances"], gmin_t,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_params["prototype_vectors"]), gfmap_t,
+        rtol=1e-4, atol=1e-6)
+
+    # ---- last-layer finetune FROM the pushed weights ----
+    with torch.no_grad():
+        tp.prototype_vectors.copy_(
+            torch.tensor(gfmap_t[:, :, None, None]))
+    state = init_protoseg_state(
+        model, cfg, phase=2, max_steps=None,
+        rng=jax.random.PRNGKey(1), sample_input=jnp.zeros((1, 33, 33, 3)),
+        params=new_params, constants=state.constants,
+        proto_class=new_pc)
+    step = make_train_step(model, cfg, phase=2)
+    opt, sched = _make_torch_optimizer(tp, cfg, phase=2)
+    prior_cap = checker.lr_cap
+    # fresh baselines (push REPLACED the prototype vectors), but drift
+    # accumulated in the joint phase persists — keep its LR cap
+    checker = _DeltaChecker(state.params, state.constants, tp)
+    checker.lr_cap = prior_cap
+    for w in range(2):
+        batches = _window_batches(700 + w)
+        loss_t = _torch_window(tp, opt, sched, cfg, new_pc, batches)
+        imgs = jnp.asarray(np.stack([b[0] for b in batches]))
+        labs = jnp.asarray(np.stack([b[1] for b in batches]))
+        state, metrics = step(state, imgs, labs)
+        np.testing.assert_allclose(float(metrics["loss"]), loss_t,
+                                   rtol=1e-3)
+        checker.check(state.params, state.constants, tp,
+                      f"post-push last window {w}",
+                      max_lr=cfg.train.last_layer_optimizer_lr)
