@@ -876,16 +876,39 @@ def cmd_unoise_visualize(args):
 
 
 def cmd_unoise_figures(args):
-    """Coverage-vs-dice curves (reference src/make_figures.py)."""
+    """Coverage-vs-dice curves (reference src/make_figures.py).
+
+    Default: the reference's evaluate() semantics exactly — fixed
+    threshold grid + median-mask dice@50% (make_figures.py:135-173).
+    ``--from-pickle`` renders a reference-format results.pickle
+    (e.g. the reference's own published data/results.pickle) without
+    touching any checkpoints; ``--save-pickle`` writes our results in
+    that format for the reference's plotting script.
+    """
     _enable_compile_cache()
+    import jax
     import jax.numpy as jnp
     from adlm_tpu.core.checkpoint import CheckpointStore
     from adlm_tpu.models.unet import UNet
-    from adlm_tpu.interpret.figures import coverage_dice_curve, plot_curves
+    from adlm_tpu.interpret.figures import (
+        dice_at_median_importance, load_results_pickle, plot_curves,
+        save_results_pickle, threshold_sweep)
     from adlm_tpu.interpret.unoise_vis import unoise_importance
     from adlm_tpu.data.unoise_data import batches, split_datasets
 
     results = os.environ.get("RESULTS_DIR", "./runs")
+
+    if args.from_pickle:
+        curves, params_per_model, at_half = load_results_pickle(
+            args.from_pickle)
+        out = os.path.join(results, "unoise_coverage_dice.png")
+        os.makedirs(results, exist_ok=True)
+        plot_curves(curves, out, params_per_model, dice_at_half=at_half)
+        print(json.dumps({
+            name: {"num_params": params_per_model[name],
+                   "dice_at_half_coverage": at_half[name]}
+            for name in curves}, indent=2))
+        return
     util_payload = CheckpointStore(
         os.path.join(results, args.utility_run)).restore("utility", "best")
     util_cfg = json.load(open(os.path.join(
@@ -905,8 +928,13 @@ def cmd_unoise_figures(args):
     test_imgs = jnp.asarray(test_imgs)
     test_masks = jnp.asarray(test_masks)
 
+    predict = jax.jit(
+        lambda x: util_model.apply(util_v, x, train=False))
+
     curves = {}
     params_per_model = {}
+    at_half = {}
+    pickle_payload = {}
     for run in args.noise_runs.split(","):
         payload = CheckpointStore(os.path.join(results, run)).restore(
             "noise", "best")
@@ -919,12 +947,27 @@ def cmd_unoise_figures(args):
         noise_v = {"params": payload["params"],
                    "batch_stats": payload["batch_stats"]}
         imp = unoise_importance(noise_model, noise_v, test_imgs)
-        curves[run] = coverage_dice_curve(util_model, util_v, imp,
-                                          test_imgs, test_masks)
+        dice, cov, thresholds = threshold_sweep(
+            predict, imp, test_imgs, test_masks,
+            batch_size=args.sweep_batch_size)
+        at_half[run] = dice_at_median_importance(
+            predict, imp, test_imgs, test_masks,
+            batch_size=args.sweep_batch_size)
+        curves[run] = list(zip(cov, dice))
+        pickle_payload[run] = {
+            "thresholds": np.asarray(thresholds),
+            "num_params": params_per_model[run],
+            "dice": dice, "coverage": cov,
+            "dice_at_half_coverage": at_half[run]}
     out = os.path.join(results, "unoise_coverage_dice.png")
-    plot_curves(curves, out, params_per_model)
-    print(json.dumps({run: curve for run, curve in curves.items()},
-                     indent=2))
+    plot_curves(curves, out, params_per_model, dice_at_half=at_half)
+    if args.save_pickle:
+        save_results_pickle(args.save_pickle, pickle_payload)
+    print(json.dumps({
+        run: {"curve": curves[run],
+              "num_params": params_per_model[run],
+              "dice_at_half_coverage": at_half[run]}
+        for run in curves}, indent=2))
 
 
 def _push_time_indices(run_dir, stage, n_current):
@@ -1397,6 +1440,15 @@ def main(argv=None):
     fp.add_argument("--depth", type=int, default=5)
     fp.add_argument("--channel-factor", type=int, default=6)
     fp.add_argument("--n-images", type=int, default=8)
+    fp.add_argument("--sweep-batch-size", type=int, default=32,
+                    help="per-batch dice averaging granularity "
+                         "(reference make_figures.py:128)")
+    fp.add_argument("--from-pickle", default=None,
+                    help="render a reference-format results.pickle "
+                         "instead of evaluating checkpoints")
+    fp.add_argument("--save-pickle", default=None,
+                    help="also write results in the reference's "
+                         "results.pickle format")
     fp.set_defaults(fn=cmd_unoise_figures)
 
     for name, fn in (("analyze-local", cmd_analyze_local),

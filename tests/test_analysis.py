@@ -176,3 +176,163 @@ def test_local_analysis_per_class_sections(tmp_path):
     assert acts == sorted(acts, reverse=True)
     # overlay + crop per prototype + log.json
     assert len(os.listdir(d)) == 5
+
+
+def test_threshold_sweep_matches_reference_math():
+    """threshold_sweep + dice_at_median_importance vs a literal torch
+    transcription of the reference's evaluate() (make_figures.py:135-173)
+    on a shared stub utility model — covers the per-batch dice/coverage
+    aggregation and torch.median's lower-middle-element semantics on an
+    even pixel count."""
+    import torch
+    from adlm_tpu.interpret.figures import (threshold_sweep,
+                                            dice_at_median_importance)
+
+    rng = np.random.RandomState(11)
+    N, H, W = 7, 8, 8                       # N·H·W even → median tie
+    images = rng.rand(N, H, W, 3).astype(np.float32)
+    masks = (rng.rand(N, H, W, 1) > 0.5).astype(np.float32)
+    B = rng.rand(N, H, W, 1).astype(np.float32)
+    thresholds = np.linspace(0.0, 1.0, 11)
+    batch = 3                               # uneven final batch
+
+    def predict(x):                          # stub utility model
+        x = np.asarray(x)
+        return x.mean(axis=-1, keepdims=True) - 0.45
+
+    def torch_dice(pred, target, eps=1e-10):  # reference src/utils.py:2-12
+        m1 = pred.reshape(-1).float()
+        m2 = target.reshape(-1).float()
+        inter = (m1 * m2).sum()
+        return float(2.0 * inter / (m1.sum() + m2.sum() + eps))
+
+    # --- literal reference evaluate() ---
+    dice_ref = [[] for _ in thresholds]
+    cov_ref = [[] for _ in thresholds]
+    for s in range(0, N, batch):
+        ib = torch.tensor(images[s:s + batch])
+        mb = torch.tensor(masks[s:s + batch])
+        bb = torch.tensor(B[s:s + batch])
+        for i, t in enumerate(thresholds):
+            thresh_images = ib * (bb <= t)
+            pred = torch.tensor(predict(thresh_images.numpy()))
+            dice_ref[i].append(torch_dice(pred > 0.0, mb))
+            cov_ref[i].append(float((bb <= t).sum() / bb.numel()))
+    dice_ref = [float(np.mean(d)) for d in dice_ref]
+    cov_ref = [float(np.mean(c)) for c in cov_ref]
+    median_b = torch.median(torch.tensor(B).flatten())
+    at_half_ref = []
+    for s in range(0, N, batch):
+        ib = torch.tensor(images[s:s + batch])
+        mb = torch.tensor(masks[s:s + batch])
+        bb = torch.tensor(B[s:s + batch])
+        pred = torch.tensor(predict((ib * (bb <= median_b)).numpy()))
+        at_half_ref.append(torch_dice(pred > 0.0, mb))
+    at_half_ref = float(np.mean(at_half_ref))
+
+    # --- ours ---
+    dice, cov, th = threshold_sweep(predict, B, images, masks,
+                                    thresholds=thresholds,
+                                    batch_size=batch)
+    at_half = dice_at_median_importance(predict, B, images, masks,
+                                        batch_size=batch)
+    np.testing.assert_allclose(dice, dice_ref, rtol=1e-6)
+    np.testing.assert_allclose(cov, cov_ref, rtol=1e-6)
+    np.testing.assert_allclose(th, thresholds)
+    np.testing.assert_allclose(at_half, at_half_ref, rtol=1e-6)
+
+
+def test_reference_results_pickle_ingest(tmp_path):
+    """load_results_pickle on the reference's own published
+    data/results.pickle reproduces its README table (README.md:170-187)
+    and renders both figures; save_results_pickle round-trips."""
+    from adlm_tpu.interpret.figures import (load_results_pickle,
+                                            save_results_pickle)
+
+    src = "/root/reference/data/results.pickle"
+    if not os.path.exists(src):
+        import pytest
+        pytest.skip("reference results.pickle unavailable")
+    curves, params, at_half = load_results_pickle(src)
+
+    # the README's params / dice@50% table
+    expected = {
+        "U-Noise Small": (28529, 0.3223),
+        "U-Noise Medium": (130577, 0.3111),
+        "U-Noise Large": (537425, 0.2809),
+        "U-Noise Small (Pretrained)": (28529, 0.3411),
+        "U-Noise Medium (Pretrained)": (130577, 0.3369),
+        "U-Noise Large (Pretrained)": (537425, 0.3718),
+    }
+    assert set(curves) == set(expected)
+    for name, (p, d50) in expected.items():
+        assert params[name] == p
+        np.testing.assert_allclose(at_half[name], d50, atol=5e-5)
+        assert len(curves[name]) == 21
+        assert all(0 <= c <= 1 and 0 <= d <= 1 for c, d in curves[name])
+
+    out = str(tmp_path / "ref.png")
+    plot_curves(curves, out, params, dice_at_half=at_half)
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "ref_params.png"))
+
+    rt = str(tmp_path / "roundtrip.pickle")
+    save_results_pickle(rt, {
+        name: {"thresholds": np.linspace(0, 1, 21),
+               "num_params": params[name],
+               "dice": [d for _, d in curves[name]],
+               "coverage": [c for c, _ in curves[name]],
+               "dice_at_half_coverage": at_half[name]}
+        for name in curves})
+    c2, p2, a2 = load_results_pickle(rt)
+    assert p2 == params and a2 == at_half and c2 == curves
+
+
+def test_unoise_figures_cli(tmp_path, monkeypatch):
+    """unoise-figures end-to-end on checkpoint dirs: reference-semantics
+    sweep + median-mask dice@50%, pickle export round-trips through
+    --from-pickle rendering."""
+    import argparse
+    from adlm_tpu.cli import cmd_unoise_figures
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.interpret.figures import load_results_pickle
+
+    results = str(tmp_path / "runs")
+    monkeypatch.setenv("RESULTS_DIR", results)
+
+    rng = np.random.RandomState(6)
+    imgs_p = str(tmp_path / "images.npy")
+    masks_p = str(tmp_path / "masks.npy")
+    np.save(imgs_p, rng.rand(20, 16, 16).astype(np.float32))
+    np.save(masks_p, (rng.rand(20, 16, 16) > 0.6).astype(np.float32))
+
+    model = UNet(out_channels=1, depth=2, cf=3)
+    for run, stage in (("util1", "utility"), ("noise1", "noise")):
+        v = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                       train=True)
+        store = CheckpointStore(os.path.join(results, run))
+        store.save(stage, "best", {"params": dict(v["params"]),
+                                   "batch_stats": dict(v["batch_stats"]),
+                                   "step": 0})
+        store.save_metadata(f"{stage}_config",
+                            {"depth": 2, "channel_factor": 3})
+
+    pkl = str(tmp_path / "ours.pickle")
+    cmd_unoise_figures(argparse.Namespace(
+        imgs=imgs_p, masks=masks_p, boxes=None, utility_run="util1",
+        noise_runs="noise1", depth=2, channel_factor=3, n_images=4,
+        sweep_batch_size=2, from_pickle=None, save_pickle=pkl))
+    assert os.path.exists(os.path.join(results,
+                                       "unoise_coverage_dice.png"))
+    curves, params, at_half = load_results_pickle(pkl)
+    assert set(curves) == {"noise1"}
+    assert len(curves["noise1"]) == 21
+    assert 0.0 <= at_half["noise1"] <= 1.0
+    # threshold 1.0 keeps everything visible -> coverage 1
+    np.testing.assert_allclose(curves["noise1"][-1][0], 1.0)
+
+    # render the exported pickle through --from-pickle
+    os.remove(os.path.join(results, "unoise_coverage_dice.png"))
+    cmd_unoise_figures(argparse.Namespace(from_pickle=pkl))
+    assert os.path.exists(os.path.join(results,
+                                       "unoise_coverage_dice.png"))
