@@ -222,3 +222,90 @@ def test_cells_dataset_normalization(tmp_path):
                                ds.img_ids[0] + ".npy")).astype(np.float32)
     np.testing.assert_allclose(img, (raw - 106.51) / 7.25, rtol=1e-5)
     assert lab.max() < 5
+
+
+def test_preprocess_cityscapes_golden_vs_reference(tmp_path, monkeypatch):
+    """End-to-end preprocessor golden: the reference's OWN
+    process_images_in_chunks (preprocess_cityscapes.py:45-71) and our
+    preprocess_cityscapes run on the same synthetic Cityscapes tree —
+    the remapped annotation arrays and mirrored-margin image pixels
+    must be identical."""
+    import importlib.util
+    import sys
+    import types
+
+    from PIL import Image
+    from adlm_tpu.data.preprocess import preprocess_cityscapes
+
+    # --- synthetic source tree (2 splits × 1 city × 2 images) ---
+    src = str(tmp_path / "src")
+    rng = np.random.RandomState(3)
+    valid_ids = list(range(34))             # CITYSCAPES_ID_2_LABEL keys
+    files = {}
+    for split in ("train", "val"):
+        city = "testcity"
+        lab_dir = os.path.join(src, "gtFine_trainvaltest", "gtFine",
+                               split, city)
+        img_dir = os.path.join(src, "leftImg8bit_trainvaltest",
+                               "leftImg8bit", split, city)
+        os.makedirs(lab_dir), os.makedirs(img_dir)
+        files[split] = []
+        for i in range(2):
+            img_id = f"{city}_{split}{i}"
+            lab = rng.choice(valid_ids, size=(24, 32)).astype(np.uint8)
+            Image.fromarray(lab, mode="L").save(
+                os.path.join(lab_dir, f"{img_id}_gtFine_labelIds.png"))
+            img = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(img_dir, f"{img_id}_leftImg8bit.png"))
+            files[split].append(f"{img_id}_gtFine_labelIds.png")
+
+    # --- the reference's preprocessor, executed from its source ---
+    ref_out = str(tmp_path / "ref_out")
+    monkeypatch.setenv("SOURCE_DATA_PATH", src)
+    monkeypatch.setenv("DATA_PATH", ref_out)
+    if "argh" not in sys.modules:           # stub the absent CLI dep
+        sys.modules["argh"] = types.ModuleType("argh")
+    monkeypatch.syspath_prepend("/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_preproc_cs",
+        "/root/reference/segmentation/preprocess_cityscapes.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    margin = 3
+    ref.MARGIN_SIZE = margin                 # module global read per-call
+    ref.MARGIN_IMG_DIR = os.path.join(ref_out, f"img_with_margin_{margin}")
+    for split in ("train", "val"):
+        os.makedirs(os.path.join(ref.ANNOTATIONS_DIR, split))
+        os.makedirs(os.path.join(ref.MARGIN_IMG_DIR, split))
+        got_ids = ref.process_images_in_chunks(
+            (split, "testcity", files[split]))
+        assert len(got_ids) == 2
+
+    # --- ours ---
+    our_out = str(tmp_path / "our_out")
+    preprocess_cityscapes(src, our_out, margin=margin, n_jobs=1)
+
+    for split in ("train", "val"):
+        for f in files[split]:
+            img_id = f.split("_gtFine_labelIds.png")[0]
+            a = np.load(os.path.join(ref_out, "annotations", split,
+                                     f"{img_id}.npy"))
+            b = np.load(os.path.join(our_out, "annotations", split,
+                                     f"{img_id}.npy"))
+            np.testing.assert_array_equal(a, b)
+            assert a.dtype == b.dtype == np.uint8
+            ref_img = np.asarray(Image.open(os.path.join(
+                ref_out, f"img_with_margin_{margin}", split,
+                f"{img_id}.png")))
+            our_img = np.asarray(Image.open(os.path.join(
+                our_out, f"img_with_margin_{margin}", split,
+                f"{img_id}.png")))
+            np.testing.assert_array_equal(ref_img, our_img)
+            assert ref_img.shape == (24 + 2 * margin, 32 + 2 * margin, 3)
+    # ours also writes the npy fast path + the index json
+    import json as _json
+    with open(os.path.join(our_out, "all_images.json")) as fh:
+        idx = _json.load(fh)
+    assert sorted(idx["train"]) == sorted(
+        f.split("_gtFine_labelIds.png")[0] for f in files["train"])
