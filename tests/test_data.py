@@ -309,3 +309,74 @@ def test_preprocess_cityscapes_golden_vs_reference(tmp_path, monkeypatch):
         idx = _json.load(fh)
     assert sorted(idx["train"]) == sorted(
         f.split("_gtFine_labelIds.png")[0] for f in files["train"])
+
+
+def test_preprocess_pascal_golden_vs_reference(tmp_path, monkeypatch):
+    """PASCAL preprocessor golden vs the reference's own
+    process_images_in_chunks (preprocess_pascal.py:26-61): label arrays
+    and saved image npy/png content must be identical (our train split
+    is the reference's train_aug list, PARITY.md)."""
+    import importlib.util
+    import sys
+    import types
+
+    from PIL import Image
+    from adlm_tpu.data.preprocess import preprocess_pascal
+
+    src = str(tmp_path / "src")
+    rng = np.random.RandomState(5)
+    ids = [f"2007_{i:06d}" for i in range(3)]
+    os.makedirs(os.path.join(src, "SegmentationClassAug"))
+    os.makedirs(os.path.join(src, "JPEGImages"))
+    os.makedirs(os.path.join(src, "ImageSets", "SegmentationAug"))
+    for img_id in ids:
+        lab = rng.choice(list(range(21)) + [255],
+                         size=(20, 28)).astype(np.uint8)
+        Image.fromarray(lab, mode="L").save(
+            os.path.join(src, "SegmentationClassAug", f"{img_id}.png"))
+        img = rng.randint(0, 256, size=(20, 28, 3), dtype=np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(src, "JPEGImages", f"{img_id}.jpg"))
+    with open(os.path.join(src, "ImageSets", "SegmentationAug",
+                           "train_aug.txt"), "w") as f:
+        f.write("".join(
+            f"/JPEGImages/{i}.jpg /SegmentationClassAug/{i}.png\n"
+            for i in ids))
+    with open(os.path.join(src, "ImageSets", "SegmentationAug",
+                           "val.txt"), "w") as f:
+        f.write(ids[0] + "\n")
+
+    ref_out = str(tmp_path / "ref_out")
+    monkeypatch.setenv("SOURCE_DATA_PATH", src)
+    monkeypatch.setenv("DATA_PATH", ref_out)
+    if "argh" not in sys.modules:
+        sys.modules["argh"] = types.ModuleType("argh")
+    spec = importlib.util.spec_from_file_location(
+        "ref_preproc_pascal",
+        "/root/reference/segmentation/preprocess_pascal.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    os.makedirs(os.path.join(ref.ANNOTATIONS_DIR, "train_aug"))
+    os.makedirs(os.path.join(ref.MARGIN_IMG_DIR, "train_aug"))
+    got_ids, classes = ref.process_images_in_chunks(("train_aug", ids))
+    assert got_ids == ids
+
+    our_out = str(tmp_path / "our_out")
+    preprocess_pascal(src, our_out, margin=0)
+
+    for img_id in ids:
+        a = np.load(os.path.join(ref_out, "annotations", "train_aug",
+                                 f"{img_id}.npy"))
+        b = np.load(os.path.join(our_out, "annotations", "train",
+                                 f"{img_id}.npy"))
+        np.testing.assert_array_equal(a, b)
+        ai = np.load(os.path.join(ref_out, "img_with_margin_0",
+                                  "train_aug", f"{img_id}.npy"))
+        bi = np.load(os.path.join(our_out, "img_with_margin_0",
+                                  "train", f"{img_id}.npy"))
+        np.testing.assert_array_equal(ai, bi)
+        ap = np.asarray(Image.open(os.path.join(
+            ref_out, "img_with_margin_0", "train_aug", f"{img_id}.png")))
+        bp = np.asarray(Image.open(os.path.join(
+            our_out, "img_with_margin_0", "train", f"{img_id}.png")))
+        np.testing.assert_array_equal(ap, bp)
