@@ -891,8 +891,8 @@ def cmd_unoise_figures(args):
     from adlm_tpu.core.checkpoint import CheckpointStore
     from adlm_tpu.models.unet import UNet
     from adlm_tpu.interpret.figures import (
-        dice_at_median_importance, load_results_pickle, plot_curves,
-        save_results_pickle, threshold_sweep)
+        device_threshold_sweep, dice_at_median_importance,
+        load_results_pickle, plot_curves, save_results_pickle)
     from adlm_tpu.interpret.unoise_vis import unoise_importance
     from adlm_tpu.data.unoise_data import batches, split_datasets
 
@@ -947,8 +947,10 @@ def cmd_unoise_figures(args):
         noise_v = {"params": payload["params"],
                    "batch_stats": payload["batch_stats"]}
         imp = unoise_importance(noise_model, noise_v, test_imgs)
-        dice, cov, thresholds = threshold_sweep(
-            predict, imp, test_imgs, test_masks,
+        # whole grid fused into one jit per batch (the host-loop
+        # variant pays ~30 ms relay dispatch × T per batch)
+        dice, cov, thresholds = device_threshold_sweep(
+            util_model, util_v, imp, test_imgs, test_masks,
             batch_size=args.sweep_batch_size)
         at_half[run] = dice_at_median_importance(
             predict, imp, test_imgs, test_masks,

@@ -94,6 +94,59 @@ def threshold_sweep(predict, importance: np.ndarray,
             [float(t) for t in thresholds])
 
 
+def make_device_sweep_fn(util_model: UNet, util_vars: Any,
+                         thresholds: Sequence[float]) -> callable:
+    """ONE jitted program per batch for the whole threshold sweep:
+    ``lax.map`` over the threshold grid reuses the batch buffers and
+    returns (dice (T,), coverage (T,)) — vs the host loop's T separate
+    dispatches per batch (the remote relay costs ~30 ms per call,
+    CLAUDE.md), and without materializing a T× input blow-up the way a
+    vmap would.  Numerics are identical to ``threshold_sweep`` with a
+    jitted ``predict`` (same op sequence per threshold).
+    """
+    th = jnp.asarray(np.asarray(thresholds, np.float32))
+
+    @jax.jit
+    def fn(images_b, masks_b, b_b):
+        def one(t):
+            visible = (b_b <= t)
+            pred = util_model.apply(util_vars, images_b * visible,
+                                    train=False)
+            return (dice_coeff(pred > 0.0, masks_b),
+                    jnp.mean(visible.astype(jnp.float32)))
+        return jax.lax.map(one, th)
+
+    return fn
+
+
+def device_threshold_sweep(util_model: UNet, util_vars: Any,
+                           importance: np.ndarray,
+                           images: np.ndarray, masks: np.ndarray,
+                           thresholds: Optional[Sequence[float]] = None,
+                           batch_size: int = 32
+                           ) -> Tuple[List[float], List[float],
+                                      List[float]]:
+    """``threshold_sweep`` with the whole grid fused into one jit per
+    batch (see ``make_device_sweep_fn``); same reference semantics
+    (per-batch-averaged dice/coverage, make_figures.py:135-158).  An
+    uneven final batch compiles a second shape — expected, same as
+    every eval tail."""
+    if thresholds is None:
+        thresholds = np.linspace(0.0, 1.0, 21)
+    fn = make_device_sweep_fn(util_model, util_vars, thresholds)
+    dice_b, cov_b = [], []
+    for imgs_b, masks_b, b_b in _iter_batches(
+            batch_size, np.asarray(images), np.asarray(masks),
+            np.asarray(importance)):
+        d, c = fn(jnp.asarray(imgs_b), jnp.asarray(masks_b),
+                  jnp.asarray(b_b))
+        dice_b.append(np.asarray(d))
+        cov_b.append(np.asarray(c))
+    return (list(np.mean(dice_b, axis=0).astype(float)),
+            list(np.mean(cov_b, axis=0).astype(float)),
+            [float(t) for t in thresholds])
+
+
 def dice_at_median_importance(predict, importance: np.ndarray,
                               images: np.ndarray, masks: np.ndarray,
                               batch_size: int = 32) -> float:

@@ -336,3 +336,30 @@ def test_unoise_figures_cli(tmp_path, monkeypatch):
     cmd_unoise_figures(argparse.Namespace(from_pickle=pkl))
     assert os.path.exists(os.path.join(results,
                                        "unoise_coverage_dice.png"))
+
+
+def test_device_sweep_matches_host_sweep():
+    """device_threshold_sweep (one jit per batch, lax.map over the
+    grid) must match threshold_sweep with a jitted predict on a real
+    UNet — identical per-threshold op sequence, no T× dispatch."""
+    from adlm_tpu.interpret.figures import (threshold_sweep,
+                                            device_threshold_sweep)
+
+    model = UNet(out_channels=1, depth=2, cf=3)
+    rng = np.random.RandomState(8)
+    images = rng.rand(5, 16, 16, 3).astype(np.float32)
+    masks = (rng.rand(5, 16, 16, 1) > 0.5).astype(np.float32)
+    B = rng.rand(5, 16, 16, 1).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(8), jnp.asarray(images[:1]),
+                   train=True)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    predict = jax.jit(lambda x: model.apply(v, x, train=False))
+    th = np.linspace(0.0, 1.0, 7)
+
+    d_host, c_host, _ = threshold_sweep(predict, B, images, masks,
+                                        thresholds=th, batch_size=2)
+    d_dev, c_dev, t_dev = device_threshold_sweep(
+        model, v, B, images, masks, thresholds=th, batch_size=2)
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(c_dev, c_host, rtol=1e-6)
+    np.testing.assert_allclose(t_dev, th)
