@@ -148,8 +148,9 @@ def _reference_step_loss(ppnet: TorchPPNet, images, labels, proto_class,
     (segmentation/module.py:119-243, ignore_void_class=True)."""
     ppnet.train()
     ppnet.backbone.freeze_bn()  # module.py:127
-    identity = torch.zeros(N_PROTOS, N_CLASSES)
-    identity[torch.arange(N_PROTOS), torch.tensor(proto_class)] = 1.0
+    n_protos = len(proto_class)  # may be < N_PROTOS after pruning
+    identity = torch.zeros(n_protos, N_CLASSES)
+    identity[torch.arange(n_protos), torch.tensor(proto_class)] = 1.0
 
     outputs = ppnet(images)
     mcs_loss = 0.0

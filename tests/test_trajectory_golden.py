@@ -479,3 +479,44 @@ def test_trajectory_joint_push_finetune():
         checker.check(state.params, state.constants, tp,
                       f"post-push last window {w}",
                       max_lr=cfg.train.last_layer_optimizer_lr)
+
+    # ---- prune → pruned finetune (reference run_pruning +
+    # train --pruned, train.py:197-233).  The prune DECISION is golden
+    # in test_prune_golden; here a fixed keep set exercises the shape
+    # surgery (model.py:311-336) composed with continued training on
+    # ragged prototype identities in both frameworks. ----
+    from adlm_tpu.models.ppnet import PPNet, prune_params
+
+    keep = [0, 2, 3, 5]
+    p2, pc2 = prune_params(state.params, new_pc, keep)
+    with torch.no_grad():
+        tp.prototype_vectors = torch.nn.Parameter(
+            tp.prototype_vectors[keep].clone())
+        tp.ones = tp.ones[keep].clone()
+        new_last = torch.nn.Linear(len(keep), N_CLASSES, bias=False)
+        new_last.weight.copy_(tp.last_layer.weight[:, keep])
+        tp.last_layer = new_last
+    cfg2 = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_prototypes=len(keep)))
+    model2 = PPNet(cfg=cfg2.model)
+    state = init_protoseg_state(
+        model2, cfg2, phase=2, max_steps=None,
+        rng=jax.random.PRNGKey(2), sample_input=jnp.zeros((1, 33, 33, 3)),
+        params=p2, constants=state.constants, proto_class=pc2)
+    step = make_train_step(model2, cfg2, phase=2)
+    opt, sched = _make_torch_optimizer(tp, cfg, phase=2)
+    prior_cap = checker.lr_cap
+    checker = _DeltaChecker(state.params, state.constants, tp)
+    checker.lr_cap = prior_cap
+    for w in range(2):
+        batches = _window_batches(800 + w)
+        loss_t = _torch_window(tp, opt, sched, cfg, np.asarray(pc2),
+                               batches)
+        imgs = jnp.asarray(np.stack([b[0] for b in batches]))
+        labs = jnp.asarray(np.stack([b[1] for b in batches]))
+        state, metrics = step(state, imgs, labs)
+        np.testing.assert_allclose(float(metrics["loss"]), loss_t,
+                                   rtol=1e-3)
+        checker.check(state.params, state.constants, tp,
+                      f"pruned finetune window {w}",
+                      max_lr=cfg.train.last_layer_optimizer_lr)
