@@ -79,6 +79,26 @@ def cmd_train(args):
         val_augment=args.val_augment)
 
 
+def _eval_mesh(args):
+    """(data, model) mesh for sharded whole-image eval, or None.
+
+    ``--mesh-data N`` shards the eval batch over ``data``;
+    ``--mesh-model M`` > 1 additionally shards image H over ``model``
+    (spatial sharding — the full-res context-parallel eval mode,
+    SURVEY §5)."""
+    md = getattr(args, "mesh_data", 0)
+    mm = getattr(args, "mesh_model", 1)
+    if not md and mm <= 1:
+        return None
+    if md and args.batch_size % md:
+        raise SystemExit("--batch-size must be divisible by --mesh-data")
+    import jax
+    from adlm_tpu.core.mesh import MeshSpec, make_mesh
+    md = md or 1
+    return make_mesh(MeshSpec(data=md, model=mm),
+                     devices=jax.devices()[:md * mm])
+
+
 def cmd_eval_valid(args):
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -107,6 +127,7 @@ def cmd_eval_valid(args):
 
     ds = SegmentationDataset(cfg.data, args.split,
                              data_path=args.data_path, is_eval=True)
+    mesh = _eval_mesh(args)
     if args.windowed:
         from adlm_tpu.interpret.windowed import WindowedSegEvaluator
         wh, ww = (int(x) for x in args.windowed.split(","))
@@ -114,6 +135,10 @@ def cmd_eval_valid(args):
             raise SystemExit(
                 "--stats-upsampled is whole-image only; use --stats "
                 "with --windowed for the memory-bounded grid statistics")
+        if mesh is not None:
+            raise SystemExit("--mesh-* shards whole-image eval; "
+                             "windowed mode is the single-device "
+                             "memory-bounded alternative")
         # raw uint8 + per-window in-jit normalization (4× less relay
         # traffic — see dataset.supports_raw_eval)
         raw = ds.supports_raw_eval()
@@ -131,7 +156,7 @@ def cmd_eval_valid(args):
                           with_stats=args.stats,
                           stats_upsampled=args.stats_upsampled,
                           normalize=(cfg.data.mean, cfg.data.std)
-                          if raw else None)
+                          if raw else None, mesh=mesh)
     acc = ProtoStatsAccumulator(n_proto, cfg.model.num_classes,
                                 np.asarray(proto_class)) if args.stats \
         else None
@@ -1184,6 +1209,14 @@ def main(argv=None):
             ep.add_argument("--examples", type=int, default=5,
                             help="number of qualitative prediction/"
                                  "prototype overlay examples (0 = off)")
+            ep.add_argument("--mesh-data", type=int, default=0,
+                            help="shard the eval batch over a "
+                                 "data-parallel mesh axis (0 = single "
+                                 "device; batch must divide evenly)")
+            ep.add_argument("--mesh-model", type=int, default=1,
+                            help="spatial mesh axis: image H sharded "
+                                 "over `model` devices (the full-res "
+                                 "context-parallel mode)")
         ep.add_argument("--windowed", default=None, metavar="WH,WW",
                         help="sliding-window inference with the given "
                              "window size instead of whole-image "

@@ -295,10 +295,21 @@ class SegEvaluator:
     def __init__(self, model: PPNet, num_classes: int,
                  with_stats: bool = False, stats_upsampled: bool = False,
                  n_random_pixels: int = 100, seed: int = 0,
-                 normalize=None):
+                 normalize=None, mesh=None, spatial: bool = True):
         self.num_classes = num_classes
-        self.fn = make_inference_fn(model, num_classes, with_stats,
-                                    stats_upsampled, normalize=normalize)
+        if mesh is not None:
+            # batch sharded over `data`, optionally H over `model`
+            # (spatial) — same numerics, collectives over ICI
+            from adlm_tpu.parallel.sharding import make_sharded_inference_fn
+            self.fn = make_sharded_inference_fn(
+                model, num_classes, mesh,
+                spatial=spatial and mesh.shape.get("model", 1) > 1,
+                with_stats=with_stats, stats_upsampled=stats_upsampled,
+                normalize=normalize)
+        else:
+            self.fn = make_inference_fn(model, num_classes, with_stats,
+                                        stats_upsampled,
+                                        normalize=normalize)
         self.with_stats = with_stats
         self.n_random = n_random_pixels
         self.rng = np.random.RandomState(seed)

@@ -88,7 +88,9 @@ def prototype_parallel_params(params: Any, mesh: Mesh) -> Any:
 def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
                               spatial: bool = True,
                               with_stats: bool = False,
-                              prototype_parallel: bool = False):
+                              prototype_parallel: bool = False,
+                              stats_upsampled: bool = False,
+                              normalize=None):
     """Full-res eval fn: batch over ``data``, H over ``model`` (spatial
     sharding — the segmentation analogue of context parallelism).
 
@@ -97,10 +99,15 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
     `prototype_parallel_params` first to run the prototype head
     tensor-parallel over the ``model`` axis.  (On TPU the fused Pallas
     head gathers the local bank per shard; the pure-XLA lowering
-    partitions the head's matmuls fully.)"""
+    partitions the head's matmuls fully.)
+
+    ``stats_upsampled``/``normalize`` pass through to
+    ``make_inference_fn`` (upsampled-distance statistics; in-jit raw
+    uint8 normalization) so every CLI eval mode can run sharded."""
     from adlm_tpu.interpret.evaluate import make_inference_fn
 
-    inner = make_inference_fn(model, num_classes, with_stats)
+    inner = make_inference_fn(model, num_classes, with_stats,
+                              stats_upsampled, normalize=normalize)
     repl = replicated(mesh)
     if spatial:
         img_shard = lab_shard = spatial_sharding(mesh)

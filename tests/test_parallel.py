@@ -507,3 +507,44 @@ def test_prototype_parallel_inference_matches_replicated():
     np.testing.assert_allclose(np.asarray(ref["topk_purity"]),
                                np.asarray(got["topk_purity"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_seg_evaluator_mesh_matches_single_device():
+    """SegEvaluator(mesh=...) — the CLI's `eval-valid --mesh-data N
+    [--mesh-model M]` path — must produce the same confusion counters
+    and stats maps as the unsharded evaluator, incl. with_stats and
+    raw-uint8 in-jit normalization."""
+    from adlm_tpu.interpret.evaluate import SegEvaluator
+
+    cfg = tiny_experiment()
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(9)
+    raw = rng.randint(0, 256, size=(4, 64, 64, 3)).astype(np.uint8)
+    labels = rng.randint(0, 4, size=(4, 64, 64))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    f32 = ((raw.astype(np.float32) / 255.0)
+           - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    v = model.init(jax.random.PRNGKey(9), jnp.asarray(f32[:1]))
+    params, constants = v["params"], v.get("constants", {})
+    pc = jnp.arange(cfg.model.num_prototypes) % cfg.model.num_classes
+
+    single = SegEvaluator(model, cfg.model.num_classes, with_stats=True,
+                          normalize=(mean, std), seed=3)
+    o_ref = single.update(params, constants, pc, raw, labels)
+
+    for spec in (MeshSpec(data=4, model=2), MeshSpec(data=4, model=1)):
+        mesh = make_mesh(MeshSpec(data=spec.data, model=spec.model),
+                         devices=jax.devices()[:spec.data * spec.model])
+        ev = SegEvaluator(model, cfg.model.num_classes, with_stats=True,
+                          normalize=(mean, std), seed=3, mesh=mesh)
+        o = ev.update(params, constants, pc, raw, labels)
+        np.testing.assert_array_equal(ev.intersection,
+                                      single.intersection)
+        np.testing.assert_array_equal(ev.union, single.union)
+        assert ev.correct == single.correct
+        np.testing.assert_array_equal(np.asarray(o["stat_pred"]),
+                                      np.asarray(o_ref["stat_pred"]))
+        np.testing.assert_array_equal(np.asarray(o["nearest_proto"]),
+                                      np.asarray(o_ref["nearest_proto"]))
+        single.reset()
+        o_ref = single.update(params, constants, pc, raw, labels)

@@ -124,6 +124,14 @@ def test_prune_and_eval_cli(tmp_path):
     miou_win = float(open(os.path.join(out_dir, "mean_iou.txt")).read())
     assert abs(miou_win - miou_whole) < 1e-6
 
+    # sharded eval (batch over data, H over model) → same mIoU
+    cli_main(["eval-valid", run_dir, "push", "--split", "val",
+              "--data-path", data_root, "--max-images", "2", "--stats",
+              "--examples", "0", "--batch-size", "2",
+              "--mesh-data", "2", "--mesh-model", "2"])
+    miou_mesh = float(open(os.path.join(out_dir, "mean_iou.txt")).read())
+    assert abs(miou_mesh - miou_whole) < 1e-6
+
     # prune (threshold 0 keeps everything but exercises the path)
     cli_main(["prune", run_dir, "--data-path", data_root,
               "--k", "2", "--threshold", "0"])
