@@ -37,15 +37,71 @@ from adlm_tpu.ops.resize import resize_bilinear
 from adlm_tpu.ops.normalize import normalize_in_jit
 
 
+def _upsampled_nearest_integer(dist: jnp.ndarray, sy: int, sx: int
+                               ) -> jnp.ndarray:
+    """Integer-scale fast path for ``upsampled_nearest``.
+
+    A bilinear upsample by integer factors (sy, sx) with half-pixel
+    centers touches exactly 4 grid neighbours per output pixel, with
+    weights that depend only on the output pixel's PHASE
+    (dy, dx) = (o mod sy, o mod sx).  So instead of materializing the
+    upsampled maps (``jax.image.resize`` lowers to dense per-axis
+    matmuls — measured 2.1 s/batch in f32 at the flagship shape because
+    f32 matmuls fall off the MXU fast path), compute one fused 4-tap
+    blend + argmin per phase on grid-sized buffers and interleave the
+    sy·sx phase results.  Numerically this IS torch's own 4-tap
+    bilinear formula, in f32 — no precision trade.  Edge clamping is
+    exact: out-of-range neighbours replicate the edge row/column, which
+    collapses the blend to the clamped value like the coordinate clip
+    does.
+    """
+    import math
+
+    B, h, w, P = dist.shape
+
+    def shifted(ddy, ddx):
+        t = dist
+        if ddy == -1:
+            t = jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
+        elif ddy == 1:
+            t = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        if ddx == -1:
+            t = jnp.concatenate([t[:, :, :1], t[:, :, :-1]], axis=2)
+        elif ddx == 1:
+            t = jnp.concatenate([t[:, :, 1:], t[:, :, -1:]], axis=2)
+        return t
+
+    phases = []
+    for dy in range(sy):
+        fy = (dy + 0.5) / sy - 0.5
+        ylo = math.floor(fy)
+        wy = fy - ylo
+        for dx in range(sx):
+            fx = (dx + 0.5) / sx - 0.5
+            xlo = math.floor(fx)
+            wx = fx - xlo
+            blend = (shifted(ylo, xlo) * ((1 - wy) * (1 - wx))
+                     + shifted(ylo, xlo + 1) * ((1 - wy) * wx)
+                     + shifted(ylo + 1, xlo) * (wy * (1 - wx))
+                     + shifted(ylo + 1, xlo + 1) * (wy * wx))
+            phases.append(jnp.argmin(blend, axis=-1).astype(jnp.int32))
+    out = jnp.stack(phases).reshape(sy, sx, B, h, w)
+    # out[b, sy·i+dy, sx·j+dx] = phases[dy, dx, b, i, j]
+    return out.transpose(2, 3, 0, 4, 1).reshape(B, h * sy, w * sx)
+
+
 def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
                       chunk: int = 16) -> jnp.ndarray:
     """argmin over prototypes of the bilinearly-upsampled distance maps.
 
     Equals ``argmin(resize(dist, size), -1)`` (reference
-    eval_valid.py:172-174) but scans prototype chunks with a running
-    (min, argmin) so peak memory is O(H·W·chunk) instead of O(H·W·P).
-    First-occurrence tie-break (numpy/torch argmin semantics): strict
-    ``<`` against the running best.
+    eval_valid.py:172-174).  Integer upsample factors (the whole-image
+    eval case: output stride 8) take the phase-decomposed 4-tap path
+    (``_upsampled_nearest_integer``) — no resize matmuls, no
+    O(H·W·P) buffer; other ratios scan prototype chunks of the real
+    resize with a running (min, argmin) so peak memory stays
+    O(H·W·chunk).  First-occurrence tie-break (numpy/torch argmin
+    semantics): strict ``<`` against the running best.
 
     Args:
       dist: (B, h, w, P) distances at the output grid.
@@ -55,6 +111,9 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
       (B, H, W) int32 prototype indices.
     """
     B, h, w, P = dist.shape
+    H, W = size
+    if H % h == 0 and W % w == 0 and (H // h) * (W // w) <= 256:
+        return _upsampled_nearest_integer(dist, H // h, W // w)
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P
     if pad:

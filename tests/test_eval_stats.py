@@ -336,3 +336,18 @@ def test_device_normalize_bit_equals_host_path():
         ds2 = SegmentationDataset(rcfg, "val", data_path=root,
                                   is_eval=True)
         assert not ds2.supports_raw_eval()  # resize-after-norm path
+
+
+def test_upsampled_nearest_integer_fast_path_matches_resize():
+    """The phase-decomposed integer-scale path (the whole-image eval
+    case, output stride 8) must equal argmin(resize(...)) exactly —
+    it is the same 4-tap bilinear math computed without the resize
+    matmuls."""
+    rng = np.random.RandomState(2)
+    for shape, size in [((2, 5, 7, 11), (40, 56)),    # 8×8 (real case)
+                        ((2, 4, 6, 5), (12, 24)),      # mixed 3×4
+                        ((1, 3, 3, 4), (3, 3))]:       # identity 1×1
+        dist = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        want = jnp.argmin(resize_bilinear(dist, size), axis=-1)
+        got = upsampled_nearest(dist, size)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
