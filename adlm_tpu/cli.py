@@ -174,13 +174,22 @@ def cmd_eval_valid(args):
         if acc is not None:
             # padded tail images (all-void, zero image) are excluded —
             # nearest-prototype counts have no void mask to drop them.
-            # The windowed path stacks n_wins count maps per image
-            # (image-major) but yields ONE window-mean purity per image.
-            nw = out.get("stat_windows", 1)
-            acc.update(np.asarray(out["stat_pred"])[:n_real * nw],
-                       np.asarray(out["nearest_proto"])[:n_real * nw],
-                       topk_purity=np.asarray(out["topk_purity"])[:n_real],
-                       n_images=n_real)
+            if "agree_counts" in out:
+                # whole-image path: tiny (B, P) device-side counts —
+                # the full-res stat maps never leave the device
+                acc.update_counts(
+                    np.asarray(out["agree_counts"])[:n_real],
+                    np.asarray(out["topk_purity"])[:n_real],
+                    n_images=n_real)
+            else:
+                # windowed path: stacks n_wins count maps per image
+                # (image-major) but ONE window-mean purity per image
+                nw = out.get("stat_windows", 1)
+                acc.update(np.asarray(out["stat_pred"])[:n_real * nw],
+                           np.asarray(out["nearest_proto"])[:n_real * nw],
+                           topk_purity=np.asarray(
+                               out["topk_purity"])[:n_real],
+                           n_images=n_real)
         n_images += n_real
         if args.max_images and n_images >= args.max_images:
             break

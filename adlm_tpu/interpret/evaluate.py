@@ -58,6 +58,7 @@ def _upsampled_nearest_integer(dist: jnp.ndarray, sy: int, sx: int
     import math
 
     B, h, w, P = dist.shape
+    dist = dist.astype(jnp.float32)  # blend in f32 even for bf16 maps
 
     def shifted(ddy, ddx):
         t = dist
@@ -95,13 +96,24 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
     """argmin over prototypes of the bilinearly-upsampled distance maps.
 
     Equals ``argmin(resize(dist, size), -1)`` (reference
-    eval_valid.py:172-174).  Integer upsample factors (the whole-image
-    eval case: output stride 8) take the phase-decomposed 4-tap path
-    (``_upsampled_nearest_integer``) — no resize matmuls, no
-    O(H·W·P) buffer; other ratios scan prototype chunks of the real
-    resize with a running (min, argmin) so peak memory stays
-    O(H·W·chunk).  First-occurrence tie-break (numpy/torch argmin
-    semantics): strict ``<`` against the running best.
+    eval_valid.py:172-174).  Integer upsample factors take the
+    phase-decomposed 4-tap path (``_upsampled_nearest_integer``).
+    General ratios — which include every real backbone shape: the
+    dilated-ResNet grid is 2ⁿ+1 (2048×1024 → 257×129, 513² → 65²), so
+    the scale is never an integer — scan prototype chunks with a
+    running (min, argmin), picking the chunk body by dtype (both
+    measured on the v5e at the flagship shape, batch 8):
+
+    * bf16 maps: ``jax.image.resize`` — its two dense matmuls per
+      chunk ride the MXU fast path in bf16 (71 ms total);
+    * f32 maps (the reference-parity eval mode): an exact 4-tap
+      gather blend with the same half-pixel formula as
+      ``_bilinear_gather``, vectorized over all output pixels
+      (140 ms) — f32 resize matmuls fall off the MXU (2.1 s).
+
+    Peak memory stays O(H·W·chunk).  First-occurrence tie-break
+    (numpy/torch argmin semantics): strict ``<`` against the running
+    best.
 
     Args:
       dist: (B, h, w, P) distances at the output grid.
@@ -122,21 +134,92 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
         dist = jnp.pad(dist, ((0, 0), (0, 0), (0, 0), (0, pad)),
                        constant_values=1e30)
 
+    if dist.dtype == jnp.bfloat16:
+        def chunk_up(sl):
+            return resize_bilinear(sl, size)
+    else:
+        # half-pixel source coordinates (torch align_corners=False);
+        # the taps and weights are trace-time constants
+        sy = jnp.clip((jnp.arange(H, dtype=jnp.float32) + 0.5) * (h / H)
+                      - 0.5, 0.0, h - 1.0)
+        sx = jnp.clip((jnp.arange(W, dtype=jnp.float32) + 0.5) * (w / W)
+                      - 0.5, 0.0, w - 1.0)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (sy - y0)[:, None, None]                      # (H,1,1)
+        wx = (sx - x0)[:, None]                            # (W,1)
+
+        def chunk_up(sl):
+            sl = sl.astype(jnp.float32)
+            # x-pass: small (B,h,W,chunk) buffer; the y-pass fuses
+            # into the min/argmin
+            fx = sl[:, :, x0, :] * (1.0 - wx) + sl[:, :, x1, :] * wx
+            return fx[:, y0] * (1.0 - wy) + fx[:, y1] * wy
+
     def body(i, carry):
         best, best_i = carry
         sl = jax.lax.dynamic_slice_in_dim(dist, i * chunk, chunk, axis=3)
-        up = resize_bilinear(sl, size)
+        up = chunk_up(sl)
         cmin = jnp.min(up, axis=-1)
         cidx = jnp.argmin(up, axis=-1).astype(jnp.int32) + i * chunk
         take = cmin < best
         return (jnp.where(take, cmin, best),
                 jnp.where(take, cidx, best_i))
 
-    best0 = jnp.full((B, *size), jnp.asarray(1e30, dist.dtype) * 2,
-                     dist.dtype)
+    best0 = jnp.full((B, *size), jnp.asarray(2e30, dist.dtype), dist.dtype)
     idx0 = jnp.zeros((B, *size), jnp.int32)
     _, best_i = jax.lax.fori_loop(0, n_chunks, body, (best0, idx0))
     return best_i
+
+
+def agreement_counts(nearest: jnp.ndarray, stat_pred: jnp.ndarray,
+                     proto_class: jnp.ndarray, chunk: int = 16
+                     ) -> jnp.ndarray:
+    """Per-image nearest-prototype agreement counts, on device.
+
+    ``cnt[b, p] = #pixels of image b with nearest == p and
+    stat_pred == proto_class[p]`` — exactly the statistic the
+    reference accumulates per class/prototype (eval_valid.py:191-198;
+    ``counts[c, p] = cnt[p]·[proto_class[p] == c]`` on the host).
+
+    Computed as a broadcast-compare + reduction over prototype chunks:
+    no per-pixel table gather (pathologically slow on TPU at 2048×1024
+    — measured ~140 ms/batch for ``proto_class[nearest]``) and no
+    scatter (bincount).  Fetching the (B, P) int32 result replaces the
+    two full-resolution int32 map fetches the host bincount needed
+    (128 MB/batch at the flagship shape).
+
+    Args:
+      nearest: (B, h, w) int32 nearest-prototype indices.
+      stat_pred: (B, h, w) int32 predicted classes (−1 = excluded).
+      proto_class: (P,) int32 prototype class ids.
+
+    Returns:
+      (B, P) int32 counts.
+    """
+    P = proto_class.shape[0]
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    # padded prototypes get class −2: matches neither stat_pred ≥ 0
+    # nor the windowed-exclusion marker −1
+    pc = jnp.pad(proto_class.astype(jnp.int32), (0, pad),
+                 constant_values=-2)
+    B = nearest.shape[0]
+    n4 = nearest[..., None]
+    s4 = stat_pred[..., None]
+
+    def body(i, acc):
+        ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        pcc = jax.lax.dynamic_slice_in_dim(pc, i * chunk, chunk)
+        agree = (n4 == ids) & (s4 == pcc)                # (B,h,w,chunk)
+        part = jnp.sum(agree, axis=(1, 2), dtype=jnp.int32)
+        return jax.lax.dynamic_update_slice_in_dim(acc, part, i * chunk,
+                                                   axis=1)
+
+    acc0 = jnp.zeros((B, n_chunks * chunk), jnp.int32)
+    return jax.lax.fori_loop(0, n_chunks, body, acc0)[:, :P]
 
 
 def _bilinear_gather(x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
@@ -223,8 +306,11 @@ def make_inference_fn(model: PPNet, num_classes: int,
     pixels, drawn per image like the reference (eval_valid.py:201-204);
     they are scaled to the stats grid inside
     the jit (whose size depends on ``stats_upsampled``).  The output
-    gains ``stat_pred``/``nearest_proto``/``nearest_proto_class`` maps
-    at the stats resolution and a ``topk_purity`` (B, P) vector.
+    gains ``stat_pred``/``nearest_proto`` maps at the stats
+    resolution, a per-image ``agree_counts`` (B, P) int32 vector (see
+    ``agreement_counts`` — feed it to
+    ``ProtoStatsAccumulator.update_counts``; the maps need not leave
+    the device), and a ``topk_purity`` (B, P) vector.
 
     ``labels`` are raw annotations: 0 = void, class c at value c+1
     (reference eval_valid.py:178-189).
@@ -277,6 +363,7 @@ def make_inference_fn(model: PPNet, num_classes: int,
             v = jnp.broadcast_to(jnp.atleast_2d(uv[1]),
                                  (B, uv[1].shape[-1]))
             bidx = jnp.arange(B)[:, None]
+            stat_chunk = int(proto_class.shape[0])
             if stats_upsampled:
                 # reference parity: statistics on bilinearly upsampled
                 # distances at label resolution (eval_valid.py:172-214)
@@ -287,6 +374,7 @@ def make_inference_fn(model: PPNet, num_classes: int,
                 # device-buffer limit; chunk is static at trace time)
                 chunk = max(1, min(proto_chunk,
                                    (64 * 1024 * 1024) // (B * H * W)))
+                stat_chunk = chunk
                 nearest = upsampled_nearest(dist, (H, W), chunk)
                 rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
                 cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
@@ -302,7 +390,13 @@ def make_inference_fn(model: PPNet, num_classes: int,
             sample_pred = stat_pred[bidx, rows, cols]         # (B,n)
             out["stat_pred"] = stat_pred
             out["nearest_proto"] = nearest
-            out["nearest_proto_class"] = proto_class[nearest]
+            # (B, P) on-device agreement counts: the host accumulator
+            # consumes these tiny vectors instead of bincounting two
+            # fetched full-res maps (and the old per-pixel
+            # ``proto_class[nearest]`` table gather is gone — TPU
+            # gathers at 16.7M indices measured ~140 ms/batch)
+            out["agree_counts"] = agreement_counts(
+                nearest, stat_pred, proto_class, chunk=stat_chunk)
             out["topk_purity"] = _topk_purity(
                 sample_d, sample_pred, proto_class)
         return out

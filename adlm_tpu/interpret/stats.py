@@ -106,6 +106,28 @@ class ProtoStatsAccumulator:
                                * 100.0 / self.n_random)
         self.n_images += pred.shape[0] if n_images is None else n_images
 
+    def update_counts(self, agree_counts: np.ndarray,
+                      topk_purity: np.ndarray,
+                      n_images: Optional[int] = None) -> None:
+        """Accumulate device-computed statistics (the fast eval path).
+
+        Args:
+          agree_counts: (P,) or (B, P) int — per-prototype pixel counts
+            where the predicted class equals the prototype's class
+            (``make_inference_fn``'s ``agree_counts`` output; equal to
+            what :meth:`update` derives from the full maps).
+          topk_purity: (B, P) per-image purity vectors.
+          n_images: image-count increment (defaults to
+            ``topk_purity.shape[0]``).
+        """
+        ac = np.asarray(agree_counts, np.int64)
+        if ac.ndim == 2:
+            ac = ac.sum(axis=0)
+        self.counts[self.pc, np.arange(self.P)] += ac
+        tk = np.asarray(topk_purity, np.float64)
+        self.top_k += tk.sum(axis=0)
+        self.n_images += tk.shape[0] if n_images is None else n_images
+
     def results(self) -> Dict[str, Any]:
         top_k = self.top_k / max(self.n_images, 1)
         return {"nearest_proto_counts": self.counts,

@@ -80,7 +80,7 @@ def _make_window_program(model: PPNet, window: Tuple[int, int],
     hx = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(ww) + 0.5) / ww)
     taper = (hy[:, None] * hx[None, :])[None, :, :, None]
 
-    from adlm_tpu.interpret.evaluate import _topk_purity
+    from adlm_tpu.interpret.evaluate import _topk_purity, agreement_counts
 
     @jax.jit
     def fn(params, constants, proto_class, patch, mask,
@@ -108,7 +108,12 @@ def _make_window_program(model: PPNet, window: Tuple[int, int],
         sample_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)[
             bidx, rows, cols]                                # (B, n)
         topk = _topk_purity(sample_d, sample_pred, proto_class)
-        return outs + (stat_pred, nearest, topk)
+        # per-window (B, P) device-side agreement counts (pad cells
+        # carry stat_pred = −1 and never match) — the host accumulates
+        # these tiny vectors via update_counts
+        agree = agreement_counts(nearest, stat_pred, proto_class,
+                                 chunk=int(proto_class.shape[0]))
+        return outs + (stat_pred, nearest, topk, agree)
 
     return fn
 
@@ -222,7 +227,7 @@ class WindowedSegEvaluator:
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         acc = np.zeros((B, H, W, self.model.cfg.num_classes), np.float32)
         norm = np.zeros((B, H, W, 1), np.float32)
-        preds, nearests, topks = [], [], []
+        preds, nearests, topks, agrees = [], [], [], []
 
         # ONE pass over the window grid: stitched logits AND (with
         # stats) the per-window statistics from the same forward
@@ -260,6 +265,7 @@ class WindowedSegEvaluator:
                     preds.append(np.asarray(out[2]))
                     nearests.append(np.asarray(out[3]))
                     topks.append(np.asarray(out[4]))
+                    agrees.append(np.asarray(out[5]))
 
         logits = acc / np.maximum(norm, 1e-8)
         if logits.shape[1:3] != labels.shape[1:3]:
@@ -294,6 +300,8 @@ class WindowedSegEvaluator:
                                       .transpose(1, 0, 2, 3)
                                       .reshape(n_wins * B, gh, gw))
             out_d["topk_purity"] = np.mean(topks, axis=0)    # (B, P)
+            # summed over windows; equals bincounting the stacked maps
+            out_d["agree_counts"] = np.sum(agrees, axis=0)   # (B, P)
             out_d["stat_windows"] = n_wins
         return out_d
 

@@ -128,6 +128,17 @@ def test_single_forward_stats_match_reference_math():
     np.testing.assert_array_equal(res["nearest_proto_counts"], counts)
     np.testing.assert_allclose(res["mean_top_k_purity"], top_k, rtol=1e-5)
 
+    # the device-side (B, P) agreement counts + update_counts fast path
+    # must reproduce the map-derived accumulation exactly
+    acc2 = ProtoStatsAccumulator(6, 3, np.asarray(pc))
+    acc2.update_counts(np.asarray(out["agree_counts"]),
+                       np.asarray(out["topk_purity"]))
+    res2 = acc2.results()
+    np.testing.assert_array_equal(res2["nearest_proto_counts"], counts)
+    np.testing.assert_allclose(res2["mean_top_k_purity"], top_k,
+                               rtol=1e-5)
+    assert acc2.n_images == 1
+
 
 def test_upsampled_stats_match_direct_computation():
     model, params, constants, image, rng = _tiny(2)
@@ -157,10 +168,17 @@ def test_upsampled_stats_match_direct_computation():
 
     rows = np.minimum((np.asarray(u) * H).astype(np.int64), H - 1)
     cols = np.minimum((np.asarray(v) * W).astype(np.int64), W - 1)
-    _, top_k = _reference_stats(pred_up, nearest_up, dist_up,
-                                np.asarray(pc), rows, cols, 6)
+    counts_up, top_k = _reference_stats(pred_up, nearest_up, dist_up,
+                                        np.asarray(pc), rows, cols, 6)
     np.testing.assert_allclose(np.asarray(out["topk_purity"][0]), top_k,
                                rtol=1e-4, atol=1e-4)
+
+    # chunked upsampled agreement counts == map-derived reference counts
+    acc = ProtoStatsAccumulator(6, 3, np.asarray(pc))
+    acc.update_counts(np.asarray(out["agree_counts"]),
+                      np.asarray(out["topk_purity"]))
+    np.testing.assert_array_equal(acc.results()["nearest_proto_counts"],
+                                  counts_up)
 
 
 def test_seg_evaluator_stats_and_metrics_consistent():
@@ -336,6 +354,32 @@ def test_device_normalize_bit_equals_host_path():
         ds2 = SegmentationDataset(rcfg, "val", data_path=root,
                                   is_eval=True)
         assert not ds2.supports_raw_eval()  # resize-after-norm path
+
+
+def test_upsampled_nearest_bf16_path_matches_resize():
+    """bf16 maps take the chunked-resize branch (MXU fast path on
+    TPU); it must equal argmin(resize(...)) on the bf16 values."""
+    rng = np.random.RandomState(7)
+    dist = jnp.asarray(rng.rand(2, 5, 7, 11).astype(np.float32),
+                       jnp.bfloat16)
+    size = (19, 23)
+    want = jnp.argmin(resize_bilinear(dist, size), axis=-1)
+    got = upsampled_nearest(dist, size, chunk=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_agreement_counts_excluded_marker():
+    """stat_pred == −1 pixels (the windowed pad-cell marker) never
+    count, and padded prototype slots never alias."""
+    from adlm_tpu.interpret.evaluate import agreement_counts
+
+    nearest = jnp.asarray([[[0, 1], [2, 2]]], jnp.int32)
+    pred = jnp.asarray([[[0, -1], [1, 1]]], jnp.int32)
+    pc = jnp.asarray([0, 0, 1], jnp.int32)
+    got = np.asarray(agreement_counts(nearest, pred, pc, chunk=2))
+    # px(0,0): nearest 0, pred 0 == pc[0] → counts; px(0,1): excluded;
+    # px(1,0)/(1,1): nearest 2, pred 1 == pc[2] → 2 counts
+    np.testing.assert_array_equal(got, [[1, 0, 2]])
 
 
 def test_upsampled_nearest_integer_fast_path_matches_resize():

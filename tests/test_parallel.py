@@ -502,8 +502,8 @@ def test_prototype_parallel_inference_matches_replicated():
                                       np.asarray(got[k]))
     np.testing.assert_array_equal(np.asarray(ref["nearest_proto"]),
                                   np.asarray(got["nearest_proto"]))
-    np.testing.assert_array_equal(np.asarray(ref["nearest_proto_class"]),
-                                  np.asarray(got["nearest_proto_class"]))
+    np.testing.assert_array_equal(np.asarray(ref["agree_counts"]),
+                                  np.asarray(got["agree_counts"]))
     np.testing.assert_allclose(np.asarray(ref["topk_purity"]),
                                np.asarray(got["topk_purity"]),
                                rtol=1e-5, atol=1e-6)

@@ -106,6 +106,15 @@ def test_windowed_stats_accumulates_like_whole_image():
     np.testing.assert_allclose(res["mean_top_k_purity"][-1],
                                100.0 * 2 / 6, atol=1e-4)
 
+    # the device-side per-window agreement counts must equal the
+    # map-derived bincount accumulation exactly
+    acc2 = ProtoStatsAccumulator(6, 3, np.asarray(pc))
+    acc2.update_counts(out["agree_counts"], out["topk_purity"],
+                       n_images=2)
+    np.testing.assert_array_equal(
+        acc2.results()["nearest_proto_counts"],
+        res["nearest_proto_counts"])
+
 
 def test_windowed_stats_single_window_equals_whole_image():
     """With ONE window covering the whole image, the windowed stats
