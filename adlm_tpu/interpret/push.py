@@ -41,22 +41,52 @@ from adlm_tpu.ops.normalize import normalize_in_jit
 _INF = jnp.float32(1e30)
 
 
+def patch_class_bits(label: jnp.ndarray, grid_hw: Tuple[int, int],
+                     num_classes: int) -> jnp.ndarray:
+    """(..., h, w) int32 bitmask: bit c set ⇔ class c has ≥1 pixel in
+    patch (i, j).  ``label`` is (..., H, W) raw full-res annotation
+    where 0 = void/background and class c occupies value c+1
+    (reference push.py:216-223).
+
+    Scatter-free: the obvious ``.at[pixel→patch].max`` scatter costs
+    ~180 ms/batch at the flagship shape (16.7M scattered updates —
+    TPU scatters serialize); instead pack each pixel's class into an
+    int32 bit and OR-pool over the (statically known, variable-size)
+    pixel blocks with an unrolled chain of row/column takes — measured
+    free next to the push forward.  Requires ``num_classes ≤ 31``.
+    """
+    if num_classes > 31:
+        raise ValueError("bit-packed eligibility supports ≤31 classes; "
+                         f"got {num_classes}")
+    H, W = label.shape[-2], label.shape[-1]
+    h, w = grid_hw
+    cls = jnp.clip(label.astype(jnp.int32) - 1, 0, num_classes - 1)
+    bits = jnp.where(label > 0, jnp.left_shift(jnp.int32(1), cls), 0)
+    # pixel-row → grid-row block boundaries are trace-time constants
+    pi = (np.arange(H) * h) // H
+    pj = (np.arange(W) * w) // W
+    starts_i = np.searchsorted(pi, np.arange(h))
+    ends_i = np.searchsorted(pi, np.arange(h), side="right")
+    starts_j = np.searchsorted(pj, np.arange(w))
+    ends_j = np.searchsorted(pj, np.arange(w), side="right")
+    y = jnp.zeros(bits.shape[:-2] + (h, W), jnp.int32)
+    for k in range(int((ends_i - starts_i).max())):
+        idx = np.minimum(starts_i + k, ends_i - 1)
+        y = y | bits[..., idx, :]
+    e = jnp.zeros(bits.shape[:-2] + (h, w), jnp.int32)
+    for k in range(int((ends_j - starts_j).max())):
+        idx = np.minimum(starts_j + k, ends_j - 1)
+        e = e | y[..., :, idx]
+    return e
+
+
 def patch_class_eligibility(label: jnp.ndarray, grid_hw: Tuple[int, int],
                             num_classes: int) -> jnp.ndarray:
-    """(h, w, C) bool: class c has ≥1 pixel in patch (i, j).
-
-    ``label`` is the raw full-res annotation where 0 = void/background
-    and class c occupies value c+1 (reference push.py:216-223).
-    """
-    H, W = label.shape
-    h, w = grid_hw
-    pi = (jnp.arange(H) * h) // H
-    pj = (jnp.arange(W) * w) // W
-    cls = jnp.clip(label.astype(jnp.int32) - 1, 0, num_classes - 1)
-    valid = (label > 0).astype(jnp.int32)
-    elig = jnp.zeros((h, w, num_classes), jnp.int32)
-    elig = elig.at[pi[:, None], pj[None, :], cls].max(valid)
-    return elig.astype(bool)
+    """(h, w, C) bool: class c has ≥1 pixel in patch (i, j)
+    (unpacked view of ``patch_class_bits``)."""
+    bits = patch_class_bits(label, grid_hw, num_classes)
+    c = jnp.arange(num_classes, dtype=jnp.int32)
+    return jnp.bitwise_and(jnp.right_shift(bits[..., None], c), 1) > 0
 
 
 def make_push_batch_fn(model: PPNet, num_classes: int) -> Callable:
@@ -69,8 +99,10 @@ def make_push_batch_fn(model: PPNet, num_classes: int) -> Callable:
         variables = {"params": params, "constants": constants}
         f, d = model.apply(variables, image, method=PPNet.push_forward)
         h, w, P = d.shape[1], d.shape[2], d.shape[3]
-        elig = patch_class_eligibility(label[0], (h, w), num_classes)
-        elig_p = elig[:, :, proto_class]                    # (h, w, P)
+        bits = patch_class_bits(label[0], (h, w), num_classes)
+        # eligibility by broadcast bit test — no per-pixel table gather
+        elig_p = jnp.bitwise_and(
+            jnp.right_shift(bits[..., None], proto_class), 1) > 0
         masked = jnp.where(elig_p, d[0], _INF)
         flat = masked.reshape(h * w, P)
         arg = jnp.argmin(flat, axis=0)                      # first-min wins
@@ -111,10 +143,9 @@ def make_push_batched_fn(model: PPNet, num_classes: int,
         f, d = model.apply(variables, images, method=PPNet.push_forward)
         B, h, w, P = d.shape
 
-        elig = jax.vmap(
-            lambda lab: patch_class_eligibility(lab, (h, w), num_classes)
-        )(labels)                                       # (B, h, w, C)
-        elig_p = elig[:, :, :, proto_class]             # (B, h, w, P)
+        bits = patch_class_bits(labels, (h, w), num_classes)  # (B,h,w)
+        elig_p = jnp.bitwise_and(
+            jnp.right_shift(bits[..., None], proto_class), 1) > 0
         masked = jnp.where(elig_p, d, _INF)
         flat = masked.reshape(B * h * w, P)
         arg = jnp.argmin(flat, axis=0)                  # B-major order

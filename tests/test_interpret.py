@@ -68,6 +68,29 @@ def test_patch_class_eligibility_matches_reference_loop():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_patch_class_bits_matches_scatter_formulation():
+    """The scatter-free bit-pooled eligibility (OR over statically
+    unrolled block takes) must equal the direct scatter-max over
+    pixels at awkward non-divisible grid ratios, batched and not."""
+    from adlm_tpu.interpret.push import patch_class_bits
+
+    rng = np.random.RandomState(1)
+    for shape, grid, C in [((67, 41), (9, 6), 5), ((64, 33), (64, 33), 3),
+                           ((129, 257), (17, 33), 19)]:
+        label = rng.randint(0, C + 1, size=shape)
+        want = _reference_eligibility(label, grid, C)
+        bits = np.asarray(patch_class_bits(jnp.asarray(label), grid, C))
+        got = ((bits[..., None] >> np.arange(C)) & 1).astype(bool)
+        np.testing.assert_array_equal(got, want)
+    # batched leading dim
+    labels = rng.randint(0, 4, size=(3, 50, 70))
+    bits = np.asarray(patch_class_bits(jnp.asarray(labels), (7, 9), 3))
+    for b in range(3):
+        want = _reference_eligibility(labels[b], (7, 9), 3)
+        got = ((bits[b][..., None] >> np.arange(3)) & 1).astype(bool)
+        np.testing.assert_array_equal(got, want)
+
+
 def _make_model_and_data(seed=0, n_imgs=3, num_classes=3, num_protos=6):
     cfg = tiny_cfg(num_classes, num_protos)
     model = PPNet(cfg=cfg)
