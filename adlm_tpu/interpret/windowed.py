@@ -184,12 +184,24 @@ class WindowedSegEvaluator:
     ``normalize=(mean, std)`` selects the raw-uint8 transfer path:
     images arrive uint8 and every window is normalized on device (see
     ``_make_window_program``).
+
+    ``device_stitch`` keeps the stitched-logits canvas ON DEVICE:
+    window contributions accumulate into a donated (B, H, W, K) buffer
+    via dynamic-update-slice (window offsets are traced scalars — one
+    compiled program for every window position) and a final jit
+    computes pred + confusion counters, so per-window logits blocks
+    (~20 MB each at 512² windows) never cross to the host.  Default
+    (None) auto-enables when the canvas fits comfortably on device
+    (≤ ~200 MB, the remote-relay buffer-margin rule — CLAUDE.md) and
+    the image is at least window-sized; the host-stitching path is the
+    fallback and the numerical reference.
     """
 
     def __init__(self, model: PPNet, num_classes: int,
                  window: Tuple[int, int], overlap: float = 0.25,
                  with_stats: bool = False, n_random_pixels: int = 100,
-                 seed: int = 0, normalize: Optional[Tuple] = None):
+                 seed: int = 0, normalize: Optional[Tuple] = None,
+                 device_stitch: Optional[bool] = None):
         self.num_classes = num_classes
         self.window = window
         self.overlap = overlap
@@ -202,7 +214,49 @@ class WindowedSegEvaluator:
         self._full_mask = jnp.ones((1,) + tuple(window) + (1,),
                                    jnp.float32)
         self._zero_uv = jnp.zeros((1, 1), jnp.float32)
+        self.device_stitch = device_stitch
+        self._make_stitch_fns()
         self.reset()
+
+    def _make_stitch_fns(self):
+        wh, ww = self.window
+        K = self.model.cfg.num_classes
+        NC = self.num_classes
+
+        def acc(canvas, norm, contrib, taper, sh, sw):
+            B = canvas.shape[0]
+            ch = jax.lax.dynamic_slice(canvas, (0, sh, sw, 0),
+                                       (B, wh, ww, K))
+            nh = jax.lax.dynamic_slice(norm, (0, sh, sw, 0),
+                                       (B, wh, ww, 1))
+            canvas = jax.lax.dynamic_update_slice(canvas, ch + contrib,
+                                                  (0, sh, sw, 0))
+            norm = jax.lax.dynamic_update_slice(
+                norm, nh + jnp.broadcast_to(taper, (B, wh, ww, 1)),
+                (0, sh, sw, 0))
+            return canvas, norm
+
+        self._acc_fn = jax.jit(acc, donate_argnums=(0, 1))
+
+        def finish(canvas, norm, labels):
+            logits = canvas / jnp.maximum(norm, 1e-8)
+            H, W = labels.shape[1], labels.shape[2]
+            if logits.shape[1:3] != (H, W):
+                logits = resize_bilinear(logits, (H, W))
+            pred = jnp.argmax(logits, axis=-1)
+            valid = labels > 0
+            gt = jnp.clip(labels.astype(jnp.int32) - 1, 0, NC - 1)
+            agree = valid & (pred == gt)
+            pred1 = jax.nn.one_hot(pred, NC, dtype=jnp.int32)
+            gt1 = jax.nn.one_hot(gt, NC, dtype=jnp.int32) * \
+                valid[..., None].astype(jnp.int32)
+            inter = jnp.sum(pred1 * gt1, axis=(0, 1, 2))
+            union = jnp.sum(((pred1 + gt1) > 0) & valid[..., None],
+                            axis=(0, 1, 2))
+            return {"pred": pred, "intersection": inter, "union": union,
+                    "correct": jnp.sum(agree), "total": jnp.sum(valid)}
+
+        self._finish_fn = jax.jit(finish)
 
     def reset(self):
         self.intersection = np.zeros(self.num_classes, np.int64)
@@ -225,8 +279,19 @@ class WindowedSegEvaluator:
         wh, ww = self.window
         stride_h, stride_w = _strides(self.window, self.overlap)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
-        acc = np.zeros((B, H, W, self.model.cfg.num_classes), np.float32)
-        norm = np.zeros((B, H, W, 1), np.float32)
+        K = self.model.cfg.num_classes
+        use_dev = self.device_stitch
+        if use_dev is None:
+            # auto: canvas within the device-buffer margin and no
+            # padded (smaller-than-window) images
+            use_dev = (H >= wh and W >= ww and
+                       B * H * W * K * 4 <= 200 * 1024 * 1024)
+        if use_dev:
+            canvas = jnp.zeros((B, H, W, K), jnp.float32)
+            dnorm = jnp.zeros((B, H, W, 1), jnp.float32)
+        else:
+            acc = np.zeros((B, H, W, K), np.float32)
+            norm = np.zeros((B, H, W, 1), np.float32)
         preds, nearests, topks, agrees = [], [], [], []
 
         # ONE pass over the window grid: stitched logits AND (with
@@ -257,35 +322,59 @@ class WindowedSegEvaluator:
                                                    constants, proto_class),
                               u, v)
                 logits_w, weight = out[0], out[1]
-                acc[:, sh:sh + ph, sw:sw + pw] += np.asarray(
-                    logits_w)[:, :ph, :pw]
-                norm[:, sh:sh + ph, sw:sw + pw] += np.asarray(
-                    weight)[:, :ph, :pw]
+                if use_dev:
+                    # accumulate on device: donated canvas, traced
+                    # offsets — no per-window logits fetch
+                    canvas, dnorm = self._acc_fn(
+                        canvas, dnorm, logits_w, weight,
+                        jnp.asarray(sh, jnp.int32),
+                        jnp.asarray(sw, jnp.int32))
+                else:
+                    acc[:, sh:sh + ph, sw:sw + pw] += np.asarray(
+                        logits_w)[:, :ph, :pw]
+                    norm[:, sh:sh + ph, sw:sw + pw] += np.asarray(
+                        weight)[:, :ph, :pw]
                 if self.with_stats:
                     preds.append(np.asarray(out[2]))
                     nearests.append(np.asarray(out[3]))
                     topks.append(np.asarray(out[4]))
                     agrees.append(np.asarray(out[5]))
 
-        logits = acc / np.maximum(norm, 1e-8)
-        if logits.shape[1:3] != labels.shape[1:3]:
-            logits = np.asarray(resize_bilinear(
-                jnp.asarray(logits), (labels.shape[1], labels.shape[2])))
-        pred = np.argmax(logits, axis=-1)
-        valid = labels > 0
-        gt = np.clip(labels.astype(np.int64) - 1, 0, self.num_classes - 1)
-        agree = valid & (pred == gt)
-        self.correct += int(np.sum(agree))
-        self.total += int(np.sum(valid))
-        C = self.num_classes
-        inter = np.bincount(gt[agree], minlength=C)
-        # a valid pixel joins union[pred] and union[gt]; subtract the
-        # double count where they coincide
-        union = (np.bincount(pred[valid], minlength=C)
-                 + np.bincount(gt[valid], minlength=C) - inter)
-        self.intersection += inter
-        self.union += union
-        out_d = {"pred": pred, "intersection": inter, "union": union}
+        if use_dev:
+            # final metrics in ONE jit; only counters cross to the
+            # host (pred stays a device array — callers that need the
+            # map, e.g. eval-test PNG writing, np.asarray it)
+            fout = self._finish_fn(canvas, dnorm, jnp.asarray(labels))
+            inter = np.asarray(fout["intersection"], np.int64)
+            union = np.asarray(fout["union"], np.int64)
+            self.correct += int(fout["correct"])
+            self.total += int(fout["total"])
+            self.intersection += inter
+            self.union += union
+            out_d = {"pred": fout["pred"], "intersection": inter,
+                     "union": union}
+        else:
+            logits = acc / np.maximum(norm, 1e-8)
+            if logits.shape[1:3] != labels.shape[1:3]:
+                logits = np.asarray(resize_bilinear(
+                    jnp.asarray(logits),
+                    (labels.shape[1], labels.shape[2])))
+            pred = np.argmax(logits, axis=-1)
+            valid = labels > 0
+            gt = np.clip(labels.astype(np.int64) - 1,
+                         0, self.num_classes - 1)
+            agree = valid & (pred == gt)
+            self.correct += int(np.sum(agree))
+            self.total += int(np.sum(valid))
+            C = self.num_classes
+            inter = np.bincount(gt[agree], minlength=C)
+            # a valid pixel joins union[pred] and union[gt]; subtract
+            # the double count where they coincide
+            union = (np.bincount(pred[valid], minlength=C)
+                     + np.bincount(gt[valid], minlength=C) - inter)
+            self.intersection += inter
+            self.union += union
+            out_d = {"pred": pred, "intersection": inter, "union": union}
         if self.with_stats:
             n_wins = len(preds)
             sp = np.concatenate(preds)

@@ -116,6 +116,49 @@ def test_windowed_stats_accumulates_like_whole_image():
         res["nearest_proto_counts"])
 
 
+def test_windowed_device_stitch_matches_host_stitch():
+    """The on-device canvas accumulation (donated dynamic-update-slice
+    stitching + one-jit metrics) must reproduce the host numpy
+    stitching exactly: counters, pred map, and the per-window stats."""
+    from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+    from adlm_tpu.models.ppnet import default_proto_class
+
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=65)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(9)
+    images = rng.rand(2, 96, 128, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=(2, 96, 128))
+    v = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 65, 65, 3)))
+    params, constants = v["params"], v.get("constants", {})
+    pc = default_proto_class(6, 3)
+
+    host = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                                n_random_pixels=8, device_stitch=False)
+    dev = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                               n_random_pixels=8, device_stitch=True)
+    oh = host.update(params, constants, pc, images, labels)
+    od = dev.update(params, constants, pc, images, labels)
+    np.testing.assert_array_equal(oh["intersection"], od["intersection"])
+    np.testing.assert_array_equal(oh["union"], od["union"])
+    np.testing.assert_array_equal(oh["pred"], np.asarray(od["pred"]))
+    np.testing.assert_array_equal(oh["agree_counts"],
+                                  np.asarray(od["agree_counts"]))
+    assert host.results() == dev.results()
+
+    # auto mode picks the device path for small canvases and must
+    # also handle the label-resize branch (labels bigger than image)
+    auto = WindowedSegEvaluator(model, 3, (65, 65), device_stitch=None)
+    href = WindowedSegEvaluator(model, 3, (65, 65), device_stitch=False)
+    lab_big = rng.randint(0, 4, size=(1, 120, 160))
+    img = rng.rand(1, 96, 128, 3).astype(np.float32)
+    oa = auto.update(params, constants, pc, img, lab_big)
+    ob = href.update(params, constants, pc, img, lab_big)
+    np.testing.assert_array_equal(np.asarray(oa["pred"]), ob["pred"])
+    assert auto.results() == href.results()
+
+
 def test_windowed_stats_single_window_equals_whole_image():
     """With ONE window covering the whole image, the windowed stats
     maps must equal make_inference_fn(with_stats=True)'s grid maps on
