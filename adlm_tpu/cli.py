@@ -430,7 +430,7 @@ def cmd_prune(args):
     new_params, new_pc, prune_info = prune_by_purity(
         model, params, payload["constants"], proto_class,
         ds.eval_items(), cfg.model.num_classes, k=args.k,
-        prune_threshold=args.threshold)
+        prune_threshold=args.threshold, batch_size=args.batch_size)
     store.save("pruned", "last", {
         "params": dict(new_params), "constants": dict(payload["constants"]),
         "proto_class": new_pc, "step": payload["step"]})
@@ -1337,6 +1337,9 @@ def main(argv=None):
     pp.add_argument("--data-path", default=None)
     pp.add_argument("--k", type=int, default=6)
     pp.add_argument("--threshold", type=int, default=3)
+    pp.add_argument("--batch-size", type=int, default=1,
+                    help="images per jit call for the k-nearest scan "
+                         "(results identical to the sequential scan)")
     pp.set_defaults(fn=cmd_prune)
 
     cp = sub.add_parser("cls-train")

@@ -25,6 +25,54 @@ from adlm_tpu.ops.resize import resize_label_nearest
 _VOID_PENALTY = 10e6  # reference find_nearest.py:132
 
 
+def _nearest_one_image(d1: jnp.ndarray, y: jnp.ndarray,
+                       proto_class: jnp.ndarray, num_classes: int):
+    """Per-image (min_dist, patch_label, patch_i, patch_j), each (P,).
+
+    ``d1`` is the (h, w, P) distance map, ``y`` the (H, W) label already
+    shifted by −1 (void = −1, like the reference find_nearest.py:117).
+    """
+    h, w, P = d1.shape
+    grid_y = resize_label_nearest(y, (h, w))        # (h, w)
+    # penalize void patches (reference adds 10e6, find_nearest.py:132)
+    masked = d1 + _VOID_PENALTY * (grid_y == -1)[:, :, None]
+    flat = masked.reshape(h * w, P)
+    arg = jnp.argmin(flat, axis=0)
+    mind = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
+    pi, pj = arg // w, arg % w
+
+    # label the winning patch from the full-res pixel box; integer
+    # math equals the reference's int(i * (H/h)) for all shipped
+    # shapes (see tests)
+    H, W = y.shape
+    h0 = (pi * H) // h
+    h1 = ((pi + 1) * H) // h
+    w0 = (pj * W) // w
+    w1 = ((pj + 1) * W) // w
+
+    max_ph = -(-H // h) + 1
+    max_pw = -(-W // w) + 1
+
+    def label_one(h0i, h1i, w0i, w1i, target):
+        rows = h0i + jnp.arange(max_ph)
+        cols = w0i + jnp.arange(max_pw)
+        valid = ((rows < h1i) & (rows < H))[:, None] & \
+                ((cols < w1i) & (cols < W))[None, :]
+        patch = y[jnp.clip(rows, 0, H - 1)[:, None],
+                  jnp.clip(cols, 0, W - 1)[None, :]]
+        has_target = jnp.any(valid & (patch == target))
+        # majority class among pixels in the box (incl. void −1,
+        # reference find_nearest.py:204-206 counts raw values)
+        counts = jnp.zeros((num_classes + 1,), jnp.int32).at[
+            jnp.clip(patch + 1, 0, num_classes)].add(
+            valid.astype(jnp.int32))
+        majority = jnp.argmax(counts) - 1
+        return jnp.where(has_target, target, majority)
+
+    labels = jax.vmap(label_one)(h0, h1, w0, w1, proto_class)
+    return mind, labels, pi, pj
+
+
 def make_nearest_batch_fn(model: PPNet, num_classes: int) -> Callable:
     """(params, constants, proto_class, image(1,H,W,3), label(1,H,W))
     → (min_dist (P,), patch_label (P,), patch_i (P,), patch_j (P,)).
@@ -37,46 +85,32 @@ def make_nearest_batch_fn(model: PPNet, num_classes: int) -> Callable:
     def fn(params, constants, proto_class, image, label):
         variables = {"params": params, "constants": constants}
         _, d = model.apply(variables, image, method=PPNet.push_forward)
-        h, w, P = d.shape[1], d.shape[2], d.shape[3]
         y = label[0].astype(jnp.int32) - 1          # void → −1
-        grid_y = resize_label_nearest(y, (h, w))    # (h, w)
-        # penalize void patches (reference adds 10e6, find_nearest.py:132)
-        masked = d[0] + _VOID_PENALTY * (grid_y == -1)[:, :, None]
-        flat = masked.reshape(h * w, P)
-        arg = jnp.argmin(flat, axis=0)
-        mind = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
-        pi, pj = arg // w, arg % w
+        return _nearest_one_image(d[0], y, proto_class, num_classes)
 
-        # label the winning patch from the full-res pixel box; integer
-        # math equals the reference's int(i * (H/h)) for all shipped
-        # shapes (see tests)
-        H, W = y.shape
-        h0 = (pi * H) // h
-        h1 = ((pi + 1) * H) // h
-        w0 = (pj * W) // w
-        w1 = ((pj + 1) * W) // w
+    return fn
 
-        max_ph = -(-H // h) + 1
-        max_pw = -(-W // w) + 1
 
-        def label_one(h0i, h1i, w0i, w1i, target):
-            rows = h0i + jnp.arange(max_ph)
-            cols = w0i + jnp.arange(max_pw)
-            valid = ((rows < h1i) & (rows < H))[:, None] & \
-                    ((cols < w1i) & (cols < W))[None, :]
-            patch = y[jnp.clip(rows, 0, H - 1)[:, None],
-                      jnp.clip(cols, 0, W - 1)[None, :]]
-            has_target = jnp.any(valid & (patch == target))
-            # majority class among pixels in the box (incl. void −1,
-            # reference find_nearest.py:204-206 counts raw values)
-            counts = jnp.zeros((num_classes + 1,), jnp.int32).at[
-                jnp.clip(patch + 1, 0, num_classes)].add(
-                valid.astype(jnp.int32))
-            majority = jnp.argmax(counts) - 1
-            return jnp.where(has_target, target, majority)
+def make_nearest_batched_fn(model: PPNet, num_classes: int) -> Callable:
+    """Batched k-nearest scan step: (params, constants, proto_class,
+    images (B,H,W,3), labels (B,H,W)) → per-image (min_dist (B,P),
+    patch_label (B,P), patch_i (B,P), patch_j (B,P)).
 
-        labels = jax.vmap(label_one)(h0, h1, w0, w1, proto_class)
-        return mind, labels, pi, pj
+    ONE batched forward (the scan's cost is the forward — the
+    reference's loop is strictly per-image, find_nearest.py:104) and a
+    vmapped per-image argmin + box labelling; the host merges per-image
+    results in dataset order, so heap tie semantics match the
+    sequential scan exactly.
+    """
+
+    @jax.jit
+    def fn(params, constants, proto_class, images, labels):
+        variables = {"params": params, "constants": constants}
+        _, d = model.apply(variables, images, method=PPNet.push_forward)
+        ys = labels.astype(jnp.int32) - 1
+        return jax.vmap(
+            lambda d1, y: _nearest_one_image(d1, y, proto_class,
+                                             num_classes))(d, ys)
 
     return fn
 
@@ -90,6 +124,7 @@ def find_k_nearest_patches(
     num_classes: int,
     k: int = 6,
     return_info: bool = False,
+    batch_size: int = 1,
 ):
     """(P, k) class ids of each prototype's k nearest patches.
 
@@ -99,8 +134,13 @@ def find_k_nearest_patches(
     activation maps for every candidate in RAM (the reference keeps
     whole heatmaps in its heaps — find_nearest.py:209 "TODO this takes
     lots of RAM").
+
+    ``batch_size`` > 1 forwards several images per jit call (the final
+    partial batch pads with the first image of the batch and drops the
+    padded results); the host merge walks images in dataset order, so
+    selection — including heap tie semantics — matches the sequential
+    scan (distances can differ by conv batch-tiling ulps).
     """
-    fn = make_nearest_batch_fn(model, num_classes)
     P = int(np.asarray(params["prototype_vectors"]).shape[0])
     top_d = np.full((P, k), np.inf)
     top_l = np.full((P, k), -1, dtype=np.int64)
@@ -108,13 +148,7 @@ def find_k_nearest_patches(
     top_pi = np.full((P, k), -1, dtype=np.int64)
     top_pj = np.full((P, k), -1, dtype=np.int64)
 
-    for img_idx, (image, label) in enumerate(dataset):
-        mind, labels, pi, pj = fn(params, constants, proto_class,
-                                  jnp.asarray(image), jnp.asarray(label))
-        mind = np.asarray(mind)
-        labels = np.asarray(labels)
-        pi = np.asarray(pi)
-        pj = np.asarray(pj)
+    def merge(img_idx, mind, labels, pi, pj):
         # merge into running top-k (heap semantics: strictly smaller
         # replaces the current maximum)
         worst = top_d.max(axis=1)
@@ -126,6 +160,43 @@ def find_k_nearest_patches(
             top_img[j, slot] = img_idx
             top_pi[j, slot] = pi[j]
             top_pj[j, slot] = pj[j]
+
+    if batch_size > 1:
+        fn = make_nearest_batched_fn(model, num_classes)
+        buf: list = []
+
+        def flush():
+            if not buf:
+                return
+            n_real = len(buf)
+            while len(buf) < batch_size:       # pad to a fixed shape
+                buf.append(buf[0])
+            images = np.concatenate([b[1] for b in buf])
+            labels = np.concatenate([b[2] for b in buf])
+            mind, labs, pi, pj = fn(params, constants, proto_class,
+                                    jnp.asarray(images),
+                                    jnp.asarray(labels))
+            mind, labs = np.asarray(mind), np.asarray(labs)
+            pi, pj = np.asarray(pi), np.asarray(pj)
+            for b in range(n_real):            # dataset order preserved
+                merge(buf[b][0], mind[b], labs[b], pi[b], pj[b])
+            buf.clear()
+
+        for img_idx, (image, label) in enumerate(dataset):
+            if buf and np.asarray(image).shape != buf[0][1].shape:
+                flush()                        # ragged shapes: new batch
+            buf.append((img_idx, np.asarray(image), np.asarray(label)))
+            if len(buf) == batch_size:
+                flush()
+        flush()
+    else:
+        fn = make_nearest_batch_fn(model, num_classes)
+        for img_idx, (image, label) in enumerate(dataset):
+            mind, labels, pi, pj = fn(params, constants, proto_class,
+                                      jnp.asarray(image),
+                                      jnp.asarray(label))
+            merge(img_idx, np.asarray(mind), np.asarray(labels),
+                  np.asarray(pi), np.asarray(pj))
 
     order = np.argsort(top_d, axis=1)
     ids = np.take_along_axis(top_l, order, axis=1)

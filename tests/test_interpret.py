@@ -182,6 +182,39 @@ def test_find_k_nearest_and_prune():
     assert prune_info.shape[1] == 2
 
 
+def test_find_k_nearest_batched_matches_sequential():
+    """batch_size > 1 (one batched forward + ordered host merge) must
+    reproduce the sequential scan exactly — including the padded final
+    partial batch and heap tie semantics — and handle ragged shapes by
+    flushing."""
+    model, params, constants, pc, images, labels = _make_model_and_data(
+        seed=7, n_imgs=5)
+    data = list(zip(images, labels))
+    seq_ids, seq_info = find_k_nearest_patches(
+        model, params, constants, pc, data, 3, k=3, return_info=True)
+    bat_ids, bat_info = find_k_nearest_patches(
+        model, params, constants, pc, data, 3, k=3, return_info=True,
+        batch_size=2)  # 5 images → 2+2+1(padded)
+    np.testing.assert_array_equal(seq_ids, bat_ids)
+    for key in ("image_idx", "patch_i", "patch_j"):
+        np.testing.assert_array_equal(seq_info[key], bat_info[key])
+    # conv outputs differ by ulps across batch sizes (XLA batch tiling),
+    # so distances are close, not bit-equal
+    np.testing.assert_allclose(seq_info["distances"],
+                               bat_info["distances"], rtol=1e-5)
+
+    # ragged shapes force a flush mid-stream and still match
+    rng = np.random.RandomState(11)
+    small = (rng.rand(1, 17, 17, 3).astype(np.float32),
+             rng.randint(0, 4, size=(1, 17, 17)).astype(np.int32))
+    ragged = data[:2] + [small] + data[2:]
+    seq2 = find_k_nearest_patches(model, params, constants, pc, ragged,
+                                  3, k=3)
+    bat2 = find_k_nearest_patches(model, params, constants, pc, ragged,
+                                  3, k=3, batch_size=3)
+    np.testing.assert_array_equal(seq2, bat2)
+
+
 def test_nearest_majority_label_semantics():
     """Patch label = target class if present else pixel majority
     (reference find_nearest.py:199-206)."""
