@@ -165,6 +165,12 @@ def cmd_eval_valid(args):
                                 raw=raw)
     else:
         items = ((img, lab, 1) for img, lab in ds.eval_items(raw=raw))
+    if not args.windowed:
+        # overlap the next batch's (async) host→device upload with the
+        # current batch's compute — the sequential loop is
+        # transfer-bound at full resolution (PERF.md)
+        from adlm_tpu.data.pipeline import device_prefetch
+        items = device_prefetch(items)
 
     n_images = 0
     for img, lab, n_real in items:
@@ -274,7 +280,11 @@ def cmd_eval_test(args):
     out_dir = os.path.join(args.run_dir, "evaluation", args.stage,
                            "test_predictions")
     os.makedirs(out_dir, exist_ok=True)
-    for i, (img, lab) in enumerate(ds.eval_items(raw=raw)):
+    test_items = ds.eval_items(raw=raw)
+    if not args.windowed:
+        from adlm_tpu.data.pipeline import device_prefetch
+        test_items = device_prefetch(test_items)
+    for i, (img, lab) in enumerate(test_items):
         out = fn(params, payload["constants"], proto_class,
                  jnp.asarray(img), jnp.asarray(lab))
         pred = np.asarray(out["pred"][0]).astype(np.uint8)

@@ -72,7 +72,17 @@ class SegmentationDataset:
         if label.ndim == 3:
             label = label[:, :, 0]
         if convert:
-            label = self.table.convert_labels(label).astype(np.int32)
+            label = self.table.convert_labels(label)
+            # training ids fit uint8 (void 0, class c at c+1, C ≤ 31):
+            # ship 4× fewer label bytes to the device — every consumer
+            # casts to int32 INSIDE its jit before any arithmetic, so
+            # uint8 wraparound can't occur.  Decided from the LUT (not
+            # per item) so batch dtypes never vary → no recompiles.
+            lut = self.table.convert_lut()
+            if lut is None or int(np.max(lut)) <= 255:
+                label = label.astype(np.uint8)
+            else:
+                label = label.astype(np.int32)
         m = self.cfg.image_margin_size
         if m != 0:
             image = image[m:-m, m:-m]

@@ -19,6 +19,45 @@ import numpy as np
 from adlm_tpu.data.dataset import SegmentationDataset
 
 
+def device_prefetch(iterable, depth: int = 2):
+    """Overlap host→device transfers with compute.
+
+    Eagerly converts the numpy-array leaves of the next ``depth`` items
+    to device arrays (device transfers are ASYNC — measured ~40 ms to
+    enqueue vs ~1.2 s to complete for a 50 MB batch through the remote
+    relay, CLAUDE.md) so the upload of batch n+1 runs while the
+    consumer computes on batch n.  Without this, a sequential
+    upload→compute→fetch loop is transfer-bound: full-res eval batches
+    upload at ~42 MB/s through the relay, 5× slower than the compute.
+    Non-array items (counts, metadata) pass through untouched.
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    q: "collections.deque" = collections.deque()
+    it = iter(iterable)
+
+    def put(item):
+        q.append(jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            item))
+
+    try:
+        for _ in range(depth):
+            put(next(it))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
                         batch_size: int, steps: int,
                         seed: int = 0, n_jobs: int = 1

@@ -478,7 +478,7 @@ class SegEvaluator:
                ) -> Dict[str, Any]:
         args = ()
         if self.with_stats:
-            B = np.asarray(images).shape[0]
+            B = images.shape[0]  # no host bounce for device arrays
             args = (jnp.asarray(self.rng.random_sample((B, self.n_random)),
                                 jnp.float32),
                     jnp.asarray(self.rng.random_sample((B, self.n_random)),

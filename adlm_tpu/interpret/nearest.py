@@ -164,6 +164,17 @@ def find_k_nearest_patches(
     if batch_size > 1:
         fn = make_nearest_batched_fn(model, num_classes)
         buf: list = []
+        # one batch in flight: the next batch's async upload + compute
+        # overlap the current batch's host merge (PERF.md)
+        inflight: list = []
+
+        def drain():
+            if not inflight:
+                return
+            ids_, n_real, outs = inflight.pop()
+            mind, labs, pi, pj = (np.asarray(o) for o in outs)
+            for b in range(n_real):            # dataset order preserved
+                merge(ids_[b], mind[b], labs[b], pi[b], pj[b])
 
         def flush():
             if not buf:
@@ -173,14 +184,12 @@ def find_k_nearest_patches(
                 buf.append(buf[0])
             images = np.concatenate([b[1] for b in buf])
             labels = np.concatenate([b[2] for b in buf])
-            mind, labs, pi, pj = fn(params, constants, proto_class,
-                                    jnp.asarray(images),
-                                    jnp.asarray(labels))
-            mind, labs = np.asarray(mind), np.asarray(labs)
-            pi, pj = np.asarray(pi), np.asarray(pj)
-            for b in range(n_real):            # dataset order preserved
-                merge(buf[b][0], mind[b], labs[b], pi[b], pj[b])
+            outs = fn(params, constants, proto_class,
+                      jnp.asarray(images), jnp.asarray(labels))
+            ids_ = [b[0] for b in buf]
             buf.clear()
+            drain()
+            inflight.append((ids_, n_real, outs))
 
         for img_idx, (image, label) in enumerate(dataset):
             if buf and np.asarray(image).shape != buf[0][1].shape:
@@ -189,6 +198,7 @@ def find_k_nearest_patches(
             if len(buf) == batch_size:
                 flush()
         flush()
+        drain()
     else:
         fn = make_nearest_batch_fn(model, num_classes)
         for img_idx, (image, label) in enumerate(dataset):

@@ -240,22 +240,14 @@ def push_prototypes(
         pending_imgs: list = []
         pending_labs: list = []
         offset = 0
+        # one batch stays in flight: batch n+1's (async) upload +
+        # compute overlap batch n's host-side merge — the sequential
+        # upload→compute→merge loop is transfer-bound at full
+        # resolution (PERF.md)
+        inflight: list = []
 
-        def flush():
-            nonlocal offset
-            if not pending_imgs:
-                return
-            n_real = len(pending_imgs)
-            # pad partial batches with all-void (ineligible) images so
-            # every call reuses the one compiled (batch_size, H, W) shape
-            while len(pending_imgs) < batch_size:
-                pending_imgs.append(np.zeros_like(pending_imgs[0]))
-                pending_labs.append(np.zeros_like(pending_labs[0]))
-            images = np.concatenate(pending_imgs, axis=0)
-            labels = np.concatenate(pending_labs, axis=0)
-            mind, bi, pi, pj, fmap = bfn(params, constants, proto_class,
-                                         jnp.asarray(images),
-                                         jnp.asarray(labels))
+        def merge(outs, n_real, off, img_shape, lab_shape):
+            mind, bi, pi, pj, fmap = outs
             mind = np.asarray(mind)
             bi = np.asarray(bi)
             improved = (mind < global_min) & (mind < _INF_HOST) & \
@@ -264,8 +256,8 @@ def push_prototypes(
                 pi = np.asarray(pi)
                 pj = np.asarray(pj)
                 fmap = np.asarray(fmap)
-                H, W = labels.shape[1], labels.shape[2]
-                key = images.shape
+                H, W = lab_shape[1], lab_shape[2]
+                key = img_shape
                 if key not in grid_dims:
                     _, d_shape = jax.eval_shape(
                         lambda im: model.apply(
@@ -282,9 +274,28 @@ def push_prototypes(
                     h1 = int(pi[j] * patch_h + patch_h) + 1
                     w0 = int(pj[j] * patch_w)
                     w1 = int(pj[j] * patch_w + patch_w) + 1
-                    rf_boxes[j] = [offset + int(bi[j]), h0, h1, w0, w1,
+                    rf_boxes[j] = [off + int(bi[j]), h0, h1, w0, w1,
                                    pc_host[j]]
                     bound_boxes[j] = rf_boxes[j]
+
+        def flush():
+            nonlocal offset
+            if not pending_imgs:
+                return
+            n_real = len(pending_imgs)
+            # pad partial batches with all-void (ineligible) images so
+            # every call reuses the one compiled (batch_size, H, W) shape
+            while len(pending_imgs) < batch_size:
+                pending_imgs.append(np.zeros_like(pending_imgs[0]))
+                pending_labs.append(np.zeros_like(pending_labs[0]))
+            images = np.concatenate(pending_imgs, axis=0)
+            labels = np.concatenate(pending_labs, axis=0)
+            outs = bfn(params, constants, proto_class,
+                       jnp.asarray(images), jnp.asarray(labels))
+            if inflight:
+                merge(*inflight.pop())
+            inflight.append((outs, n_real, offset, images.shape,
+                             labels.shape))
             offset += n_real
             pending_imgs.clear()
             pending_labs.clear()
@@ -297,6 +308,8 @@ def push_prototypes(
             if len(pending_imgs) == batch_size:
                 flush()
         flush()
+        if inflight:
+            merge(*inflight.pop())
 
         if save_visualizations:
             # second pass: re-forward only the winner images (≤P) to
