@@ -437,10 +437,14 @@ def cmd_prune(args):
     ds = SegmentationDataset(cfg.data, cfg.data.train_key,
                              data_path=args.data_path, is_eval=True,
                              push_prototypes=True)
+    # batched scan: ship raw uint8 + normalize in-jit (4× less
+    # transfer; the scan is transfer-bound through the relay, PERF.md)
+    raw = args.batch_size > 1 and ds.supports_raw_eval()
     new_params, new_pc, prune_info = prune_by_purity(
         model, params, payload["constants"], proto_class,
-        ds.eval_items(), cfg.model.num_classes, k=args.k,
-        prune_threshold=args.threshold, batch_size=args.batch_size)
+        ds.eval_items(raw=raw), cfg.model.num_classes, k=args.k,
+        prune_threshold=args.threshold, batch_size=args.batch_size,
+        raw_normalize=(cfg.data.mean, cfg.data.std) if raw else None)
     store.save("pruned", "last", {
         "params": dict(new_params), "constants": dict(payload["constants"]),
         "proto_class": new_pc, "step": payload["step"]})

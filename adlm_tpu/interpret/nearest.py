@@ -91,7 +91,8 @@ def make_nearest_batch_fn(model: PPNet, num_classes: int) -> Callable:
     return fn
 
 
-def make_nearest_batched_fn(model: PPNet, num_classes: int) -> Callable:
+def make_nearest_batched_fn(model: PPNet, num_classes: int,
+                            normalize=None) -> Callable:
     """Batched k-nearest scan step: (params, constants, proto_class,
     images (B,H,W,3), labels (B,H,W)) → per-image (min_dist (B,P),
     patch_label (B,P), patch_i (B,P), patch_j (B,P)).
@@ -101,10 +102,17 @@ def make_nearest_batched_fn(model: PPNet, num_classes: int) -> Callable:
     vmapped per-image argmin + box labelling; the host merges per-image
     results in dataset order, so heap tie semantics match the
     sequential scan exactly.
+
+    ``normalize=(mean, std)`` moves input normalization INTO the jit so
+    images ship as raw uint8 (4× less transfer — the scan is
+    transfer-bound through the remote relay, PERF.md), ulp-equivalent
+    to the host-normalized path.
     """
+    from adlm_tpu.ops.normalize import normalize_in_jit
 
     @jax.jit
     def fn(params, constants, proto_class, images, labels):
+        images = normalize_in_jit(images, normalize)
         variables = {"params": params, "constants": constants}
         _, d = model.apply(variables, images, method=PPNet.push_forward)
         ys = labels.astype(jnp.int32) - 1
@@ -125,6 +133,7 @@ def find_k_nearest_patches(
     k: int = 6,
     return_info: bool = False,
     batch_size: int = 1,
+    raw_normalize=None,
 ):
     """(P, k) class ids of each prototype's k nearest patches.
 
@@ -140,7 +149,13 @@ def find_k_nearest_patches(
     padded results); the host merge walks images in dataset order, so
     selection — including heap tie semantics — matches the sequential
     scan (distances can differ by conv batch-tiling ulps).
+
+    ``raw_normalize=(mean, std)`` selects the raw-uint8 transfer path
+    (batched only): the dataset yields uint8 images and the full
+    (x/255 − mean)/std preprocessing runs inside the jit.
     """
+    if raw_normalize is not None and batch_size <= 1:
+        raise ValueError("raw_normalize requires batch_size > 1")
     P = int(np.asarray(params["prototype_vectors"]).shape[0])
     top_d = np.full((P, k), np.inf)
     top_l = np.full((P, k), -1, dtype=np.int64)
@@ -162,7 +177,8 @@ def find_k_nearest_patches(
             top_pj[j, slot] = pj[j]
 
     if batch_size > 1:
-        fn = make_nearest_batched_fn(model, num_classes)
+        fn = make_nearest_batched_fn(model, num_classes,
+                                     normalize=raw_normalize)
         buf: list = []
         # one batch in flight: the next batch's async upload + compute
         # overlap the current batch's host merge (PERF.md)

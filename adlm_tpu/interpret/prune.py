@@ -29,12 +29,13 @@ def prune_by_purity(
     prune_threshold: int = 3,
     log=print,
     batch_size: int = 1,
+    raw_normalize=None,
 ) -> Tuple[Any, jnp.ndarray, np.ndarray]:
     """Returns (pruned_params, pruned_proto_class, prune_info) where
     prune_info rows are [pruned_index, class] (reference prune.py:47-60)."""
     nearest_ids = find_k_nearest_patches(
         model, params, constants, proto_class, dataset, num_classes, k=k,
-        batch_size=batch_size)
+        batch_size=batch_size, raw_normalize=raw_normalize)
 
     pc = np.asarray(proto_class)
     P = pc.shape[0]

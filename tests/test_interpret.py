@@ -215,6 +215,30 @@ def test_find_k_nearest_batched_matches_sequential():
     np.testing.assert_array_equal(seq2, bat2)
 
 
+def test_find_k_nearest_raw_uint8_matches_f32():
+    """raw_normalize (uint8 in, (x/255−mean)/std in-jit) must match the
+    host-normalized f32 scan — same selection, close distances."""
+    model, params, constants, pc, _, labels = _make_model_and_data(
+        seed=8, n_imgs=3)
+    rng = np.random.RandomState(13)
+    mean, std = (0.4, 0.5, 0.45), (0.2, 0.25, 0.3)
+    raws = [rng.randint(0, 255, size=(1, 33, 33, 3), dtype=np.uint8)
+            for _ in range(3)]
+    f32s = [((r.astype(np.float32) / 255.0 - np.asarray(mean, np.float32))
+             / np.asarray(std, np.float32)) for r in raws]
+    ids_f32, info_f32 = find_k_nearest_patches(
+        model, params, constants, pc, list(zip(f32s, labels)), 3, k=3,
+        return_info=True, batch_size=2)
+    ids_raw, info_raw = find_k_nearest_patches(
+        model, params, constants, pc, list(zip(raws, labels)), 3, k=3,
+        return_info=True, batch_size=2, raw_normalize=(mean, std))
+    np.testing.assert_array_equal(ids_f32, ids_raw)
+    for key in ("image_idx", "patch_i", "patch_j"):
+        np.testing.assert_array_equal(info_f32[key], info_raw[key])
+    np.testing.assert_allclose(info_f32["distances"],
+                               info_raw["distances"], rtol=1e-4)
+
+
 def test_nearest_majority_label_semantics():
     """Patch label = target class if present else pixel majority
     (reference find_nearest.py:199-206)."""
