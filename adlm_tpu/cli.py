@@ -1140,7 +1140,8 @@ def cmd_analyze_global(args):
         full_save=args.full_save,
         get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
             *ds.get_eval_item(i)),
-        denorm=make_denorm(cfg.data))
+        denorm=make_denorm(cfg.data),
+        batch_size=args.batch_size)
     print(f"nearest patch class ids saved; shape {ids.shape}")
 
 
@@ -1534,6 +1535,9 @@ def main(argv=None):
             ap.add_argument("--max-images", type=int, default=0)
             ap.add_argument("--full-save", action="store_true",
                             help="save nearest-patch image artifacts")
+            ap.add_argument("--batch-size", type=int, default=1,
+                            help="images per jit call for the "
+                                 "k-nearest scan")
         ap.set_defaults(fn=fn)
 
     gp = sub.add_parser("gen-image-list")

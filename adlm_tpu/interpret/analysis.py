@@ -169,7 +169,8 @@ def global_analysis(model: PPNet, params: Any, constants: Any,
                     save_dir: Optional[str] = None,
                     full_save: bool = False,
                     get_item=None,
-                    denorm: Optional[Callable] = None) -> np.ndarray:
+                    denorm: Optional[Callable] = None,
+                    batch_size: int = 1) -> np.ndarray:
     """k nearest patch class ids per prototype; optionally saves
     per-prototype class id arrays and, with ``full_save`` (requires
     ``get_item: idx -> (image, label)``), the full nearest-patch
@@ -180,7 +181,8 @@ def global_analysis(model: PPNet, params: Any, constants: Any,
 
     ids, info = find_k_nearest_patches(model, params, constants,
                                        proto_class, dataset, num_classes,
-                                       k=k, return_info=True)
+                                       k=k, return_info=True,
+                                       batch_size=batch_size)
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
         if full_save and get_item is not None:

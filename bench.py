@@ -256,6 +256,28 @@ def _bench_push(cfg, model, params, constants, pc, batch=8):
     return batch * n / (time.perf_counter() - t0)
 
 
+def _bench_nearest_scan(cfg, model, params, constants, pc, batch=8):
+    """Batched k-nearest prune scan at full resolution (`prune
+    --batch-size`) — the reference's per-image heap scan over the push
+    set is its #4 hot spot (find_nearest.py:66-236)."""
+    from adlm_tpu.interpret.nearest import make_nearest_batched_fn
+
+    fn = make_nearest_batched_fn(model, cfg.model.num_classes)
+    nprng = np.random.RandomState(9)
+    images = jnp.asarray(nprng.rand(batch, H, W, 3).astype(np.float32),
+                         jnp.bfloat16)
+    labels = jnp.asarray(nprng.randint(0, 20, size=(batch, H, W)),
+                         jnp.int32)
+    out = fn(params, constants, pc, images, labels)
+    np.asarray(out[0])  # warm + sync
+    n = 3
+    t0 = time.perf_counter()
+    outs = [fn(params, constants, pc, images, labels) for _ in range(n)]
+    for o in outs:
+        np.asarray(o[0])
+    return batch * n / (time.perf_counter() - t0)
+
+
 def _bench_stats_upsampled_eval(cfg, model, params, constants, pc,
                                 batch=8):
     """--stats-upsampled eval at full resolution — the slowest eval
@@ -404,6 +426,12 @@ def _run() -> None:
         extra["stats_upsampled_batch"] = 8
     except Exception as e:  # pragma: no cover
         print(f"# stats-upsampled extra metric skipped: {e}", flush=True)
+    try:
+        extra["nearest_scan_ips"] = round(_bench_nearest_scan(
+            cfg, model, params_bf16, constants, pc), 2)
+        extra["nearest_scan_batch"] = 8
+    except Exception as e:  # pragma: no cover
+        print(f"# nearest-scan extra metric skipped: {e}", flush=True)
     try:
         extra["inference_b1_ips"] = round(_bench_inference_b1(
             cfg, model, params_bf16, constants, pc), 2)
