@@ -124,7 +124,13 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
     """
     B, h, w, P = dist.shape
     H, W = size
-    if H % h == 0 and W % w == 0 and (H // h) * (W // w) <= 256:
+    # The integer fast path blends whole (B, h, w, P) f32 buffers; only
+    # take it when those fit the same 64Mi-element (≈256 MB f32) budget
+    # the chunked scan enforces — the remote relay wedges on ≳300 MB
+    # device buffers (CLAUDE.md), and the chunked path below is exact
+    # for integer scales too, just slower.
+    if (H % h == 0 and W % w == 0 and (H // h) * (W // w) <= 256
+            and B * h * w * P <= 64 * 1024 * 1024):
         return _upsampled_nearest_integer(dist, H // h, W // w)
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P

@@ -201,11 +201,16 @@ class WindowedSegEvaluator:
                  window: Tuple[int, int], overlap: float = 0.25,
                  with_stats: bool = False, n_random_pixels: int = 100,
                  seed: int = 0, normalize: Optional[Tuple] = None,
-                 device_stitch: Optional[bool] = None):
+                 device_stitch: Optional[bool] = None,
+                 keep_stat_maps: bool = True):
         self.num_classes = num_classes
         self.window = window
         self.overlap = overlap
         self.with_stats = with_stats
+        # the (B, P) agree_counts / topk_purity vectors are all the CLI
+        # accumulator needs; keep_stat_maps=False skips fetching and
+        # stacking the per-window grid maps (they stay device-side)
+        self.keep_stat_maps = keep_stat_maps
         self.fn = _make_window_program(model, window, with_stats,
                                        normalize)
         self.model = model
@@ -335,8 +340,9 @@ class WindowedSegEvaluator:
                     norm[:, sh:sh + ph, sw:sw + pw] += np.asarray(
                         weight)[:, :ph, :pw]
                 if self.with_stats:
-                    preds.append(np.asarray(out[2]))
-                    nearests.append(np.asarray(out[3]))
+                    if self.keep_stat_maps:
+                        preds.append(np.asarray(out[2]))
+                        nearests.append(np.asarray(out[3]))
                     topks.append(np.asarray(out[4]))
                     agrees.append(np.asarray(out[5]))
 
@@ -376,18 +382,19 @@ class WindowedSegEvaluator:
             self.union += union
             out_d = {"pred": pred, "intersection": inter, "union": union}
         if self.with_stats:
-            n_wins = len(preds)
-            sp = np.concatenate(preds)
-            nr = np.concatenate(nearests)
-            gh, gw = sp.shape[1], sp.shape[2]
-            # image-major stacking so CLI tail-padding slices
-            # ([:n_real·n_wins]) drop exactly the padded images
-            out_d["stat_pred"] = (sp.reshape(n_wins, B, gh, gw)
-                                  .transpose(1, 0, 2, 3)
-                                  .reshape(n_wins * B, gh, gw))
-            out_d["nearest_proto"] = (nr.reshape(n_wins, B, gh, gw)
+            n_wins = len(topks)
+            if self.keep_stat_maps:
+                sp = np.concatenate(preds)
+                nr = np.concatenate(nearests)
+                gh, gw = sp.shape[1], sp.shape[2]
+                # image-major stacking so tail-padding slices
+                # ([:n_real·n_wins]) drop exactly the padded images
+                out_d["stat_pred"] = (sp.reshape(n_wins, B, gh, gw)
                                       .transpose(1, 0, 2, 3)
                                       .reshape(n_wins * B, gh, gw))
+                out_d["nearest_proto"] = (nr.reshape(n_wins, B, gh, gw)
+                                          .transpose(1, 0, 2, 3)
+                                          .reshape(n_wins * B, gh, gw))
             out_d["topk_purity"] = np.mean(topks, axis=0)    # (B, P)
             # summed over windows; equals bincounting the stacked maps
             out_d["agree_counts"] = np.sum(agrees, axis=0)   # (B, P)

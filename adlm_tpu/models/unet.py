@@ -50,7 +50,15 @@ class TorchBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
-            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            # fast one-pass variance, clipped at zero: E[x²]−E[x]² can
+            # go slightly negative under f32 cancellation for
+            # large-mean/small-spread channels, which would turn
+            # rsqrt(var+eps) into NaN and poison the running stats.
+            # Same fix as flax.linen's _compute_stats; the one-pass
+            # reduction structure also keeps dp-sharded batch stats
+            # bit-tight vs single device (tests/test_parallel.py).
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = x.size // feat
                 unbiased = var * (n / max(n - 1, 1))

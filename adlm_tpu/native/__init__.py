@@ -9,30 +9,52 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
 import subprocess
-from typing import Optional, Tuple
+import tempfile
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libadlm_data.so")
 _lib: Optional[ctypes.CDLL] = None
+_lib_attempted: List[str] = []
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    # Two passes: a stale prebuilt .so (missing a symbol added since it
+    # was compiled) raises AttributeError at binding time — rebuild once
+    # and retry before giving up, so callers degrade to the python path
+    # instead of crashing.  dlopen caches the stale mapping by pathname
+    # within this process, so the retry loads through a fresh temp copy.
+    for rebuild in (not os.path.exists(_LIB_PATH), True):
+        path = _LIB_PATH
+        if rebuild:
+            try:
+                subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
+                               check=True, capture_output=True)
+                if _lib_attempted:
+                    fd, path = tempfile.mkstemp(suffix=".so")
+                    os.close(fd)
+                    shutil.copy(_LIB_PATH, path)
+            except Exception:
+                return None
         try:
-            subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
-                           check=True, capture_output=True)
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
+            lib = ctypes.CDLL(path)
+            _lib_attempted.append(path)
+            _bind(lib)
+        except (OSError, AttributeError):
+            continue
+        _lib = lib
+        return lib
+    return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -65,8 +87,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gaussian_blur_f32.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p, f32p,
     ]
-    _lib = lib
-    return lib
 
 
 def available() -> bool:

@@ -48,36 +48,19 @@ def _torch_unet_payload(path: str, kind: str, sample: jnp.ndarray):
     import math
 
     from adlm_tpu.models.unet import UNet
-    from adlm_tpu.utils.torch_import import (load_unoise_checkpoint,
-                                             load_unoise_unet)
+    from adlm_tpu.utils.torch_import import (assert_fully_imported,
+                                             load_unoise_checkpoint,
+                                             load_unoise_unet,
+                                             nan_template)
     sd = load_unoise_checkpoint(path, kind)
     depth = max(int(k.split(".")[1]) for k in sd
                 if k.startswith("downs.")) + 1
     cf = int(round(math.log2(sd["downs.0.0.weight"].shape[0])))
     model = UNet(out_channels=1, depth=depth, cf=cf)
-    # template from eval_shape only (a real init would compile on the
-    # remote TPU for minutes); NaN fill proves the checkpoint wrote
-    # EVERY leaf — a truncated state_dict must not leave random weights
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), sample, train=True))
-    template = jax.tree.map(lambda s: np.full(s.shape, np.nan, s.dtype),
-                            shapes)
+    template = nan_template(model, sample, train=True)
     params, bs = template["params"], template["batch_stats"]
     report = load_unoise_unet(params, bs, sd)
-    if report["unexpected_keys"]:
-        raise ValueError(f"unmapped keys in {path}: "
-                         f"{report['unexpected_keys'][:5]}")
-    if report["negative_variance_keys"]:
-        raise ValueError(f"corrupt running_var in {path}: "
-                         f"{report['negative_variance_keys'][:5]}")
-    holes = [
-        "/".join(str(getattr(p, "key", p)) for p in kp)
-        for tree in (params, bs)
-        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
-        if np.isnan(np.asarray(leaf)).any()]
-    if holes:
-        raise ValueError(f"{path} left {len(holes)} uninitialized "
-                         f"UNet leaves: {holes[:5]}")
+    assert_fully_imported(report, params, bs, context=path)
     return {"params": params, "batch_stats": bs,
             "depth": depth, "channel_factor": cf}
 

@@ -24,6 +24,47 @@ from typing import Any, Dict, Mapping, Optional, Tuple
 import numpy as np
 
 
+def nan_template(model, *init_args, **init_kwargs):
+    """Variable trees from ``jax.eval_shape`` of ``model.init`` — no
+    device computation (a remote-TPU init compile costs minutes for
+    nothing); the NaN fill lets ``assert_fully_imported`` prove the
+    checkpoint wrote EVERY leaf."""
+    import jax
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *init_args,
+                           **init_kwargs))
+    return jax.tree.map(lambda s: np.full(s.shape, np.nan, s.dtype),
+                        shapes)
+
+
+def assert_fully_imported(report: Mapping[str, Any], *trees,
+                          context: str = "checkpoint",
+                          error=ValueError) -> None:
+    """Audit a loader report + NaN-templated trees after an import.
+
+    Raises ``error`` when the checkpoint had unmapped keys, corrupt
+    (negative) BN running variances, or left any template leaf
+    NaN-holed (a truncated state_dict must not leave random weights).
+    """
+    import jax
+
+    if report["unexpected_keys"]:
+        raise error(f"unmapped keys in {context}: "
+                    f"{report['unexpected_keys'][:8]}")
+    if report.get("negative_variance_keys"):
+        raise error(f"corrupt BN running_var in {context}: "
+                    f"{report['negative_variance_keys'][:8]}")
+    holes = [
+        "/".join(str(getattr(p, "key", p)) for p in path)
+        for tree in trees
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        if np.isnan(np.asarray(leaf)).any()]
+    if holes:
+        raise error(f"{context} left {len(holes)} uninitialized "
+                    f"leaves: {holes[:8]}")
+
+
 def torchvision_key_to_deeplab(key: str) -> Optional[str]:
     """torchvision ResNet key → deeplab-pytorch key (reference
     deeplab_features.py:8-49). Returns None for keys with no home

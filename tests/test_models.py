@@ -178,6 +178,31 @@ def test_unet_forward_shapes_and_batchstats():
     assert y_eval.shape == (2, 32, 32, 1)
 
 
+def test_torch_batchnorm_no_nan_on_cancellation():
+    """A channel with large mean and tiny spread drives the one-pass
+    E[x²]−E[x]² variance slightly negative under f32 cancellation; the
+    zero clip must keep rsqrt(var+eps) — and the running stats — finite
+    (flax _compute_stats applies the same clip)."""
+    from adlm_tpu.models.unet import TorchBatchNorm
+
+    bn = TorchBatchNorm()
+    rng = np.random.RandomState(2)
+    # mean 1e2, spread 1e-3: the unclipped one-pass variance of this
+    # exact data is −0.0146 < −epsilon, i.e. rsqrt would be NaN
+    x = jnp.asarray(1e2 + 1e-3 * rng.randn(4, 16, 16, 2),
+                    jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), x, train=True)
+    y, upd = bn.apply(v, x, train=True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(
+        np.asarray(upd["batch_stats"]["var"])).all()
+    assert (np.asarray(upd["batch_stats"]["var"]) >= 0).all()
+    # eval mode off the (clipped) running stats stays finite too
+    v2 = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+    y2 = bn.apply(v2, x, train=False)
+    assert np.isfinite(np.asarray(y2)).all()
+
+
 def test_receptive_field_matches_reference_math():
     ref = _load_reference_module("ref_rf", "/root/reference/receptive_field.py")
     from adlm_tpu.models.backbones import ResNetFeatures
