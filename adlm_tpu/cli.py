@@ -145,7 +145,8 @@ def cmd_eval_valid(args):
         ev = WindowedSegEvaluator(model, cfg.model.num_classes, (wh, ww),
                                   with_stats=args.stats,
                                   normalize=(cfg.data.mean, cfg.data.std)
-                                  if raw else None)
+                                  if raw else None,
+                                  keep_stat_maps=False)
     else:
         # raw uint8 items + in-jit normalization when equivalent to the
         # host path: 4× less relay traffic and a 4× smaller input
@@ -180,22 +181,14 @@ def cmd_eval_valid(args):
         if acc is not None:
             # padded tail images (all-void, zero image) are excluded —
             # nearest-prototype counts have no void mask to drop them.
-            if "agree_counts" in out:
-                # whole-image path: tiny (B, P) device-side counts —
-                # the full-res stat maps never leave the device
-                acc.update_counts(
-                    np.asarray(out["agree_counts"])[:n_real],
-                    np.asarray(out["topk_purity"])[:n_real],
-                    n_images=n_real)
-            else:
-                # windowed path: stacks n_wins count maps per image
-                # (image-major) but ONE window-mean purity per image
-                nw = out.get("stat_windows", 1)
-                acc.update(np.asarray(out["stat_pred"])[:n_real * nw],
-                           np.asarray(out["nearest_proto"])[:n_real * nw],
-                           topk_purity=np.asarray(
-                               out["topk_purity"])[:n_real],
-                           n_images=n_real)
+            # Both the whole-image and windowed evaluators emit the
+            # tiny (B, P) agree_counts/topk_purity vectors (windowed:
+            # summed/averaged over windows) — the stat maps never
+            # leave the device.
+            acc.update_counts(
+                np.asarray(out["agree_counts"])[:n_real],
+                np.asarray(out["topk_purity"])[:n_real],
+                n_images=n_real)
         n_images += n_real
         if args.max_images and n_images >= args.max_images:
             break
@@ -339,6 +332,26 @@ def cmd_export(args):
     print(f"exported {manifest['input']['shape']} "
           f"{manifest['input']['dtype']} inference for platforms "
           f"{manifest['platforms']} to {out_dir}")
+
+
+def cmd_serve(args):
+    """Serve an exported artifact over HTTP (micro-batched + pipelined
+    dispatch — adlm_tpu/deploy/server.py)."""
+    _enable_compile_cache()
+    from adlm_tpu.deploy.server import InferenceServer
+
+    server = InferenceServer(args.artifact_dir, port=args.port,
+                             host=args.host, platform=args.platform,
+                             window_ms=args.window_ms)
+    shape = server.manifest["input"]["shape"]
+    print(f"serving {server.manifest['input']['dtype']} {shape} "
+          f"→ {server.known_outputs} on "
+          f"http://{args.host}:{server.port} "
+          f"(batch {shape[0]}, window {args.window_ms} ms)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
 
 
 def cmd_unoise_export(args):
@@ -512,34 +525,13 @@ def _resolve_proto_class(proto_class, proto_class_file, n_proto,
 
 
 def _nan_template(model, init_x, **init_kwargs):
-    """Variable trees from eval_shape only — no device computation (a
-    remote-TPU init compile would cost minutes for nothing); NaN fill
-    lets _assert_fully_imported prove checkpoint coverage."""
-    import jax
-
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), init_x, **init_kwargs))
-    return jax.tree.map(lambda s: np.full(s.shape, np.nan, s.dtype),
-                        shapes)
+    from adlm_tpu.utils.torch_import import nan_template
+    return nan_template(model, init_x, **init_kwargs)
 
 
 def _assert_fully_imported(report, *trees):
-    import jax
-
-    if report["unexpected_keys"]:
-        raise SystemExit(f"unmapped checkpoint keys: "
-                         f"{report['unexpected_keys'][:8]}")
-    if report["negative_variance_keys"]:
-        raise SystemExit(f"corrupt BN running_var: "
-                         f"{report['negative_variance_keys'][:8]}")
-    holes = [
-        "/".join(p.key for p in path)
-        for tree in trees
-        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
-        if np.isnan(np.asarray(leaf)).any()]
-    if holes:
-        raise SystemExit(f"checkpoint left {len(holes)} uninitialized "
-                         f"leaves: {holes[:8]}")
+    from adlm_tpu.utils.torch_import import assert_fully_imported
+    assert_fully_imported(report, *trees, error=SystemExit)
 
 
 def cmd_import_protoseg(args):
@@ -1267,6 +1259,21 @@ def main(argv=None):
                     help="keep float32 weights/activations (default "
                          "bfloat16)")
     xp.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP inference server over an exported artifact "
+             "(micro-batched, pipelined; see deploy/server.py)")
+    sv.add_argument("artifact_dir",
+                    help="directory written by export / unoise-export "
+                         "/ cls-export")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--platform", default=None,
+                    help="artifact platform (default: current backend)")
+    sv.add_argument("--window-ms", type=float, default=5.0,
+                    help="micro-batch coalescing window")
+    sv.set_defaults(fn=cmd_serve)
 
     ux = sub.add_parser(
         "unoise-export",
