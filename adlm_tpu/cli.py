@@ -43,18 +43,13 @@ def cmd_train(args):
     from adlm_tpu.core.config import get_experiment
     from adlm_tpu.train.pipeline import run_protoseg_training
 
+    from adlm_tpu.deploy.precompile import apply_train_overrides
+
     cfg = get_experiment(args.experiment)
-    if args.bf16 or args.fused:
-        overrides = {}
-        if args.bf16:
-            overrides["compute_dtype"] = "bfloat16"
-        if args.fused:
-            overrides["fused_accumulation"] = True
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, **overrides))
-    if args.s2b:
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, dilated_space_to_batch=True))
+    cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b)
+    if args.bn_calibrate:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, bn_calibrate=True))
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -332,6 +327,36 @@ def cmd_export(args):
     print(f"exported {manifest['input']['shape']} "
           f"{manifest['input']['dtype']} inference for platforms "
           f"{manifest['platforms']} to {out_dir}")
+
+
+def cmd_precompile(args):
+    """Warm the persistent compile cache for an experiment's programs
+    (deploy/precompile.py) — remote-TPU compiles are 2–6 min each, and
+    a production run otherwise pays them serially at first use."""
+    _enable_compile_cache()
+    from adlm_tpu.core.config import get_experiment
+    from adlm_tpu.deploy.precompile import (
+        apply_train_overrides, precompile_protoseg)
+
+    cfg = get_experiment(args.experiment)
+    cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b)
+    full_res = tuple(int(x) for x in args.full_res.split(","))
+    times = precompile_protoseg(
+        cfg, phases=args.phases.split(","),
+        steps_scale=args.steps_scale, eval_batch=args.eval_batch,
+        full_res=full_res, stats=args.stats,
+        stats_upsampled=args.stats_upsampled,
+        push_batch=args.push_batch)
+    if args.unoise:
+        from adlm_tpu.deploy.precompile import precompile_unoise
+        ucfg = cfg.unoise
+        if args.bf16:
+            ucfg = dataclasses.replace(ucfg, compute_dtype="bfloat16")
+        res = tuple(int(x) for x in args.unoise_res.split(","))
+        times.update(precompile_unoise(ucfg, res=res))
+    total = round(sum(times.values()), 1)
+    print(f"precompiled {len(times)} programs in {total}s "
+          f"(cache: {os.environ.get('JAX_CACHE_DIR', '.jax_cache')})")
 
 
 def cmd_serve(args):
@@ -1178,6 +1203,12 @@ def main(argv=None):
                     help="lower the d=2/4 dilated convs via "
                          "space-to-batch (numerically exact; TPU "
                          "tiling experiment — see PERF.md)")
+    tp.add_argument("--bn-calibrate", action="store_true",
+                    help="from-scratch init: standardize the frozen "
+                         "backbone BNs on a real batch before training "
+                         "(models/calibrate.py; the reference requires "
+                         "pretrained running stats and cannot train "
+                         "from scratch)")
     tp.add_argument("--save-push-visualizations", action="store_true")
     tp.add_argument("--push-batch-size", type=int, default=1,
                     help="batch the push scan (mesh-shardable; artifact "
@@ -1259,6 +1290,36 @@ def main(argv=None):
                     help="keep float32 weights/activations (default "
                          "bfloat16)")
     xp.set_defaults(fn=cmd_export)
+
+    pcp = sub.add_parser(
+        "precompile",
+        help="warm the persistent compile cache for an experiment's "
+             "train/eval/push programs before a long run "
+             "(deploy/precompile.py)")
+    pcp.add_argument("experiment")
+    pcp.add_argument("--phases",
+                     default="warmup,joint,finetune,val,fullres,push",
+                     help="comma subset of "
+                          "warmup,joint,finetune,val,fullres,push")
+    pcp.add_argument("--steps-scale", type=float, default=1.0,
+                     help="must match the run's --steps-scale (phase "
+                          "budgets bake the LR schedule into the "
+                          "program)")
+    pcp.add_argument("--bf16", action="store_true")
+    pcp.add_argument("--fused", action="store_true")
+    pcp.add_argument("--s2b", action="store_true")
+    pcp.add_argument("--eval-batch", type=int, default=8)
+    pcp.add_argument("--push-batch", type=int, default=8)
+    pcp.add_argument("--full-res", default="1024,2048", metavar="H,W",
+                     help="whole-image eval/push resolution to warm")
+    pcp.add_argument("--stats", action="store_true",
+                     help="warm the --stats eval variant")
+    pcp.add_argument("--stats-upsampled", action="store_true")
+    pcp.add_argument("--unoise", action="store_true",
+                     help="also warm the U-Noise utility/noise steps "
+                          "(cfg.unoise knobs)")
+    pcp.add_argument("--unoise-res", default="256,256", metavar="H,W")
+    pcp.set_defaults(fn=cmd_precompile)
 
     sv = sub.add_parser(
         "serve",

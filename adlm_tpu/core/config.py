@@ -140,6 +140,14 @@ class TrainConfig:
     # trades FLOPs for activation memory, enabling larger windows/batches
     remat: bool = False
 
+    # data-calibrated frozen-BN init (models/calibrate.py): standardize
+    # every frozen BN on a real batch before training.  Enables
+    # from-scratch training, which the reference cannot do at all (its
+    # frozen BNs assume ImageNet/COCO running stats; at the (0, 1) init
+    # the 101-layer stack saturates the sigmoid add-ons).  No-op in
+    # spirit when a pretrained checkpoint is loaded — skip it then.
+    bn_calibrate: bool = False
+
     # fuse the iter_size gradient-accumulation scan into ONE
     # (iter_size·batch)-sized forward/backward with group-normalized
     # losses — gradient-identical to the scan (mean over microbatches of
@@ -187,6 +195,10 @@ class ExperimentConfig:
         def tupleize(cls, d):
             kw = {}
             for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue  # field added since the JSON was saved:
+                    # fall back to the dataclass default (forward
+                    # compatibility for old run configs)
                 v = d[f.name]
                 if isinstance(v, list):
                     v = tuple(v)

@@ -1,0 +1,199 @@
+"""Data-calibrated frozen-BN initialization (from-scratch training).
+
+The reference's training contract assumes a pretrained backbone: its
+frozen BatchNorms (`freeze_bn`, reference segmentation/module.py:127)
+carry ImageNet/COCO running statistics, which keep every layer's
+activations O(1).  Training from scratch was impossible there — with
+running stats at their (mean 0, var 1) init, frozen BN normalizes
+nothing, activation variance compounds through the 101-layer residual
+stack, and the sigmoid add-on layers saturate (measured: 99.5% of
+add-on outputs at the rails, spatial std 0.04 — gradients through the
+features are effectively zero and CE stays pinned at uniform).
+
+`calibrate_frozen_bn` fixes the init the way a pretrained checkpoint
+would: it measures each frozen BN's *output* statistics on real data
+and composes a correction into the frozen affine so every BN output is
+standardized on the calibration batch (BN-recalibration as used in
+quantization / domain-adaptation literature).  Because updating layer
+k changes layer k+1's input distribution, BNs are calibrated
+sequentially in execution order — one cheap forward per BN.  A frozen
+BN is a single per-channel affine, so folding the correction into
+(gamma, beta) with (mean 0, var 1) is exactly equivalent to storing
+the measured input statistics — and unlike the raw statistics (which
+can exceed float32 range at depth before the early layers are tamed)
+the composed affine stays representable throughout.
+
+This runs ONCE at init; the constants then stay frozen for the whole
+run, exactly like the reference's pretrained-stats semantics.  CLI:
+``train --bn-calibrate`` (config ``TrainConfig.bn_calibrate``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adlm_tpu.models.layers import FrozenBatchNorm
+from adlm_tpu.models.ppnet import PPNet
+
+# finite guards: a pre-calibration forward can overflow float32 at
+# depth; clamped moments still shrink the affine in the right
+# direction and later iterations converge on exact values
+_VAR_MAX = 1e30
+_MEAN_MAX = 1e30
+
+
+def _is_fbn(module, _method: str) -> bool:
+    return isinstance(module, FrozenBatchNorm)
+
+
+def _walk_captures(inter: Dict[str, Any], path=()):
+    """Yield (module_path, tuple_of_outputs) for every captured
+    FrozenBatchNorm call."""
+    for k, v in inter.items():
+        if not isinstance(v, dict):
+            continue
+        if "__call__" in v:
+            yield path + (k,), v["__call__"]
+        else:
+            yield from _walk_captures(v, path + (k,))
+
+
+def _device_moment_sums(outputs) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """In-jit per-channel (sum, sum-of-squares, pixel count) pooled
+    over every call of one BN (a module may run more than once, e.g.
+    under an MSC pyramid).  Reducing ON DEVICE is what makes remote
+    calibration feasible: raw captures are the model's whole
+    activation footprint (~GBs per forward), the reduced sums are two
+    (C,) vectors per BN."""
+    n = 0
+    s = ss = None
+    for y in outputs:
+        flat = y.astype(jnp.float32).reshape(-1, y.shape[-1])
+        n += flat.shape[0]
+        s = flat.sum(0) if s is None else s + flat.sum(0)
+        ss = (flat ** 2).sum(0) if ss is None else ss + (flat ** 2).sum(0)
+    return s, ss, n
+
+
+def _pooled_moments(sums: Tuple[np.ndarray, np.ndarray, int]
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    s, ss, n = sums
+    s = np.asarray(s, np.float64)
+    ss = np.asarray(ss, np.float64)
+    mean = np.clip(np.nan_to_num(s / n), -_MEAN_MAX, _MEAN_MAX)
+    var = np.nan_to_num(ss / n - mean ** 2, nan=_VAR_MAX, posinf=_VAR_MAX)
+    return mean, np.clip(var, 0.0, _VAR_MAX)
+
+
+# execution rank of the bottleneck submodules (reduce → conv3x3 →
+# increase; the shortcut is parallel) — used only to ORDER updates so
+# sweeps converge fast; correctness doesn't depend on it
+_NAME_RANK = {"conv1": 0, "reduce": 0, "shortcut": 0, "conv3x3": 1,
+              "increase": 2}
+
+
+def _topo_key(path):
+    """Natural sort (block2 < block10) + submodule execution rank —
+    the capture tree is key-sorted, which misorders numbered blocks
+    and bottleneck internals."""
+    import re
+    key = []
+    for part in path:
+        toks = tuple(int(tok) if tok.isdigit() else tok
+                     for tok in re.split(r"(\d+)", part) if tok)
+        # rank leads the part tuple so it dominates the name (reduce
+        # before conv3x3); unranked parts (-1) only ever compare
+        # against other unranked parts at the same tree depth
+        key.append((_NAME_RANK.get(part, -1),) + toks)
+    return key
+
+
+def calibrate_frozen_bn(model: PPNet, params: Any, constants: Any,
+                        images: jnp.ndarray, max_sweeps: int = 8,
+                        eps: float = 1e-5, log=None) -> Dict[str, Any]:
+    """Return a new ``constants`` tree in which every FrozenBatchNorm
+    standardizes its input as measured on ``images`` (B, H, W, 3 —
+    normalized like training inputs).
+
+    BNs are calibrated **one at a time** (Gauss–Seidel): one forward
+    per BN update, composing the standardizing correction into that
+    BN's frozen affine ((mean, var) reset to (0, 1); (gamma, beta)
+    absorb ``scale/√(var_y+eps)`` / ``(bias−mean_y)/√(var_y+eps)``),
+    sweeping until every BN is standardized.  A simultaneous
+    fixed-point iteration is NOT stable at this depth (standardization
+    shifts kill ReLU channels downstream, collapsing their variance
+    and exploding the next round's corrections; observed
+    experimentally), while one-at-a-time updates converge regardless
+    of update order.  The jitted forward compiles once (constants are
+    traced arguments), so the cost is n_BN × sweeps executions of one
+    batch — seconds on an accelerator.
+    """
+    import copy
+
+    constants = copy.deepcopy(jax.tree.map(
+        lambda x: np.asarray(x, np.float64), constants))
+
+    def as_f32(c):
+        return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), c)
+
+    @jax.jit
+    def forward(consts, p, imgs):
+        # params/images are jit ARGUMENTS, not closure constants —
+        # closed-over arrays get baked into the program and XLA
+        # constant-folds the whole prefix at compile time
+        _, inter = model.apply(
+            {"params": p, "constants": consts}, imgs,
+            method=PPNet.push_forward, capture_intermediates=_is_fbn)
+        # per-BN moment sums reduced in-jit (see _device_moment_sums)
+        return {path: _device_moment_sums(outs) for path, outs
+                in _walk_captures(inter["intermediates"])}
+
+    def capture():
+        out = forward(as_f32(constants), params, images)
+        return {k: (np.asarray(s), np.asarray(ss), int(n))
+                for k, (s, ss, n) in out.items()}
+
+    order = sorted(capture(), key=_topo_key)
+
+    def update_one(target, caps):
+        node = constants
+        for p in target:
+            node = node[p]
+        # the affine currently applied: y = x*scale + bias
+        scale = node["gamma"] / np.sqrt(node["var"] + eps)
+        bias = node["beta"] - node["mean"] * scale
+        mean_y, var_y = _pooled_moments(caps[target])
+        s = np.sqrt(var_y + eps)
+        # store as (mean 0, var 1) + the composed learned affine
+        node["mean"] = np.zeros_like(mean_y)
+        node["var"] = np.ones_like(var_y)
+        node["gamma"] = (scale / s) * np.sqrt(1.0 + eps)
+        node["beta"] = (bias - mean_y) / s
+        return float(np.max(np.abs(mean_y))), \
+            float(np.max(np.abs(var_y - 1.0)))
+
+    # the capture tree is key-sorted, not execution-ordered, so a
+    # single in-order pass leaves BNs whose alphabetical position
+    # precedes their topological one (e.g. conv3x3 < reduce) only
+    # approximately standardized; Gauss–Seidel sweeps converge
+    # regardless of order — repeat until every BN is standardized on
+    # the batch
+    for sweep in range(max_sweeps):
+        worst_m = worst_v = 0.0
+        for i, target in enumerate(order):
+            dm, dv = update_one(target, capture())
+            worst_m = max(worst_m, dm)
+            worst_v = max(worst_v, dv)
+            if log is not None and (i + 1) % 25 == 0:
+                log(f"bn-calibrate sweep {sweep + 1}: "
+                    f"{i + 1}/{len(order)}")
+        if log is not None:
+            log(f"bn-calibrate sweep {sweep + 1}: max |mean| "
+                f"{worst_m:.3f}, max |var-1| {worst_v:.3f} pre-update")
+        if worst_m < 0.05 and worst_v < 0.1:
+            break
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), constants)

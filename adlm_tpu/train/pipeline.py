@@ -293,6 +293,23 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
             params=jax.tree.map(jnp.asarray, p_host),
             constants=jax.tree.map(jnp.asarray, c_host))
 
+    if (t.bn_calibrate and not pretrained_path and not start_checkpoint):
+        # from-scratch init: standardize the frozen BNs on a real batch
+        # (models/calibrate.py — without pretrained running stats the
+        # 101-layer stack saturates and from-scratch training stalls)
+        from adlm_tpu.models.calibrate import calibrate_frozen_bn
+        n_cal = min(4, len(train_ds))
+        images = jnp.asarray(np.stack(
+            [train_ds[i][0] for i in range(n_cal)]))
+        logger.log(f"bn-calibrate: standardizing frozen BNs on "
+                   f"{n_cal} training windows")
+        new_consts = calibrate_frozen_bn(model, state.params,
+                                         state.constants, images,
+                                         log=logger.log)
+        state = state.replace(
+            constants=jax.tree.map(jnp.asarray, new_consts))
+        logger.log("bn-calibrate: done")
+
     if warmup_steps > 0:
         logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
         state = _run_phase(model, cfg, 0, state, train_ds, val_ds, store,

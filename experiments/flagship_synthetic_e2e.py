@@ -13,7 +13,11 @@ model (PPNet-190 on DeepLabV2-ResNet101, 513² windows, bf16 fused
 accumulation — the exact bench shapes), and checks the model actually
 learns: final mIoU must beat the 19-class chance floor by a wide
 margin from a RANDOM-INIT backbone (no pretrained weights exist in
-this environment).
+this environment).  From-scratch training requires the
+data-calibrated frozen-BN init (``train --bn-calibrate``,
+models/calibrate.py): without it the sigmoid add-ons saturate (99.5%
+of outputs at the rails, measured) and CE stays pinned at uniform —
+the reference cannot train from scratch at all.
 
 Usage:  python experiments/flagship_synthetic_e2e.py \
             [--root /tmp/flagship_e2e] [--train-images 40] [--skip-gen]
@@ -168,7 +172,7 @@ def main():
     if not args.skip_train:
         t0 = time.time()
         cli(["train", "flagship_synth_demo", run,
-             "--data-path", data, "--bf16", "--fused",
+             "--data-path", data, "--bf16", "--fused", "--bn-calibrate",
              "--val-every", "100", "--val-batches", "1",
              "--push-batch-size", "8"])
         summary["train_s"] = round(time.time() - t0, 1)
