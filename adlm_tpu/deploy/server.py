@@ -27,6 +27,8 @@ Endpoints:
 
 * ``GET /healthz`` — liveness + serving counters (requests, batches,
   mean batch fill).
+* ``GET /metrics`` — the same counters in Prometheus text exposition
+  format (scrapeable; no client library needed).
 * ``GET /manifest`` — the artifact manifest (input shape/dtype, output
   names, class names, prototype→class identity).
 * ``POST /predict[?outputs=pred,nearest_proto]`` — body: one ``.npy``
@@ -279,6 +281,22 @@ class InferenceServer:
                         "requests": b.n_requests,
                         "batches": b.n_batches,
                         "mean_batch_fill": fill})
+                elif self.path.startswith("/metrics"):
+                    fill = (b.n_items / (b.n_batches * b.batch)
+                            if b.n_batches else 0.0)
+                    body = (
+                        "# TYPE adlm_requests_total counter\n"
+                        f"adlm_requests_total {b.n_requests}\n"
+                        "# TYPE adlm_items_total counter\n"
+                        f"adlm_items_total {b.n_items}\n"
+                        "# TYPE adlm_batches_total counter\n"
+                        f"adlm_batches_total {b.n_batches}\n"
+                        "# TYPE adlm_batch_size gauge\n"
+                        f"adlm_batch_size {b.batch}\n"
+                        "# TYPE adlm_mean_batch_fill gauge\n"
+                        f"adlm_mean_batch_fill {fill:.6f}\n")
+                    self._send(200, body.encode(),
+                               ctype="text/plain; version=0.0.4")
                 elif self.path.startswith("/manifest"):
                     self._send_json(200, server.manifest)
                 else:

@@ -153,6 +153,20 @@ def test_http_server_end_to_end(tmp_path):
         conn.request("GET", "/healthz")
         health = json.loads(conn.getresponse().read())
         assert health["requests"] >= 2 and health["batches"] >= 2
+
+        # Prometheus text exposition mirrors the healthz counters
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        metrics = {}
+        for line in resp.read().decode().splitlines():
+            if line and not line.startswith("#"):
+                k, v = line.split()
+                metrics[k] = float(v)
+        assert metrics["adlm_requests_total"] == health["requests"]
+        assert metrics["adlm_batches_total"] == health["batches"]
+        assert metrics["adlm_batch_size"] == health["batch"]
     finally:
         server.close()
 
