@@ -23,6 +23,14 @@ the measured input statistics — and unlike the raw statistics (which
 can exceed float32 range at depth before the early layers are tamed)
 the composed affine stays representable throughout.
 
+Remote-TPU shaping (the axon relay adds ~30 ms per transfer): the
+jitted forward reduces every BN's per-channel moment sums in-jit and
+returns them packed into ONE flat vector (a single fetch per update —
+raw captures would be the model's whole ~GB activation footprint, and
+even per-BN (C,) fetches cost 2·n_BN round-trips per update), and the
+constants live on device with only the 4 updated leaves re-uploaded
+per step.
+
 This runs ONCE at init; the constants then stay frozen for the whole
 run, exactly like the reference's pretrained-stats semantics.  CLI:
 ``train --bn-calibrate`` (config ``TrainConfig.bn_calibrate``).
@@ -30,7 +38,7 @@ run, exactly like the reference's pretrained-stats semantics.  CLI:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +49,7 @@ from adlm_tpu.models.ppnet import PPNet
 
 # finite guards: a pre-calibration forward can overflow float32 at
 # depth; clamped moments still shrink the affine in the right
-# direction and later iterations converge on exact values
+# direction and later updates converge on exact values
 _VAR_MAX = 1e30
 _MEAN_MAX = 1e30
 
@@ -60,33 +68,6 @@ def _walk_captures(inter: Dict[str, Any], path=()):
             yield path + (k,), v["__call__"]
         else:
             yield from _walk_captures(v, path + (k,))
-
-
-def _device_moment_sums(outputs) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
-    """In-jit per-channel (sum, sum-of-squares, pixel count) pooled
-    over every call of one BN (a module may run more than once, e.g.
-    under an MSC pyramid).  Reducing ON DEVICE is what makes remote
-    calibration feasible: raw captures are the model's whole
-    activation footprint (~GBs per forward), the reduced sums are two
-    (C,) vectors per BN."""
-    n = 0
-    s = ss = None
-    for y in outputs:
-        flat = y.astype(jnp.float32).reshape(-1, y.shape[-1])
-        n += flat.shape[0]
-        s = flat.sum(0) if s is None else s + flat.sum(0)
-        ss = (flat ** 2).sum(0) if ss is None else ss + (flat ** 2).sum(0)
-    return s, ss, n
-
-
-def _pooled_moments(sums: Tuple[np.ndarray, np.ndarray, int]
-                    ) -> Tuple[np.ndarray, np.ndarray]:
-    s, ss, n = sums
-    s = np.asarray(s, np.float64)
-    ss = np.asarray(ss, np.float64)
-    mean = np.clip(np.nan_to_num(s / n), -_MEAN_MAX, _MEAN_MAX)
-    var = np.nan_to_num(ss / n - mean ** 2, nan=_VAR_MAX, posinf=_VAR_MAX)
-    return mean, np.clip(var, 0.0, _VAR_MAX)
 
 
 # execution rank of the bottleneck submodules (reduce → conv3x3 →
@@ -112,6 +93,15 @@ def _topo_key(path):
     return key
 
 
+def _moments_from_sums(s: np.ndarray, ss: np.ndarray, n: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    s = np.asarray(s, np.float64)
+    ss = np.asarray(ss, np.float64)
+    mean = np.clip(np.nan_to_num(s / n), -_MEAN_MAX, _MEAN_MAX)
+    var = np.nan_to_num(ss / n - mean ** 2, nan=_VAR_MAX, posinf=_VAR_MAX)
+    return mean, np.clip(var, 0.0, _VAR_MAX)
+
+
 def calibrate_frozen_bn(model: PPNet, params: Any, constants: Any,
                         images: jnp.ndarray, max_sweeps: int = 8,
                         eps: float = 1e-5, log=None) -> Dict[str, Any]:
@@ -128,64 +118,91 @@ def calibrate_frozen_bn(model: PPNet, params: Any, constants: Any,
     shifts kill ReLU channels downstream, collapsing their variance
     and exploding the next round's corrections; observed
     experimentally), while one-at-a-time updates converge regardless
-    of update order.  The jitted forward compiles once (constants are
-    traced arguments), so the cost is n_BN × sweeps executions of one
-    batch — seconds on an accelerator.
+    of update order; in topological order one sweep suffices (the
+    second sweep is the convergence proof).  The jitted forward
+    compiles once (constants are traced arguments).
     """
     import copy
 
-    constants = copy.deepcopy(jax.tree.map(
+    host = copy.deepcopy(jax.tree.map(
         lambda x: np.asarray(x, np.float64), constants))
 
-    def as_f32(c):
-        return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), c)
-
-    @jax.jit
-    def forward(consts, p, imgs):
-        # params/images are jit ARGUMENTS, not closure constants —
-        # closed-over arrays get baked into the program and XLA
-        # constant-folds the whole prefix at compile time
+    def raw_intermediates(consts, p, imgs):
         _, inter = model.apply(
             {"params": p, "constants": consts}, imgs,
             method=PPNet.push_forward, capture_intermediates=_is_fbn)
-        # per-BN moment sums reduced in-jit (see _device_moment_sums)
-        return {path: _device_moment_sums(outs) for path, outs
-                in _walk_captures(inter["intermediates"])}
+        return inter["intermediates"]
 
-    def capture():
-        out = forward(as_f32(constants), params, images)
-        return {k: (np.asarray(s), np.asarray(ss), int(n))
-                for k, (s, ss, n) in out.items()}
+    # layout discovery WITHOUT execution: shapes of every capture
+    shapes = jax.eval_shape(raw_intermediates, jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, jnp.float32), host),
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     params),
+        jax.ShapeDtypeStruct(images.shape, images.dtype))
+    layout: List[Tuple[tuple, int, int]] = []  # (path, C, n_pixels)
+    for path, outs in _walk_captures(shapes):
+        c = outs[0].shape[-1]
+        n = sum(int(np.prod(o.shape[:-1])) for o in outs)
+        layout.append((path, c, n))
+    layout.sort(key=lambda rec: _topo_key(rec[0]))
+    order = [path for path, _, _ in layout]
+    offsets = np.cumsum([0] + [2 * c for _, c, _ in layout])
 
-    order = sorted(capture(), key=_topo_key)
+    @jax.jit
+    def forward(consts, p, imgs):
+        # params/images/constants are jit ARGUMENTS, not closure
+        # constants — closed-over arrays get baked into the program and
+        # XLA constant-folds the whole prefix at compile time
+        inter = raw_intermediates(consts, p, imgs)
+        caps = dict(_walk_captures(inter))
+        chunks = []
+        for path, c, _ in layout:
+            s = ss = None
+            for y in caps[path]:
+                flat = y.astype(jnp.float32).reshape(-1, y.shape[-1])
+                s = flat.sum(0) if s is None else s + flat.sum(0)
+                ss = ((flat ** 2).sum(0) if ss is None
+                      else ss + (flat ** 2).sum(0))
+            chunks.extend([s, ss])
+        # ONE packed vector → one host fetch per update
+        return jnp.concatenate(chunks)
 
-    def update_one(target, caps):
-        node = constants
-        for p in target:
+    # constants live on device; only the 4 updated leaves re-upload
+    dev = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), host)
+
+    def dev_replace(path, node):
+        d = dev
+        for p in path[:-1]:
+            d = d[p]
+        d[path[-1]] = {k: jnp.asarray(v, jnp.float32)
+                       for k, v in node.items()}
+
+    def update_one(i):
+        packed = np.asarray(forward(dev, params, images))
+        path, c, n = layout[i]
+        s = packed[offsets[i]:offsets[i] + c]
+        ss = packed[offsets[i] + c:offsets[i] + 2 * c]
+        node = host
+        for p in path:
             node = node[p]
         # the affine currently applied: y = x*scale + bias
         scale = node["gamma"] / np.sqrt(node["var"] + eps)
         bias = node["beta"] - node["mean"] * scale
-        mean_y, var_y = _pooled_moments(caps[target])
-        s = np.sqrt(var_y + eps)
+        mean_y, var_y = _moments_from_sums(s, ss, n)
+        sd = np.sqrt(var_y + eps)
         # store as (mean 0, var 1) + the composed learned affine
         node["mean"] = np.zeros_like(mean_y)
         node["var"] = np.ones_like(var_y)
-        node["gamma"] = (scale / s) * np.sqrt(1.0 + eps)
-        node["beta"] = (bias - mean_y) / s
+        node["gamma"] = (scale / sd) * np.sqrt(1.0 + eps)
+        node["beta"] = (bias - mean_y) / sd
+        dev_replace(path, node)
         return float(np.max(np.abs(mean_y))), \
             float(np.max(np.abs(var_y - 1.0)))
 
-    # the capture tree is key-sorted, not execution-ordered, so a
-    # single in-order pass leaves BNs whose alphabetical position
-    # precedes their topological one (e.g. conv3x3 < reduce) only
-    # approximately standardized; Gauss–Seidel sweeps converge
-    # regardless of order — repeat until every BN is standardized on
-    # the batch
     for sweep in range(max_sweeps):
         worst_m = worst_v = 0.0
-        for i, target in enumerate(order):
-            dm, dv = update_one(target, capture())
+        for i in range(len(order)):
+            dm, dv = update_one(i)
             worst_m = max(worst_m, dm)
             worst_v = max(worst_v, dv)
             if log is not None and (i + 1) % 25 == 0:
@@ -196,4 +213,4 @@ def calibrate_frozen_bn(model: PPNet, params: Any, constants: Any,
                 f"{worst_m:.3f}, max |var-1| {worst_v:.3f} pre-update")
         if worst_m < 0.05 and worst_v < 0.1:
             break
-    return jax.tree.map(lambda x: np.asarray(x, np.float32), constants)
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), host)
