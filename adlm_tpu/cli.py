@@ -38,7 +38,47 @@ def _results_dir(run_name: str) -> str:
     return os.path.join(base, run_name)
 
 
+def _strip_valued_flags(argv, names):
+    """argv minus the given ``--flag value`` / ``--flag=value`` pairs."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in names:
+            skip = True
+            continue
+        if any(a.startswith(n + "=") for n in names):
+            continue
+        out.append(a)
+    return out
+
+
 def cmd_train(args):
+    if getattr(args, "auto_restart", None) is not None:
+        # supervisor mode: run the training as a child process under a
+        # heartbeat watchdog; on a relay wedge (indefinite hang, no
+        # error — the documented TPU-relay failure mode) or a crash,
+        # kill it, wait for the device to answer a probe again, and
+        # relaunch with --resume (bit-identical continuation,
+        # train/pipeline.py).  utils/watchdog.py has the full story.
+        from adlm_tpu.utils.watchdog import run_with_watchdog
+        run_dir = _results_dir(args.run_name)
+        base = _strip_valued_flags(
+            list(args._argv), ("--auto-restart", "--watchdog-timeout"))
+
+        def make_cmd(attempt):
+            child = [sys.executable, "-m", "adlm_tpu.cli"] + base
+            if attempt > 0 and "--resume" not in child:
+                child.append("--resume")
+            return child
+
+        raise SystemExit(run_with_watchdog(
+            make_cmd,
+            [os.path.join(run_dir, "logs", "train.log"),
+             os.path.join(run_dir, "logs", "train_metrics.csv")],
+            timeout_s=args.watchdog_timeout,
+            max_restarts=args.auto_restart))
     _enable_compile_cache()
     from adlm_tpu.core.config import get_experiment
     from adlm_tpu.train.pipeline import run_protoseg_training
@@ -50,6 +90,9 @@ def cmd_train(args):
     if args.bn_calibrate:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, bn_calibrate=True))
+    if args.proto_init_data:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, proto_init_data=True))
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -71,7 +114,8 @@ def cmd_train(args):
         pretrained_path=args.pretrained,
         pretrained_naming="deeplab" if cfg.load_coco else "torchvision",
         mesh=mesh, trace_dir=args.trace_dir,
-        val_augment=args.val_augment)
+        val_augment=args.val_augment, resume=args.resume,
+        halt_after_windows=args.halt_after)
 
 
 def _eval_mesh(args):
@@ -161,12 +205,13 @@ def cmd_eval_valid(args):
                                 raw=raw)
     else:
         items = ((img, lab, 1) for img, lab in ds.eval_items(raw=raw))
-    if not args.windowed:
-        # overlap the next batch's (async) host→device upload with the
-        # current batch's compute — the sequential loop is
-        # transfer-bound at full resolution (PERF.md)
-        from adlm_tpu.data.pipeline import device_prefetch
-        items = device_prefetch(items)
+    # overlap the next batch's (async) host→device upload with the
+    # current batch's compute — the sequential loop is transfer-bound
+    # at full resolution (PERF.md).  The fused windowed path consumes
+    # device arrays directly (one upload + one dispatch per batch);
+    # only the small-image windowed fallback pays a bounce-back.
+    from adlm_tpu.data.pipeline import device_prefetch
+    items = device_prefetch(items)
 
     n_images = 0
     for img, lab, n_real in items:
@@ -269,9 +314,8 @@ def cmd_eval_test(args):
                            "test_predictions")
     os.makedirs(out_dir, exist_ok=True)
     test_items = ds.eval_items(raw=raw)
-    if not args.windowed:
-        from adlm_tpu.data.pipeline import device_prefetch
-        test_items = device_prefetch(test_items)
+    from adlm_tpu.data.pipeline import device_prefetch
+    test_items = device_prefetch(test_items)
     for i, (img, lab) in enumerate(test_items):
         out = fn(params, payload["constants"], proto_class,
                  jnp.asarray(img), jnp.asarray(lab))
@@ -1182,6 +1226,29 @@ def main(argv=None):
     tp.add_argument("experiment")
     tp.add_argument("run_name")
     tp.add_argument("--pruned", action="store_true")
+    tp.add_argument("--resume", action="store_true",
+                    help="continue a killed/halted run from its last "
+                         "checkpoint: stage, window index, optimizer "
+                         "moments, LR position, early-stopping counters "
+                         "and the loader streams all pick up exactly "
+                         "where they stopped (bit-identical to an "
+                         "uninterrupted run)")
+    tp.add_argument("--halt-after", type=int, default=None,
+                    help="gracefully stop after N optimizer windows "
+                         "(counted across phases), saving a resumable "
+                         "checkpoint — the preemptible-quota time-box")
+    tp.add_argument("--auto-restart", type=int, default=None,
+                    metavar="N",
+                    help="supervise the run under a heartbeat watchdog: "
+                         "a wedged device (no log progress for "
+                         "--watchdog-timeout) or a crash kills the "
+                         "child, waits for the device probe to answer, "
+                         "and relaunches with --resume — up to N "
+                         "restarts (utils/watchdog.py)")
+    tp.add_argument("--watchdog-timeout", type=float, default=900.0,
+                    help="seconds without a run-log heartbeat before "
+                         "the supervisor declares a stall (default "
+                         "900 — above the 2-6 min remote compiles)")
     tp.add_argument("--start-checkpoint", default=None)
     tp.add_argument("--pretrained", default=None,
                     help="path to a torch .pth state_dict or .npz with "
@@ -1209,6 +1276,12 @@ def main(argv=None):
                          "(models/calibrate.py; the reference requires "
                          "pretrained running stats and cannot train "
                          "from scratch)")
+    tp.add_argument("--proto-init-data", action="store_true",
+                    help="from-scratch init: sample each prototype "
+                         "from a real feature cell of its own class "
+                         "(pairs with --bn-calibrate; without it the "
+                         "random prototypes' 1/d² activation gradients "
+                         "vanish and CE stays at uniform)")
     tp.add_argument("--save-push-visualizations", action="store_true")
     tp.add_argument("--push-batch-size", type=int, default=1,
                     help="batch the push scan (mesh-shardable; artifact "
@@ -1617,7 +1690,9 @@ def main(argv=None):
     bp = sub.add_parser("bench")
     bp.set_defaults(fn=cmd_bench)
 
-    args = p.parse_args(argv)
+    raw = list(sys.argv[1:] if argv is None else argv)
+    args = p.parse_args(raw)
+    args._argv = raw  # the supervisor (--auto-restart) re-execs these
     return args.fn(args)
 
 

@@ -82,6 +82,10 @@ class DataConfig:
     scales: Tuple[float, ...] = (0.5, 1.5)  # random-scale jitter range
     cells: bool = False  # raw-float images, no /255 (cells.gin)
     dataloader_n_jobs: int = 8
+    # "thread" (GIL-bound near one core) or "process" (spawn workers,
+    # scales with host cores — the multi-chip feeding mode; identical
+    # sample stream either way since augmentation is seeded per sample)
+    dataloader_mode: str = "thread"
     train_key: str = "train"
     # eval-time input resize (labels stay full-res; logits are
     # upsampled to label size).  The reference resizes PASCAL eval
@@ -147,6 +151,15 @@ class TrainConfig:
     # the 101-layer stack saturates the sigmoid add-ons).  No-op in
     # spirit when a pretrained checkpoint is loaded — skip it then.
     bn_calibrate: bool = False
+
+    # from-scratch init, step 2: set each prototype to a real feature
+    # vector of its own class sampled from a training batch
+    # (models/calibrate.py::init_prototypes_from_data).  Without it the
+    # random prototypes sit 13–31 away from every feature and the log
+    # activation's 1/d² gradient pins CE at uniform (measured at
+    # flagship scale); with it the head starts as a working
+    # nearest-prototype classifier.
+    proto_init_data: bool = False
 
     # fuse the iter_size gradient-accumulation scan into ONE
     # (iter_size·batch)-sized forward/backward with group-normalized

@@ -60,15 +60,18 @@ class SegmentationDataset:
         """``convert=False`` keeps the RAW annotation ids (the native
         augment kernel applies the class LUT to the cropped pixels
         only — converting 513² instead of 2M pixels).  ``mmap=True``
-        memory-maps the image so only the sampled region is ever read
-        (the fused kernel touches just the crop's source rows)."""
+        memory-maps the image AND the label so only the sampled crop
+        region is ever read (the fused kernel touches just the crop's
+        source rows — a full-res Cityscapes label alone is 2 MB that
+        the window path would otherwise read per sample)."""
         if mmap:
             image = np.load(self.get_img_path(img_id), mmap_mode="r")
             if image.dtype != np.uint8:
                 image = image.astype(np.uint8)
         else:
             image = np.load(self.get_img_path(img_id)).astype(np.uint8)
-        label = np.load(os.path.join(self.annotations_dir, img_id + ".npy"))
+        label = np.load(os.path.join(self.annotations_dir, img_id + ".npy"),
+                        mmap_mode="r" if (mmap and not convert) else None)
         if label.ndim == 3:
             label = label[:, :, 0]
         if convert:
@@ -125,6 +128,23 @@ class SegmentationDataset:
         return image, label
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self._augment(index, self.rng)
+
+    def get_train_item(self, index: int,
+                       sample_seed: Optional[int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Augmented item with a PER-SAMPLE rng derived from
+        ``sample_seed``: the augmentation stream becomes a pure function
+        of (seed, global sample counter) — deterministic regardless of
+        loader thread scheduling and exactly resumable from any window
+        (the shared-``self.rng`` path draws in thread-completion order,
+        which is neither).  ``None`` falls back to the shared rng."""
+        rng = random.Random(sample_seed) if sample_seed is not None \
+            else self.rng
+        return self._augment(index, rng)
+
+    def _augment(self, index: int, rng: random.Random
+                 ) -> Tuple[np.ndarray, np.ndarray]:
         # native fast path: one C call for the whole transform chain,
         # raw (unconverted) labels + mmap'd image so work scales with
         # the WINDOW, not the source image
@@ -137,7 +157,7 @@ class SegmentationDataset:
 
         # random scale jitter (reference dataset.py:120-128)
         if len(self.cfg.scales) >= 2 and not self.is_eval:
-            s = self.rng.uniform(self.cfg.scales[0], self.cfg.scales[1])
+            s = rng.uniform(self.cfg.scales[0], self.cfg.scales[1])
         else:
             s = 1.0
 
@@ -146,9 +166,9 @@ class SegmentationDataset:
             nh, nw = int(h * s), int(w * s)
             max_sh = max(nh, wh) - wh
             max_sw = max(nw, ww) - ww
-            start = (self.rng.randint(0, max_sh) if max_sh > 0 else 0,
-                     self.rng.randint(0, max_sw) if max_sw > 0 else 0)
-            flip = (not self.is_eval) and self.rng.random() < 0.5
+            start = (rng.randint(0, max_sh) if max_sh > 0 else 0,
+                     rng.randint(0, max_sw) if max_sw > 0 else 0)
+            flip = (not self.is_eval) and rng.random() < 0.5
             return native.augment_sample(
                 image, label, s, (wh, ww), start, flip,
                 self.cfg.mean, self.cfg.std, cells=self.cfg.cells,

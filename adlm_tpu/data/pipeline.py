@@ -58,35 +58,100 @@ def device_prefetch(iterable, depth: int = 2):
         yield out
 
 
+_PROC_DS: Optional[SegmentationDataset] = None
+
+
+def _proc_worker_init(cfg, split_key: str, data_path: Optional[str]):
+    """Build the dataset ONCE per loader process (spawn context — a
+    fork would inherit JAX's threads and can deadlock)."""
+    global _PROC_DS
+    _PROC_DS = SegmentationDataset(cfg, split_key, data_path=data_path)
+
+
+def _proc_worker_get(index: int, seed: int):
+    return _PROC_DS.get_train_item(index, seed)
+
+
+def sample_seed(seed: int, counter: int) -> int:
+    """Per-sample augmentation seed: a pure function of the loader seed
+    and the global sample counter.  Makes the augmentation stream
+    deterministic under any thread scheduling and exactly replayable
+    from any window (checkpoint/resume stores only the window index)."""
+    return (seed + 1) * (1 << 40) + counter
+
+
 def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
                         batch_size: int, steps: int,
-                        seed: int = 0, n_jobs: int = 1
+                        seed: int = 0, n_jobs: int = 1,
+                        start_window: int = 0, mode: str = "thread"
                         ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yields ``steps`` windows of (iter_size, batch_size, H, W, 3) /
-    (iter_size, batch_size, H, W), sampling the dataset cyclically in
-    shuffled epochs.  ``n_jobs`` > 1 loads samples through a thread
-    pool (the native augment path releases the GIL), the analogue of
-    the reference's DataLoader workers (dataloader_n_jobs in its
-    configs, reference data_module.py:26-39)."""
+    """Yields windows ``start_window .. steps-1`` of
+    (iter_size, batch_size, H, W, 3) / (iter_size, batch_size, H, W),
+    sampling the dataset cyclically in shuffled epochs.  ``n_jobs`` > 1
+    loads samples through a pool, the analogue of the reference's
+    DataLoader workers (dataloader_n_jobs in its configs, reference
+    data_module.py:26-39):
+
+    * ``mode="thread"`` — a thread pool; the native augment kernel
+      releases the GIL, but the python-side np.load/stack work doesn't,
+      so threads cap out near one core's throughput.
+    * ``mode="process"`` — spawn-context worker processes, each with
+      its own dataset + native lib: no GIL, scales with cores on real
+      multi-core TPU hosts (a v5e-8 host has >200 vCPUs; this repo's
+      dev host has ONE core, so scaling cannot be demonstrated here —
+      see PERF.md for the per-core arithmetic).  Identical output
+      stream: augmentation is seeded per sample, not per worker.
+
+    The epoch permutation stream is a function of ``seed`` alone and
+    per-sample augmentation draws are a function of (seed, sample
+    counter) — so ``start_window > 0`` reproduces EXACTLY the windows a
+    fresh run would have produced, by fast-forwarding the index stream
+    without touching the data (mid-phase resume, train/pipeline.py)."""
     rng = np.random.RandomState(seed)
     order = rng.permutation(len(dataset))
     pos = 0
     per_window = iter_size * batch_size
-    pool = (ThreadPoolExecutor(max_workers=n_jobs)
-            if n_jobs > 1 else None)
+    counter = 0
+
+    def next_index() -> int:
+        nonlocal pos, order, counter
+        if pos >= len(order):
+            order = rng.permutation(len(dataset))
+            pos = 0
+        i = int(order[pos])
+        pos += 1
+        counter += 1
+        return i
+
+    # fast-forward past completed windows (index draws only, no IO)
+    for _ in range(start_window * per_window):
+        next_index()
+
+    pool = None
+    if n_jobs > 1 and mode == "process":
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+        pool = ProcessPoolExecutor(
+            max_workers=n_jobs,
+            mp_context=multiprocessing.get_context("spawn"),
+            initializer=_proc_worker_init,
+            initargs=(dataset.cfg, dataset.split_key, dataset.data_path))
+        get_items = lambda idxs, seeds: list(
+            pool.map(_proc_worker_get, idxs, seeds))
+    elif n_jobs > 1:
+        pool = ThreadPoolExecutor(max_workers=n_jobs)
+        get_items = lambda idxs, seeds: list(
+            pool.map(dataset.get_train_item, idxs, seeds))
+    else:
+        get_items = lambda idxs, seeds: [
+            dataset.get_train_item(i, s) for i, s in zip(idxs, seeds)]
     try:
-        for _ in range(steps):
-            idxs = []
-            for _ in range(per_window):
-                if pos >= len(order):
-                    order = rng.permutation(len(dataset))
-                    pos = 0
-                idxs.append(int(order[pos]))
-                pos += 1
-            if pool is not None:
-                items = list(pool.map(dataset.__getitem__, idxs))
-            else:
-                items = [dataset[i] for i in idxs]
+        for _ in range(start_window, steps):
+            base = counter
+            idxs = [next_index() for _ in range(per_window)]
+            seeds = [sample_seed(seed, base + j)
+                     for j in range(per_window)]
+            items = get_items(idxs, seeds)
             images = [im for im, _ in items]
             labels = [lb for _, lb in items]
             h, w = images[0].shape[:2]

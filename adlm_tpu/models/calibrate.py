@@ -214,3 +214,153 @@ def calibrate_frozen_bn(model: PPNet, params: Any, constants: Any,
         if worst_m < 0.05 and worst_v < 0.1:
             break
     return jax.tree.map(lambda x: np.asarray(x, np.float32), host)
+
+def standardize_presigmoid(model: PPNet, params: Any, constants: Any,
+                           images: jnp.ndarray, eps: float = 1e-3,
+                           log=print) -> Any:
+    """From-scratch init, step 1b: standardize the PRE-SIGMOID tensor.
+
+    ``calibrate_frozen_bn`` standardizes every BN output, but the last
+    op before the add-on sigmoid has NO BatchNorm: for the deeplab
+    configs the pre-sigmoid tensor is the raw ASPP head output (four
+    summed 3×3 convs, reference libs/models/deeplabv2.py — rebuilt in
+    models/deeplab.py), and for the ProtoPNet kinds it is the add-on
+    stack's final 1×1 conv.  At random init that tensor's per-channel
+    std is ~10–30 (measured at flagship scale, round 4), so the sigmoid
+    saturates to EXACT 0.0/1.0 in float32 — its derivative is exactly
+    zero and **no gradient reaches any feature parameter** (0/114
+    leaves; CE provably pinned at ln(K) forever).  A pretrained
+    checkpoint never hits this, which is why the reference — which
+    cannot train from scratch at all — has no equivalent.
+
+    The fix is LSUV-style data-driven init (Mishkin & Matas, 2016):
+    measure per-channel (μ, σ) of the pre-sigmoid tensor on a real
+    batch and fold ``(x − μ)/σ`` into the producing convs' kernels and
+    biases — zero runtime cost, no architecture change, and
+    sigmoid(N(0,1)) keeps healthy gradients everywhere.  The producers
+    form the tensor ADDITIVELY (ASPP branch sum / a single conv), so
+    scaling every kernel+bias by 1/σ and shifting one bias by −μ/σ is
+    exact.
+
+    Returns a new params tree (host numpy leaves for the touched convs).
+    """
+    import copy
+
+    kind = model.cfg.add_on_layers_type
+    host = copy.deepcopy(jax.tree.map(np.asarray, params))
+
+    if kind == "deeplab_simple":
+        # pre-sigmoid = backbone output (AddOnLayers is just sigmoid);
+        # producers = the ASPP branch convs, summed
+        aspp = host["features"]["base"]["aspp"]
+        producers = [aspp[k] for k in sorted(aspp.keys())]
+
+        @jax.jit
+        def pre_fn(p, c, imgs):
+            return model.apply(
+                {"params": p, "constants": c}, imgs,
+                method=lambda m, x: m.features(x, train=False))
+    else:
+        # pre-sigmoid = the add-on stack's LAST conv output
+        convs = sorted((k for k in host["add_on"] if k.startswith("conv")),
+                       key=lambda k: int(k[4:]))
+        producers = [host["add_on"][convs[-1]]]
+        last = convs[-1]
+
+        @jax.jit
+        def pre_fn(p, c, imgs):
+            import flax.linen as nn
+            _, inter = model.apply(
+                {"params": p, "constants": c}, imgs,
+                method=PPNet.push_forward,
+                capture_intermediates=lambda m, _: isinstance(m, nn.Conv))
+            return inter["intermediates"]["add_on"][last]["__call__"][0]
+
+    pre = np.asarray(pre_fn(params, constants, images), np.float64)
+    flat = pre.reshape(-1, pre.shape[-1])
+    mean, sd = flat.mean(0), np.maximum(flat.std(0), eps)
+    log(f"presigmoid-calibrate: pre |mean| max {np.abs(mean).max():.2f}, "
+        f"std max {sd.max():.2f} over {pre.shape[-1]} channels")
+    for i, node in enumerate(producers):
+        node["kernel"] = (node["kernel"] / sd).astype(np.float32)
+        node["bias"] = (node["bias"] / sd).astype(np.float32)
+        if i == 0:
+            node["bias"] = (node["bias"] - mean / sd).astype(np.float32)
+
+    post = np.asarray(pre_fn(jax.tree.map(jnp.asarray, host), constants,
+                             images), np.float64).reshape(-1, pre.shape[-1])
+    log(f"presigmoid-calibrate: post |mean| max "
+        f"{np.abs(post.mean(0)).max():.4f}, |std-1| max "
+        f"{np.abs(post.std(0) - 1).max():.4f}")
+    return host
+
+
+def init_prototypes_from_data(model: PPNet, params: Any, constants: Any,
+                              proto_class, images, labels,
+                              seed: int = 0, log=print):
+    """Data-driven prototype init: set each prototype to a REAL feature
+    vector of a grid cell of its own class.
+
+    From a random init, prototype vectors sit far from every feature
+    (flagship scale: measured distances 13–31 over 64 channels), and
+    the log activation's gradient vanishes as 1/d² — from-scratch
+    training stalls with CE pinned at uniform even after bn-calibrate
+    standardizes the activations (round-4 flagship e2e measurement).
+    Sampling prototypes from data puts matching-patch distances near 0,
+    so the head starts as a working nearest-prototype classifier and
+    the distance gradients are healthy from step one.  This is the
+    segmentation analogue of ProtoPNet-style patch init; the reference
+    cannot do it (or train from scratch at all) — its prototypes are
+    N(0, 1) noise until the first push.
+
+    Args:
+      model/params/constants: the (bn-calibrated) init state.
+      proto_class: (P,) int prototype class ids.
+      images: (B, H, W, 3) normalized training windows (host or device).
+      labels: (B, H, W) raw train-id labels (0 = void, class c at c+1).
+      seed: cell-sampling seed.
+
+    Returns:
+      (P, C) jnp array of new prototype vectors; prototypes of classes
+      absent from the batch keep their current vectors (logged).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adlm_tpu.models.ppnet import PPNet
+    from adlm_tpu.ops.resize import resize_label_nearest
+
+    @jax.jit
+    def feats(p, c, imgs):
+        f, _ = model.apply({"params": p, "constants": c}, imgs,
+                           method=PPNet.push_forward)
+        return f
+
+    f = np.asarray(feats(params, constants, jnp.asarray(images)))
+    B, gh, gw, C = f.shape
+    grid_lab = np.asarray(resize_label_nearest(
+        jnp.asarray(np.asarray(labels).astype(np.int32)), (gh, gw)))
+    flat_f = f.reshape(B * gh * gw, C)
+    flat_lab = grid_lab.reshape(-1)
+
+    rng = np.random.RandomState(seed)
+    pc = np.asarray(proto_class)
+    new_pv = np.array(np.asarray(params["prototype_vectors"]),
+                      np.float32, copy=True)
+    missing = []
+    for cls in np.unique(pc):
+        cells = np.nonzero(flat_lab == cls + 1)[0]  # train id = class+1
+        idxs = np.nonzero(pc == cls)[0]
+        if cells.size == 0:
+            missing.append(int(cls))
+            continue
+        take = rng.choice(cells, size=len(idxs),
+                          replace=cells.size < len(idxs))
+        new_pv[idxs] = flat_f[take]
+    if missing:
+        log(f"proto-init: classes {missing} absent from the init batch "
+            f"— their prototypes keep the random init")
+    log(f"proto-init: {len(pc) - sum(np.isin(pc, missing))} prototypes "
+        f"set from data cells")
+    return jnp.asarray(new_pv)

@@ -40,12 +40,75 @@ from adlm_tpu.utils.logging import RunLogger
 
 STAGE_BY_PHASE = {0: "warmup", 1: "nopush", 2: "push"}
 
+# run position markers for resume: each training stage, in execution
+# order, plus the push event between joint and last-layer finetune
+STAGE_ORDER = {"warmup": 0, "nopush": 1, "push": 2, "pruned": 3}
+
+
+class TrainingHalted(Exception):
+    """Raised for a graceful time-boxed stop (``--halt-after``): the
+    current state and resume metadata are already on disk; ``train
+    --resume`` continues from the exact window (preemptible quota)."""
+
 
 def _ckpt_payload(state: ProtoSegState) -> Dict[str, Any]:
-    return {"params": dict(state.params),
-            "constants": dict(state.constants),
-            "proto_class": state.proto_class,
-            "step": state.step}
+    """Full train-state payload: params/constants/proto_class/step PLUS
+    the optimizer state, flattened to positionally-keyed leaves so the
+    checkpoint stays a plain dict-of-arrays (restorable with no target
+    on any backend); the optax tree structure is rebuilt from a fresh
+    ``tx.init`` at restore time (same config → same treedef).  The
+    reference drops the optimizer entirely (``torch.save(obj=ppnet)``,
+    reference segmentation/module.py:292-297) — resuming there restarts
+    moments and LR schedule from zero."""
+    payload = {"params": dict(state.params),
+               "constants": dict(state.constants),
+               "proto_class": state.proto_class,
+               "step": state.step}
+    leaves = jax.tree_util.tree_leaves(state.opt_state)
+    payload["opt"] = {f"{i:05d}": leaf for i, leaf in enumerate(leaves)}
+    return payload
+
+
+def _restore_opt_state(state: ProtoSegState, payload: Dict[str, Any],
+                       log=print) -> ProtoSegState:
+    """Rebuild ``opt_state`` from a payload's flattened leaves (see
+    _ckpt_payload).  Old-format payloads without ``opt`` fall back to
+    the fresh optimizer (logged)."""
+    opt = payload.get("opt")
+    if not opt:
+        if "opt" not in payload:
+            log("resume: checkpoint has no optimizer state "
+                "(old format) — starting with fresh moments")
+        return state.replace(step=jnp.asarray(payload["step"]))
+    leaves = [jnp.asarray(opt[k]) for k in sorted(opt)]
+    treedef = jax.tree_util.tree_structure(state.opt_state)
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state.replace(opt_state=opt_state,
+                         step=jnp.asarray(payload["step"]))
+
+
+def _resume_path(run_dir: str) -> str:
+    return os.path.join(run_dir, "resume.json")
+
+
+def _write_resume(run_dir: str, stage: str, windows_done: int,
+                  n_windows: int, best_acc: float, stale: int) -> None:
+    """Atomic resume marker (written alongside every ``last`` save)."""
+    import json
+    meta = {"stage": stage, "windows_done": int(windows_done),
+            "n_windows": int(n_windows),
+            "completed": windows_done >= n_windows,
+            "best_acc": float(best_acc), "stale": int(stale)}
+    tmp = _resume_path(run_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _resume_path(run_dir))
+
+
+def _read_resume(run_dir: str) -> Dict[str, Any]:
+    import json
+    with open(_resume_path(run_dir)) as f:
+        return json.load(f)
 
 
 def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
@@ -55,7 +118,9 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                val_every: int, val_batches: Optional[int],
                early_stopping_patience: Optional[int] = None,
                stage_key: Optional[str] = None,
-               mesh=None, trace_dir: Optional[str] = None
+               mesh=None, trace_dir: Optional[str] = None,
+               start_window: int = 0, best_acc: float = -1.0,
+               stale: int = 0, halt: Optional[Dict[str, int]] = None
                ) -> ProtoSegState:
     t = cfg.train
     stage = stage_key or STAGE_BY_PHASE[phase]
@@ -70,48 +135,100 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
                                   donate=True)
     eval_fn = make_eval_step(model, cfg)
     n_windows = max(max_steps // t.iter_size, 1)
+    _write_resume(store.run_dir, stage, start_window, n_windows,
+                  best_acc, stale)
+    if start_window >= n_windows:
+        return state
 
+    # the loader's index/augmentation streams are pure functions of the
+    # seed and the window counter, so start_window > 0 resumes the
+    # EXACT stream a fresh run would have produced (data/pipeline.py)
     loader = BatchLoader(superbatch_iterator(
         train_ds, t.iter_size, batch_size, n_windows, seed=t.random_seed,
-        n_jobs=cfg.data.dataloader_n_jobs))
+        n_jobs=cfg.data.dataloader_n_jobs, start_window=start_window,
+        mode=cfg.data.dataloader_mode))
+
+    # shipping casts: bf16 training reads bf16 inputs (the step casts
+    # to bf16 in-jit anyway, so host-side rounding is identical) and
+    # train ids fit uint8 — together 31.5 → 18 MB per flagship window
+    # through the ~42 MB/s relay (the REAL window bound, PERF.md)
+    bf16_ship = t.compute_dtype == "bfloat16"
+    u8_labels = cfg.model.num_classes < 255
+
+    def ship(images, labels):
+        if bf16_ship:
+            import ml_dtypes
+            images = images.astype(ml_dtypes.bfloat16)
+        if u8_labels and labels.dtype != np.uint8:
+            labels = labels.astype(np.uint8)
+        return jnp.asarray(images), jnp.asarray(labels)
 
     try:
         state = _phase_loop(loader, state, step_fn, eval_fn, val_ds,
                             batch_size, val_batches, n_windows,
                             val_every, early_stopping_patience, stage,
-                            store, logger, trace_dir=trace_dir)
+                            store, logger, trace_dir=trace_dir,
+                            start_window=start_window,
+                            best_acc=best_acc, stale=stale, halt=halt,
+                            ship=ship)
     finally:
         loader.close()
     store.save(stage, "last", _ckpt_payload(state))
+    _write_resume(store.run_dir, stage, n_windows, n_windows,
+                  best_acc, stale)
     return state
 
 
 def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                 val_batches, n_windows, val_every,
                 early_stopping_patience, stage, store, logger,
-                trace_dir=None):
+                trace_dir=None, start_window=0, best_acc=-1.0,
+                stale=0, halt=None, ship=None):
     from adlm_tpu.utils.profiling import StepMeter, trace
 
-    best_acc = -1.0
-    stale = 0
+    if ship is None:
+        ship = lambda im, lb: (jnp.asarray(im), jnp.asarray(lb))
+
+    def shipped(src, depth=2):
+        """Upload windows ``depth`` ahead: ``jnp.asarray`` ENQUEUES the
+        host→device copy asynchronously (~40 ms for an 18 MB flagship
+        window vs ~440 ms for the copy itself through the ~42 MB/s
+        relay, CLAUDE.md), so window n+1's upload rides under window
+        n's compute instead of serializing with it — the train-loop
+        analogue of data/pipeline.py::device_prefetch."""
+        import collections
+        q = collections.deque()
+        it = iter(src)
+        try:
+            for _ in range(depth):
+                q.append(ship(*next(it)))
+        except StopIteration:
+            pass
+        while q:
+            out = q.popleft()
+            try:
+                q.append(ship(*next(it)))
+            except StopIteration:
+                pass
+            yield out
+
     meter = None
-    for w, (images, labels) in enumerate(loader):
+    for w, (images, labels) in enumerate(shipped(loader),
+                                         start=start_window):
         if meter is None:
             meter = StepMeter(images_per_step=int(np.prod(images.shape[:2])))
-        if trace_dir is not None and w == 1:
-            # profile ONE steady-state window (w=0 pays the compile);
-            # the trace lands under <trace_dir>/<stage>/
+        if trace_dir is not None and w == start_window + 1:
+            # profile ONE steady-state window (the first pays the
+            # compile); the trace lands under <trace_dir>/<stage>/
             with trace(f"{stage}_window", os.path.join(trace_dir, stage)):
-                state, metrics = step_fn(state, jnp.asarray(images),
-                                         jnp.asarray(labels))
+                state, metrics = step_fn(state, images, labels)
                 jax.block_until_ready(metrics)
             logger.log(f"{stage}: profiler trace written to "
                        f"{trace_dir}/{stage}")
         else:
-            state, metrics = step_fn(state, jnp.asarray(images),
-                                     jnp.asarray(labels))
+            state, metrics = step_fn(state, images, labels)
         meter.tick()
-        if (w + 1) % 50 == 0 or w == 0:
+        if (w + 1) % 50 == 0 or w == start_window:
             acc = float(metrics["n_correct"]) / max(
                 float(metrics["n_patches"]), 1)
             logger.metrics(w, stage, "train",
@@ -125,7 +242,6 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
             val_metrics = _validate(eval_fn, state, val_ds, batch_size,
                                     val_batches)
             logger.metrics(w, stage, "val", val_metrics)
-            store.save(stage, "last", _ckpt_payload(state))
             if val_metrics["accuracy"] > best_acc:
                 best_acc = val_metrics["accuracy"]
                 stale = 0
@@ -133,11 +249,23 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                 logger.log(f"{stage}: new best val accuracy {best_acc:.4f}")
             else:
                 stale += 1
-                if (early_stopping_patience is not None
-                        and stale >= early_stopping_patience):
-                    logger.log(f"{stage}: early stopping after {stale} "
-                               f"stale validations")
-                    break
+            store.save(stage, "last", _ckpt_payload(state))
+            _write_resume(store.run_dir, stage, w + 1, n_windows,
+                          best_acc, stale)
+            if (early_stopping_patience is not None
+                    and stale >= early_stopping_patience):
+                logger.log(f"{stage}: early stopping after {stale} "
+                           f"stale validations")
+                break
+        if halt is not None:
+            halt["remaining"] -= 1
+            if halt["remaining"] <= 0 and (w + 1) < n_windows:
+                store.save(stage, "last", _ckpt_payload(state))
+                _write_resume(store.run_dir, stage, w + 1, n_windows,
+                              best_acc, stale)
+                logger.log(f"{stage}: halting after window {w + 1} "
+                           f"(--halt-after); resume with train --resume")
+                raise TrainingHalted(stage)
     return state
 
 
@@ -150,14 +278,16 @@ def _validate(eval_fn, state: ProtoSegState, val_ds, batch_size: int,
     a shuffled subset would make best-checkpoint selection noisy.
     The final partial batch wraps around to the start so the jitted
     eval fn never sees a new batch shape (a fresh shape is a
-    multi-minute remote compile); the handful of double-counted images
-    is deterministic.
+    multi-minute remote compile) — but the wrapped tail images are
+    MASKED OUT via the eval step's ``n_valid`` input, so every image
+    contributes exactly once (no best-checkpoint bias on small splits).
 
     Args:
       val_batches: optional cap on the number of (ordered) batches —
         quick mode for smoke tests / mid-phase logging.  None = full.
     """
     totals: Dict[str, float] = {}
+    total_real = 0
     if val_ds.is_eval:
         val_ds.rng.seed(0)  # deterministic crops for over-window images
     # (val-augment mode leaves the stream advancing, like the reference)
@@ -165,14 +295,19 @@ def _validate(eval_fn, state: ProtoSegState, val_ds, batch_size: int,
     if val_batches is not None:
         n_batches = min(val_batches, n_batches)
     for b in range(n_batches):
-        items = [val_ds[(b * batch_size + j) % len(val_ds)]
+        start = b * batch_size
+        n_real = min(batch_size, len(val_ds) - start)
+        items = [val_ds[(start + j) % len(val_ds)]
                  for j in range(batch_size)]
         images = np.stack([im for im, _ in items])
         labels = np.stack([lb for _, lb in items])
-        m = eval_fn(state, jnp.asarray(images), jnp.asarray(labels))
+        m = eval_fn(state, jnp.asarray(images), jnp.asarray(labels),
+                    n_valid=n_real)
         for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
-    out = {k: v / max(n_batches, 1) for k, v in totals.items()
+            w = 1.0 if k in ("n_correct", "n_patches") else n_real
+            totals[k] = totals.get(k, 0.0) + float(v) * w
+        total_real += n_real
+    out = {k: v / max(total_real, 1) for k, v in totals.items()
            if k not in ("n_correct", "n_patches")}
     out["accuracy"] = totals.get("n_correct", 0.0) / max(
         totals.get("n_patches", 1.0), 1.0)
@@ -192,7 +327,9 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                           pretrained_naming: str = "torchvision",
                           mesh=None,
                           trace_dir: Optional[str] = None,
-                          val_augment: bool = False
+                          val_augment: bool = False,
+                          resume: bool = False,
+                          halt_after_windows: Optional[int] = None
                           ) -> ProtoSegState:
     """Full training pipeline. ``steps_scale`` shrinks every phase budget
     (for smoke tests); 1.0 reproduces the reference schedule.
@@ -204,7 +341,19 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     scale/crop/flip chain to EVERY split; only the is_eval push/eval
     loaders differ), making best-checkpoint selection comparable to the
     reference's noisy-val behaviour.  Default off: deterministic val is
-    strictly better for checkpoint selection (PARITY.md deviation)."""
+    strictly better for checkpoint selection (PARITY.md deviation).
+
+    ``resume=True`` continues a killed/halted run from its last
+    checkpoint: the stage, window index, optimizer moments, LR
+    schedule position, early-stopping counters and the loader's
+    index/augmentation streams all pick up exactly where they stopped
+    (``resume.json`` + the full-state ``last`` payloads) — a resumed
+    run produces bit-identical parameters to an uninterrupted one
+    (tests/test_pipeline.py).  The reference cannot do this: it pickles
+    the bare module and restarts phases from step 0
+    (reference segmentation/train.py:58-65, module.py:292-297).
+    ``halt_after_windows`` stops gracefully after N optimizer windows
+    (counted across phases) — the preemptible-quota time-box."""
     t = cfg.train
     logger = RunLogger(run_dir)
     store = CheckpointStore(run_dir)
@@ -227,47 +376,125 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     sample = jnp.zeros((1, wh, ww, 3), jnp.float32)
     rng = jax.random.PRNGKey(t.random_seed)
 
-    if pruned:
-        # finetune a pruned model (reference train.py:197-233)
-        pruned_store = CheckpointStore(run_dir)
-        payload = pruned_store.restore("pruned", "last")
-        params = payload["params"]
-        constants = payload["constants"]
-        proto_class = jnp.asarray(payload["proto_class"])
-        pruned_cfg = dataclasses.replace(
+    halt = ({"remaining": int(halt_after_windows)}
+            if halt_after_windows else None)
+
+    def _restore_stage(stage: str, phase: int, max_steps: int,
+                       with_opt: bool):
+        """(model, cfg, state) rebuilt from a stage's ``last`` payload;
+        the prototype count comes from the payload (push/prune make it
+        ragged).  ``with_opt`` restores optimizer moments + step."""
+        payload = store.restore(stage, "last")
+        params, constants = payload["params"], payload["constants"]
+        pc = jnp.asarray(payload["proto_class"])
+        rcfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
                 cfg.model,
-                num_prototypes=int(np.asarray(params["prototype_vectors"]
-                                              ).shape[0])))
-        model = PPNet(cfg=pruned_cfg.model)
-        state = init_protoseg_state(model, pruned_cfg, 2, finetune_steps,
-                                    rng, sample, params=params,
-                                    constants=constants,
-                                    proto_class=proto_class)
+                num_prototypes=int(np.asarray(
+                    params["prototype_vectors"]).shape[0])))
+        rmodel = PPNet(cfg=rcfg.model)
+        st = init_protoseg_state(rmodel, rcfg, phase, max_steps, rng,
+                                 sample, params=params,
+                                 constants=constants, proto_class=pc)
+        if with_opt:
+            st = _restore_opt_state(st, payload, log=logger.log)
+        return rmodel, rcfg, st
+
+    entry_stage: Optional[str] = None
+    entry_window = 0
+    entry_best = -1.0
+    entry_stale = 0
+    if resume:
+        if not os.path.exists(_resume_path(run_dir)):
+            raise SystemExit(f"--resume: no resume.json under {run_dir} "
+                             f"(nothing to resume)")
+        meta = _read_resume(run_dir)
+        if meta["completed"]:
+            # crashed between stages: enter the NEXT position; a crash
+            # during the push event re-runs it (push is deterministic)
+            entry_stage = {"warmup": "nopush", "nopush": "push_event",
+                           "push": None, "pruned": None}[meta["stage"]]
+        else:
+            entry_stage = meta["stage"]
+            entry_window = int(meta["windows_done"])
+            entry_best = float(meta["best_acc"])
+            entry_stale = int(meta["stale"])
+        logger.log(f"resume: stage={entry_stage} window={entry_window} "
+                   f"best_acc={entry_best:.4f} stale={entry_stale}")
+        if entry_stage is None:
+            logger.log("resume: run already complete — nothing to do")
+            _, _, state = _restore_stage(meta["stage"], 2,
+                                         finetune_steps, with_opt=True)
+            logger.close()
+            return state
+
+    def _sw(stage):
+        return entry_window if entry_stage == stage else 0
+
+    def _ba(stage):
+        return entry_best if entry_stage == stage else -1.0
+
+    def _stl(stage):
+        return entry_stale if entry_stage == stage else 0
+
+    if pruned or entry_stage == "pruned":
+        # finetune a pruned model (reference train.py:197-233); on
+        # resume, continue it mid-phase with restored moments
+        model, pruned_cfg, state = _restore_stage(
+            "pruned", 2, finetune_steps,
+            with_opt=(entry_stage == "pruned"))
         logger.log("LAST LAYER FINE-TUNING (pruned)")
-        state = _run_phase(model, pruned_cfg, 2, state, train_ds, val_ds,
-                           store, logger, finetune_steps,
-                           t.warmup_batch_size, val_every, val_batches,
-                           early_stopping_patience=
-                           t.early_stopping_patience_last_layer,
-                           stage_key="pruned", mesh=mesh,
-                           trace_dir=trace_dir)
+        try:
+            state = _run_phase(model, pruned_cfg, 2, state, train_ds,
+                               val_ds, store, logger, finetune_steps,
+                               t.warmup_batch_size, val_every,
+                               val_batches,
+                               early_stopping_patience=
+                               t.early_stopping_patience_last_layer,
+                               stage_key="pruned", mesh=mesh,
+                               trace_dir=trace_dir,
+                               start_window=_sw("pruned"),
+                               best_acc=_ba("pruned"),
+                               stale=_stl("pruned"), halt=halt)
+        except TrainingHalted:
+            pass
         logger.close()
         return state
 
-    # phase 0: warmup
-    if start_checkpoint:
-        payload = CheckpointStore(os.path.dirname(
-            os.path.dirname(start_checkpoint))).restore(
-            *os.path.basename(start_checkpoint).rsplit("_", 1))
-        params, constants = payload["params"], payload["constants"]
+    # run position: 0 = warmup, 1 = joint, 1.5 = push event,
+    # 2 = last-layer finetune
+    if entry_stage == "warmup":
+        model, cfg, state = _restore_stage("warmup", 0, warmup_steps,
+                                           with_opt=True)
+        pos = 0.0
+    elif entry_stage == "nopush":
+        model, cfg, state = _restore_stage("nopush", 1, joint_steps,
+                                           with_opt=True)
+        pos = 1.0
+    elif entry_stage == "push_event":
+        model, cfg, state = _restore_stage("nopush", 1, joint_steps,
+                                           with_opt=False)
+        pos = 1.5
+    elif entry_stage == "push":
+        model, cfg, state = _restore_stage("push", 2, finetune_steps,
+                                           with_opt=True)
+        pos = 2.0
     else:
-        params = constants = None
+        pos = 0.0
+        # phase 0: warmup
+        if start_checkpoint:
+            payload = CheckpointStore(os.path.dirname(
+                os.path.dirname(start_checkpoint))).restore(
+                *os.path.basename(start_checkpoint).rsplit("_", 1))
+            params, constants = payload["params"], payload["constants"]
+        else:
+            params = constants = None
 
-    state = init_protoseg_state(model, cfg, 0, warmup_steps, rng, sample,
-                                params=params, constants=constants)
+        state = init_protoseg_state(model, cfg, 0, warmup_steps, rng,
+                                    sample, params=params,
+                                    constants=constants)
 
-    if pretrained_path and not start_checkpoint:
+    if pretrained_path and not start_checkpoint and entry_stage is None:
         # ImageNet/COCO backbone init (reference train.py:70-95);
         # accepts a torch .pth state_dict or an .npz with the same keys
         logger.log(f"Loading pretrained backbone from {pretrained_path} "
@@ -293,7 +520,8 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
             params=jax.tree.map(jnp.asarray, p_host),
             constants=jax.tree.map(jnp.asarray, c_host))
 
-    if (t.bn_calibrate and not pretrained_path and not start_checkpoint):
+    if (t.bn_calibrate and not pretrained_path and not start_checkpoint
+            and entry_stage is None):
         # from-scratch init: standardize the frozen BNs on a real batch
         # (models/calibrate.py — without pretrained running stats the
         # 101-layer stack saturates and from-scratch training stalls)
@@ -308,70 +536,121 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
                                          log=logger.log)
         state = state.replace(
             constants=jax.tree.map(jnp.asarray, new_consts))
+        # step 1b: the pre-sigmoid tensor has no BN (ASPP head / last
+        # add-on conv) and saturates the sigmoid to EXACT 0/1 at random
+        # init — zero gradient to every feature parameter (measured:
+        # 0/114 leaves).  Fold a data-measured (x−μ)/σ into the
+        # producing convs (models/calibrate.py::standardize_presigmoid).
+        from adlm_tpu.models.calibrate import standardize_presigmoid
+        new_params = standardize_presigmoid(model, state.params,
+                                            state.constants, images,
+                                            log=logger.log)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, new_params))
         logger.log("bn-calibrate: done")
 
-    if warmup_steps > 0:
-        logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
-        state = _run_phase(model, cfg, 0, state, train_ds, val_ds, store,
-                           logger, warmup_steps, t.warmup_batch_size,
-                           val_every, val_batches, mesh=mesh,
-                           trace_dir=trace_dir)
+    if (t.proto_init_data and not start_checkpoint
+            and entry_stage is None):
+        # from-scratch init, step 2: prototypes sampled from real
+        # feature cells of their own class (models/calibrate.py)
+        from adlm_tpu.models.calibrate import init_prototypes_from_data
+        n_init = min(8, len(train_ds))
+        items = [train_ds.get_train_item(i, sample_seed=t.random_seed + i)
+                 for i in range(n_init)]
+        imgs = np.stack([im for im, _ in items])
+        labs = np.stack([lb for _, lb in items])
+        new_pv = init_prototypes_from_data(
+            model, state.params, state.constants, state.proto_class,
+            imgs, labs, seed=t.random_seed, log=logger.log)
+        state = state.replace(params={**dict(state.params),
+                                      "prototype_vectors": new_pv})
 
-    # phase 1: joint
-    logger.log(f"JOINT TRAINING START ({joint_steps} steps)")
-    state = init_protoseg_state(model, cfg, 1, joint_steps, rng, sample,
-                                params=state.params,
-                                constants=state.constants,
-                                proto_class=state.proto_class)
-    state = _run_phase(model, cfg, 1, state, train_ds, val_ds, store,
-                       logger, joint_steps, t.joint_batch_size,
-                       val_every, val_batches, mesh=mesh,
-                       trace_dir=trace_dir)
+    try:
+        if pos <= 0 and warmup_steps > 0:
+            logger.log(f"WARM-UP TRAINING START ({warmup_steps} steps)")
+            state = _run_phase(model, cfg, 0, state, train_ds, val_ds,
+                               store, logger, warmup_steps,
+                               t.warmup_batch_size, val_every,
+                               val_batches, mesh=mesh,
+                               trace_dir=trace_dir,
+                               start_window=_sw("warmup"),
+                               best_acc=_ba("warmup"),
+                               stale=_stl("warmup"), halt=halt)
 
-    # push
-    logger.log("SAVING PROTOTYPES (push)")
-    from adlm_tpu.interpret.analysis import make_denorm
-    from adlm_tpu.interpret.push import push_prototypes
-    push_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
-                                  data_path=data_path, is_eval=True,
-                                  push_prototypes=True)
-    # uint8 items + the full in-jit (x/255 − mean)/std when
-    # ulp-equivalent (4× less relay traffic; see make_push_batched_fn)
-    # — batched, non-visualizing pushes only
-    raw_push = (push_batch_size > 1 and not save_push_visualizations
-                and push_ds.supports_raw_eval())
-    new_params, new_pc, _ = push_prototypes(
-        model, state.params, state.constants, state.proto_class,
-        push_ds.eval_items(raw=raw_push), cfg.model.num_classes,
-        run_dir=os.path.join(run_dir, "prototypes"),
-        save_visualizations=save_push_visualizations,
-        batch_size=push_batch_size, raw_uint8=raw_push,
-        raw_normalize=(cfg.data.mean, cfg.data.std),
-        get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
-            *push_ds.get_eval_item(i)),
-        class_names=table.class_names, log=logger.log,
-        denorm=make_denorm(cfg.data))
+        if pos <= 1:
+            # phase 1: joint
+            logger.log(f"JOINT TRAINING START ({joint_steps} steps)")
+            if entry_stage != "nopush":
+                state = init_protoseg_state(model, cfg, 1, joint_steps,
+                                            rng, sample,
+                                            params=state.params,
+                                            constants=state.constants,
+                                            proto_class=state.proto_class)
+            state = _run_phase(model, cfg, 1, state, train_ds, val_ds,
+                               store, logger, joint_steps,
+                               t.joint_batch_size, val_every,
+                               val_batches, mesh=mesh,
+                               trace_dir=trace_dir,
+                               start_window=_sw("nopush"),
+                               best_acc=_ba("nopush"),
+                               stale=_stl("nopush"), halt=halt)
 
-    pushed_cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(
-            cfg.model,
-            num_prototypes=int(np.asarray(
-                new_params["prototype_vectors"]).shape[0])))
-    model = PPNet(cfg=pushed_cfg.model)
-    state = init_protoseg_state(model, pushed_cfg, 2, finetune_steps, rng,
-                                sample, params=new_params,
-                                constants=state.constants,
-                                proto_class=new_pc)
-    store.save("push", "last", _ckpt_payload(state))
-    store.save("push", "best", _ckpt_payload(state))
+        if pos <= 1.5:
+            # push
+            logger.log("SAVING PROTOTYPES (push)")
+            from adlm_tpu.interpret.analysis import make_denorm
+            from adlm_tpu.interpret.push import push_prototypes
+            push_ds = SegmentationDataset(cfg.data, cfg.data.train_key,
+                                          data_path=data_path,
+                                          is_eval=True,
+                                          push_prototypes=True)
+            # uint8 items + the full in-jit (x/255 − mean)/std when
+            # ulp-equivalent (4× less relay traffic; see
+            # make_push_batched_fn) — batched, non-visualizing only
+            raw_push = (push_batch_size > 1
+                        and not save_push_visualizations
+                        and push_ds.supports_raw_eval())
+            new_params, new_pc, _ = push_prototypes(
+                model, state.params, state.constants, state.proto_class,
+                push_ds.eval_items(raw=raw_push), cfg.model.num_classes,
+                run_dir=os.path.join(run_dir, "prototypes"),
+                save_visualizations=save_push_visualizations,
+                batch_size=push_batch_size, raw_uint8=raw_push,
+                raw_normalize=(cfg.data.mean, cfg.data.std),
+                get_item=lambda i: (lambda im, lb: (im[None], lb[None]))(
+                    *push_ds.get_eval_item(i)),
+                class_names=table.class_names, log=logger.log,
+                denorm=make_denorm(cfg.data))
 
-    # phase 2: last-layer finetune
-    logger.log("LAST LAYER FINE-TUNING")
-    state = _run_phase(model, pushed_cfg, 2, state, train_ds, val_ds,
-                       store, logger, finetune_steps, t.warmup_batch_size,
-                       val_every, val_batches,
-                       early_stopping_patience=
-                       t.early_stopping_patience_last_layer,
-                       stage_key="push", mesh=mesh, trace_dir=trace_dir)
+            pushed_cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model,
+                    num_prototypes=int(np.asarray(
+                        new_params["prototype_vectors"]).shape[0])))
+            model = PPNet(cfg=pushed_cfg.model)
+            state = init_protoseg_state(model, pushed_cfg, 2,
+                                        finetune_steps, rng, sample,
+                                        params=new_params,
+                                        constants=state.constants,
+                                        proto_class=new_pc)
+            store.save("push", "last", _ckpt_payload(state))
+            store.save("push", "best", _ckpt_payload(state))
+        else:
+            pushed_cfg = cfg  # resumed into the finetune: cfg is rebuilt
+
+        # phase 2: last-layer finetune
+        logger.log("LAST LAYER FINE-TUNING")
+        state = _run_phase(model, pushed_cfg, 2, state, train_ds, val_ds,
+                           store, logger, finetune_steps,
+                           t.warmup_batch_size, val_every, val_batches,
+                           early_stopping_patience=
+                           t.early_stopping_patience_last_layer,
+                           stage_key="push", mesh=mesh,
+                           trace_dir=trace_dir, start_window=_sw("push"),
+                           best_acc=_ba("push"), stale=_stl("push"),
+                           halt=halt)
+    except TrainingHalted:
+        logger.log("training halted (--halt-after); continue with "
+                   "train --resume")
     logger.close()
     return state

@@ -79,7 +79,8 @@ def _make_tx(cfg: ExperimentConfig, phase: int, max_steps: Optional[int]):
 def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
                         labels: jnp.ndarray, proto_class: jnp.ndarray,
                         cfg: ExperimentConfig,
-                        groups: Optional[int] = None
+                        groups: Optional[int] = None,
+                        image_valid: Optional[jnp.ndarray] = None
                         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss terms for one MSC output scale
     (reference segmentation/module.py:142-228).
@@ -87,11 +88,20 @@ def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
     ``groups=G`` computes the fused-accumulation loss: the batch is G
     concatenated microbatches and each term is the mean over groups of
     the per-group mean — gradient-identical to accumulating G separate
-    microbatch losses (see make_train_step)."""
+    microbatch losses (see make_train_step).
+
+    ``image_valid`` is an optional (B,) bool mask: False entries
+    (padded/wrapped tail images in a fixed-shape eval batch) contribute
+    to no CE pixel, no accuracy count, and no KLD pair — the eval-batch
+    analogue of the CLI's ``n_real`` exclusion (cli.py)."""
     t = cfg.train
     B = logits.shape[0]
     h, w = logits.shape[1], logits.shape[2]
 
+    # labels may ship as uint8 (4× less relay traffic; train ids ≤ 31)
+    # — cast before ANY arithmetic so the void-1 subtraction below
+    # can't wrap (same in-jit cast rule as the eval consumers)
+    labels = labels.astype(jnp.int32)
     # nearest-resize full-window labels to the output grid on device
     target = resize_label_nearest(labels, (h, w))           # (B, h, w)
     target_flat = target.reshape(B * h * w)
@@ -106,6 +116,13 @@ def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
         valid = jnp.ones_like(target_flat, dtype=bool)
         ce_labels = target_flat
         kld_labels = target.reshape(B, h * w)
+
+    if image_valid is not None:
+        # target_flat is image-major contiguous, so a per-image repeat
+        # aligns; -1 matches no prototype class, so masked images
+        # produce no valid KLD pixel distribution either
+        valid = valid & jnp.repeat(image_valid, h * w)
+        kld_labels = jnp.where(image_valid[:, None], kld_labels, -1)
 
     ce, n_correct = cross_entropy_ignore(logits_flat, ce_labels, valid,
                                          groups=groups)
@@ -129,7 +146,8 @@ def _single_output_loss(logits: jnp.ndarray, distances: jnp.ndarray,
 def loss_fn(params: Any, constants: Any, model: PPNet,
             proto_class: jnp.ndarray, cfg: ExperimentConfig,
             batch: Tuple[jnp.ndarray, jnp.ndarray], train: bool,
-            groups: Optional[int] = None
+            groups: Optional[int] = None,
+            image_valid: Optional[jnp.ndarray] = None
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full training loss over all MSC output scales
     (reference module.py:141-228: per-scale losses averaged)."""
@@ -159,7 +177,8 @@ def loss_fn(params: Any, constants: Any, model: PPNet,
     agg: Dict[str, jnp.ndarray] = {}
     for logits, distances in outputs:
         ce, m = _single_output_loss(logits, distances, labels,
-                                    proto_class, cfg, groups=groups)
+                                    proto_class, cfg, groups=groups,
+                                    image_valid=image_valid)
         l1 = masked_l1(params["last_layer"], proto_class)
         out_loss = (t.loss_weight_crs_ent * ce
                     + t.loss_weight_kld * m["kld_loss"]
@@ -245,14 +264,39 @@ def make_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
 
 
 def make_eval_step(model: PPNet, cfg: ExperimentConfig):
-    """Jitted metric pass over one (B, H, W, 3) batch."""
+    """Jitted metric pass over one (B, H, W, 3) batch.
+
+    ``n_valid`` (dynamic scalar, so it costs no recompiles) masks out
+    the trailing ``B - n_valid`` images: fixed-shape val batches pad the
+    final partial batch by wrapping to the dataset start (a fresh batch
+    shape is a multi-minute remote compile, CLAUDE.md), and the wrapped
+    images must contribute nothing to the metrics — otherwise
+    best-checkpoint selection on small splits is biased toward the
+    first images (reference validates exact batches,
+    segmentation/module.py:280-297)."""
 
     @jax.jit
-    def step(state: ProtoSegState, images: jnp.ndarray,
-             labels: jnp.ndarray):
+    def _step(state: ProtoSegState, images: jnp.ndarray,
+              labels: jnp.ndarray, n_valid: jnp.ndarray):
+        image_valid = jnp.arange(images.shape[0]) < n_valid
         _, metrics = loss_fn(state.params, state.constants, model,
                              state.proto_class, cfg, (images, labels),
-                             False)
+                             False, image_valid=image_valid)
         return metrics
 
+    def step(state: ProtoSegState, images: jnp.ndarray,
+             labels: jnp.ndarray, n_valid: Optional[int] = None):
+        if n_valid is None:
+            n_valid = images.shape[0]
+        return _step(state, images, labels,
+                     jnp.asarray(n_valid, jnp.int32))
+
+    def lower(state, images, labels, n_valid=None):
+        # precompile path: n_valid is a dynamic scalar input, so one
+        # abstract lowering covers every n_valid value
+        if n_valid is None:
+            n_valid = jax.ShapeDtypeStruct((), jnp.int32)
+        return _step.lower(state, images, labels, n_valid)
+
+    step.lower = lower
     return step

@@ -117,16 +117,21 @@ def _register_demo_experiment(smoke: bool = False):
     cfg = get_experiment("cityscapes_kld_imnet")
     model = cfg.model
     sched = dict(
-        warmup_steps=300,      # 60 windows (iter_size 5)
-        joint_steps=3000,      # 600 windows
-        finetune_steps=250,    # 50 windows
+        warmup_steps=1500,     # 300 windows (iter_size 5)
+        joint_steps=15000,     # 3000 windows — the round-3 600-window
+        # budget measured CE pinned at uniform: from-scratch needs
+        # both a real step budget AND healthy distance gradients
+        # (--proto-init-data); see PERF.md "from-scratch anatomy"
+        finetune_steps=1000,   # 200 windows
         joint_optimizer_lr_features=2.5e-4,  # 10x: random init
+        proto_init_data=True,
     )
     if smoke:
         model = dataclasses.replace(
             model, deeplab_n_blocks=(1, 1, 1, 1), deeplab_n_features=8,
             prototype_channels=8)
-        sched = dict(warmup_steps=10, joint_steps=10, finetune_steps=10)
+        sched = dict(warmup_steps=10, joint_steps=10, finetune_steps=10,
+                     proto_init_data=True)
     cfg = dataclasses.replace(
         cfg,
         name="flagship_synth_demo",

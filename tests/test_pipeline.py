@@ -202,9 +202,11 @@ def test_validate_covers_full_val_split_deterministically(tmp_path):
                                  is_eval=True)
 
     seen = []
+    valid_counts = []
 
-    def fake_eval(state, images, labels):
+    def fake_eval(state, images, labels, n_valid=None):
         seen.append(np.asarray(images))
+        valid_counts.append(n_valid)
         return {"n_correct": 1.0, "n_patches": 2.0, "loss": 0.5}
 
     out = _validate(fake_eval, None, val_ds, batch_size=2)
@@ -212,12 +214,14 @@ def test_validate_covers_full_val_split_deterministically(tmp_path):
     assert len(seen) == 3
     assert all(b.shape == (2, 33, 33, 3) for b in seen)
     np.testing.assert_allclose(seen[2][1], seen[0][0])  # wrap-around
+    # ...but the wrapped image is MASKED via n_valid (no tail bias)
+    assert valid_counts == [2, 2, 1]
     assert out["accuracy"] == 0.5
     assert out["loss"] == 0.5
 
     seen2 = []
 
-    def fake_eval2(state, images, labels):
+    def fake_eval2(state, images, labels, n_valid=None):
         seen2.append(np.asarray(images))
         return {"n_correct": 0.0, "n_patches": 1.0}
 
@@ -227,7 +231,7 @@ def test_validate_covers_full_val_split_deterministically(tmp_path):
 
     # quick mode caps the batch count (ordered prefix)
     seen3 = []
-    _validate(lambda s, i, l: seen3.append(1) or
+    _validate(lambda s, i, l, n_valid=None: seen3.append(1) or
               {"n_correct": 0.0, "n_patches": 1.0},
               None, val_ds, batch_size=2, val_batches=1)
     assert len(seen3) == 1
@@ -318,7 +322,7 @@ def test_val_augment_reproduces_reference_noisy_val(tmp_path):
     aug_ds.rng.seed(123)
 
     def collect(bucket):
-        def fake_eval(state, images, labels):
+        def fake_eval(state, images, labels, n_valid=None):
             bucket.append(np.asarray(images))
             return {"n_correct": 1.0, "n_patches": 2.0}
         return fake_eval
@@ -337,3 +341,135 @@ def test_val_augment_reproduces_reference_noisy_val(tmp_path):
     _validate(collect(d), None, det_ds, batch_size=2)
     for x, y in zip(c, d):
         np.testing.assert_allclose(x, y)
+
+
+def test_superbatch_iterator_deterministic_and_resumable(tmp_path):
+    """The loader's index + augmentation streams are pure functions of
+    (seed, window counter): identical across thread counts, and
+    ``start_window=k`` reproduces EXACTLY the windows a fresh run
+    produces from window k (the mid-phase resume contract)."""
+    from adlm_tpu.data.dataset import SegmentationDataset
+    from adlm_tpu.data.pipeline import superbatch_iterator
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root, n=3, hw=(48, 56))
+    cfg = _tiny_experiment("tiny_loader_resume")
+    ds = SegmentationDataset(cfg.data, "train", data_path=data_root)
+
+    full = list(superbatch_iterator(ds, 2, 2, 5, seed=7, n_jobs=1))
+    threaded = list(superbatch_iterator(ds, 2, 2, 5, seed=7, n_jobs=4))
+    assert len(full) == 5
+    for (ia, la), (ib, lb) in zip(full, threaded):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+    resumed = list(superbatch_iterator(ds, 2, 2, 5, seed=7, n_jobs=4,
+                                       start_window=3))
+    assert len(resumed) == 2
+    for (ia, la), (ib, lb) in zip(full[3:], resumed):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+    # process-pool mode (the multi-core feeding path): same stream
+    proc = list(superbatch_iterator(ds, 2, 2, 2, seed=7, n_jobs=2,
+                                    mode="process"))
+    for (ia, la), (ib, lb) in zip(full[:2], proc):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+    # different seed -> different stream (the seeds actually matter)
+    other = list(superbatch_iterator(ds, 2, 2, 1, seed=8, n_jobs=1))
+    assert not np.array_equal(full[0][0], other[0][0])
+
+
+def test_halt_and_resume_bit_identical(tmp_path):
+    """Preemption-safe resume: a run halted mid-joint (--halt-after) and
+    resumed (--resume) produces BIT-IDENTICAL final parameters to an
+    uninterrupted run — optimizer moments, LR-schedule position,
+    early-stopping counters and the loader streams all continue exactly
+    (the reference restarts phases from step 0 with fresh moments,
+    reference segmentation/train.py:58-65, module.py:292-297)."""
+    import jax
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.train.pipeline import run_protoseg_training
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root)
+    cfg = _tiny_experiment("tiny_resume")
+
+    run_a = str(tmp_path / "run_straight")
+    state_a = run_protoseg_training(cfg, run_dir=run_a,
+                                    data_path=data_root,
+                                    val_every=1, val_batches=1)
+
+    # warmup = 2 windows, joint = 2 windows, finetune = 2 windows;
+    # halt after 3 -> mid-joint (1 of 2 joint windows done)
+    run_b = str(tmp_path / "run_halted")
+    run_protoseg_training(cfg, run_dir=run_b, data_path=data_root,
+                          val_every=1, val_batches=1,
+                          halt_after_windows=3)
+    import json as _json
+    meta = _json.load(open(os.path.join(run_b, "resume.json")))
+    assert meta == {"stage": "nopush", "windows_done": 1,
+                    "n_windows": 2, "completed": False,
+                    "best_acc": meta["best_acc"],
+                    "stale": meta["stale"]}
+    # the halted run must NOT have reached the push stage
+    assert not CheckpointStore(run_b).exists("push", "last")
+
+    state_b = run_protoseg_training(cfg, run_dir=run_b,
+                                    data_path=data_root,
+                                    val_every=1, val_batches=1,
+                                    resume=True)
+
+    leaves_a = jax.tree_util.tree_leaves(dict(state_a.params))
+    leaves_b = jax.tree_util.tree_leaves(dict(state_b.params))
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state_a.proto_class),
+                                  np.asarray(state_b.proto_class))
+
+    # resuming a COMPLETE run is a no-op that returns the final state
+    state_c = run_protoseg_training(cfg, run_dir=run_b,
+                                    data_path=data_root,
+                                    val_every=1, val_batches=1,
+                                    resume=True)
+    for a, b in zip(leaves_b, jax.tree_util.tree_leaves(
+            dict(state_c.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_mid_warmup_and_mid_finetune(tmp_path):
+    """Resume entry points at BOTH ends of the schedule: a halt inside
+    warmup (window 1 of 6) and a halt inside the last-layer finetune
+    both continue to bit-identical final params."""
+    import dataclasses as _dc
+    import jax
+    from adlm_tpu.train.pipeline import run_protoseg_training
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root)
+    base = _tiny_experiment("tiny_resume_edges")
+    cfg = _dc.replace(base, train=_dc.replace(
+        base.train, warmup_steps=4, joint_steps=2, finetune_steps=4))
+    # windows: warmup 2, joint 1, finetune 2
+
+    run_a = str(tmp_path / "straight")
+    state_a = run_protoseg_training(cfg, run_dir=run_a,
+                                    data_path=data_root,
+                                    val_every=1, val_batches=1)
+
+    for halt_at, label in ((1, "mid_warmup"), (4, "mid_finetune")):
+        run_b = str(tmp_path / f"halted_{label}")
+        run_protoseg_training(cfg, run_dir=run_b, data_path=data_root,
+                              val_every=1, val_batches=1,
+                              halt_after_windows=halt_at)
+        state_b = run_protoseg_training(cfg, run_dir=run_b,
+                                        data_path=data_root,
+                                        val_every=1, val_batches=1,
+                                        resume=True)
+        for a, b in zip(jax.tree_util.tree_leaves(dict(state_a.params)),
+                        jax.tree_util.tree_leaves(dict(state_b.params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=label)

@@ -159,6 +159,37 @@ def test_eval_step_runs_and_counts():
     assert 0 <= float(metrics["n_correct"]) <= float(metrics["n_patches"])
 
 
+def test_eval_step_n_valid_masks_tail_images():
+    """``n_valid=k`` must make the trailing images contribute NOTHING:
+    metrics equal a batch whose tail labels are all void (and the KLD
+    term sees no pixels from them) — the wrap-around val-batch fix."""
+    cfg = tiny_experiment(loss_weight_kld=0.25)
+    model = PPNet(cfg=cfg.model)
+    rng = np.random.RandomState(5)
+    images, labels = make_batch(rng, cfg, n_micro=4)
+    B = images.shape[0] * images.shape[1]
+    flat_img = np.asarray(images).reshape(B, *images.shape[2:])
+    flat_lab = np.asarray(labels).reshape(B, *labels.shape[2:])
+    state = init_protoseg_state(model, cfg, 0, 10,
+                                jax.random.PRNGKey(5), flat_img[:1])
+    ev = make_eval_step(model, cfg)
+
+    masked = ev(state, jnp.asarray(flat_img), jnp.asarray(flat_lab),
+                n_valid=2)
+    voided = flat_lab.copy()
+    voided[2:] = 0  # void class: contributes to no CE pixel / KLD pair
+    ref = ev(state, jnp.asarray(flat_img), jnp.asarray(voided))
+    assert float(masked["n_patches"]) == float(ref["n_patches"])
+    np.testing.assert_allclose(float(masked["cross_entropy"]),
+                               float(ref["cross_entropy"]), rtol=1e-6)
+    np.testing.assert_allclose(float(masked["kld_loss"]),
+                               float(ref["kld_loss"]), rtol=1e-6)
+    assert float(masked["n_correct"]) == float(ref["n_correct"])
+    # and the mask actually bites vs the unmasked batch
+    full = ev(state, jnp.asarray(flat_img), jnp.asarray(flat_lab))
+    assert float(full["n_patches"]) > float(masked["n_patches"])
+
+
 def test_grad_accumulation_equals_mean_of_grads():
     """One step over [b1, b2] must equal a step with mean(g1, g2)."""
     import optax
