@@ -118,6 +118,147 @@ def _make_window_program(model: PPNet, window: Tuple[int, int],
     return fn
 
 
+def _make_fused_window_program(model: PPNet, window: Tuple[int, int],
+                               num_classes: int, with_stats: bool,
+                               normalize: Optional[Tuple],
+                               window_batch: int) -> Callable:
+    """The WHOLE windowed evaluation of a batch in ONE jit call.
+
+    The per-window driver (``_make_window_program`` + host loop) pays
+    one host→device patch upload (~3 MB) and two dispatches per window
+    — through the remote relay that is ~75 ms + 60 ms for ~3 ms of
+    window compute, which is why windowed eval measured 0.91 img/s
+    (PERF.md round 3).  This program instead:
+
+    * takes the full image ONCE (uint8 when ``normalize`` is set) and
+      slices windows on device (``dynamic_slice`` at traced offsets);
+    * runs the model over ``window_batch`` windows at a time as one
+      batched forward (MXU-friendly), inside a ``lax.scan`` over window
+      chunks — activations stay window-sized, preserving the mode's
+      memory-bounded purpose;
+    * accumulates the cosine-tapered logits into an on-device canvas
+      and finishes with pred + void-masked I/U counters, so ONE
+      dispatch and one image upload cover the entire grid.
+
+    Offsets are traced values: one compiled program serves every image
+    size with the same (B, H, W, n_chunks) geometry.  Windows must lie
+    fully inside the image (the caller falls back to the per-window
+    path for images smaller than the window).  Zero-``valid`` entries
+    (padding to a full final chunk) contribute nothing: their taper
+    weight is zeroed and their ``stat_pred`` is −1.
+
+    Returns ``fn(params, constants, proto_class, image, labels,
+    offsets (n_chunks, wb, 2) i32, valid (n_chunks, wb) f32,
+    u, v (n_chunks, wb, B, n)) → dict`` with the same keys as the
+    per-window driver's accumulated outputs (stats maps stacked
+    (n_chunks·wb, B, gh, gw)).
+    """
+    wh, ww = window
+    wb = window_batch
+    hy = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(wh) + 0.5) / wh)
+    hx = 0.05 + 0.95 * jnp.sin(jnp.pi * (jnp.arange(ww) + 0.5) / ww)
+    taper = (hy[:, None] * hx[None, :])[None, :, :, None]  # (1,wh,ww,1)
+
+    from adlm_tpu.interpret.evaluate import _topk_purity, agreement_counts
+
+    @jax.jit
+    def fn(params, constants, proto_class, image, labels, offsets,
+           valid, u, v):
+        image = normalize_in_jit(image, normalize)
+        B, H, W = image.shape[0], image.shape[1], image.shape[2]
+        K = model.cfg.num_classes
+        canvas0 = jnp.zeros((B, H, W, K), jnp.float32)
+        norm0 = jnp.zeros((B, H, W, 1), jnp.float32)
+        variables = {"params": params, "constants": constants}
+
+        def chunk_body(carry, xs):
+            canvas, norm = carry
+            offs, val, uu, vv = xs  # (wb,2) (wb,) (wb,B,n) (wb,B,n)
+
+            def get_patch(o):
+                return jax.lax.dynamic_slice(
+                    image, (0, o[0], o[1], 0), (B, wh, ww, 3))
+
+            patches = jax.vmap(get_patch)(offs)       # (wb,B,wh,ww,3)
+            flat = patches.reshape(wb * B, wh, ww, 3)
+            logits, dist = model.apply(variables, flat, train=False,
+                                       return_distances=with_stats)
+            up = resize_bilinear(logits, (wh, ww))    # (wb·B,wh,ww,K)
+            up = (up.reshape(wb, B, wh, ww, K) * taper[None]
+                  * val[:, None, None, None, None])
+
+            def acc_one(i, cn):
+                cv, nm = cn
+                o = offs[i]
+                ch = jax.lax.dynamic_slice(cv, (0, o[0], o[1], 0),
+                                           (B, wh, ww, K))
+                cv = jax.lax.dynamic_update_slice(cv, ch + up[i],
+                                                  (0, o[0], o[1], 0))
+                nh = jax.lax.dynamic_slice(nm, (0, o[0], o[1], 0),
+                                           (B, wh, ww, 1))
+                nm = jax.lax.dynamic_update_slice(
+                    nm, nh + jnp.broadcast_to(taper * val[i],
+                                              (B, wh, ww, 1)),
+                    (0, o[0], o[1], 0))
+                return cv, nm
+
+            canvas, norm = jax.lax.fori_loop(0, wb, acc_one,
+                                             (canvas, norm))
+            ys = ()
+            if with_stats:
+                gh, gw = logits.shape[1], logits.shape[2]
+                sp = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nr = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+                sp = sp.reshape(wb, B, gh, gw)
+                nr = nr.reshape(wb, B, gh, gw)
+                # padded windows: stat_pred −1 matches nothing
+                sp = jnp.where(val[:, None, None, None] > 0, sp, -1)
+                rows = jnp.minimum((uu * gh).astype(jnp.int32), gh - 1)
+                cols = jnp.minimum((vv * gw).astype(jnp.int32), gw - 1)
+                widx = jnp.arange(wb)[:, None, None]
+                bidx = jnp.arange(B)[None, :, None]
+                d5 = dist.reshape(wb, B, gh, gw, -1)
+                sample_d = d5[widx, bidx, rows, cols]     # (wb,B,n,P)
+                sample_p = sp[widx, bidx, rows, cols]     # (wb,B,n)
+                topk = jax.vmap(_topk_purity,
+                                in_axes=(0, 0, None))(sample_d, sample_p,
+                                                      proto_class)
+                agree = jax.vmap(agreement_counts,
+                                 in_axes=(0, 0, None))(nr, sp, proto_class)
+                ys = (sp, nr, topk, agree)
+            return (canvas, norm), ys
+
+        (canvas, norm), ys = jax.lax.scan(chunk_body, (canvas0, norm0),
+                                          (offsets, valid, u, v))
+
+        logits = canvas / jnp.maximum(norm, 1e-8)
+        LH, LW = labels.shape[1], labels.shape[2]
+        if logits.shape[1:3] != (LH, LW):
+            logits = resize_bilinear(logits, (LH, LW))
+        pred = jnp.argmax(logits, axis=-1)
+        lab = labels.astype(jnp.int32)
+        valid_px = lab > 0
+        gt = jnp.clip(lab - 1, 0, num_classes - 1)
+        pred1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.int32)
+        gt1 = jax.nn.one_hot(gt, num_classes, dtype=jnp.int32) * \
+            valid_px[..., None].astype(jnp.int32)
+        out = {"pred": pred,
+               "intersection": jnp.sum(pred1 * gt1, axis=(0, 1, 2)),
+               "union": jnp.sum(((pred1 + gt1) > 0) &
+                                valid_px[..., None], axis=(0, 1, 2)),
+               "correct": jnp.sum(valid_px & (pred == gt)),
+               "total": jnp.sum(valid_px)}
+        if with_stats:
+            sp, nr, topk, agree = ys
+            out["stat_pred"] = sp.reshape(-1, *sp.shape[2:])
+            out["nearest_proto"] = nr.reshape(-1, *nr.shape[2:])
+            out["topk_purity"] = topk.reshape(-1, *topk.shape[2:])
+            out["agree_counts"] = agree.reshape(-1, *agree.shape[2:])
+        return out
+
+    return fn
+
+
 def make_windowed_inference_fn(model: PPNet, window: Tuple[int, int],
                                overlap: float = 0.25,
                                normalize: Optional[Tuple] = None
@@ -202,7 +343,8 @@ class WindowedSegEvaluator:
                  with_stats: bool = False, n_random_pixels: int = 100,
                  seed: int = 0, normalize: Optional[Tuple] = None,
                  device_stitch: Optional[bool] = None,
-                 keep_stat_maps: bool = True):
+                 keep_stat_maps: bool = True,
+                 fused: Optional[bool] = None, window_batch: int = 8):
         self.num_classes = num_classes
         self.window = window
         self.overlap = overlap
@@ -213,6 +355,15 @@ class WindowedSegEvaluator:
         self.keep_stat_maps = keep_stat_maps
         self.fn = _make_window_program(model, window, with_stats,
                                        normalize)
+        # fused single-dispatch mode (auto when the image is at least
+        # window-sized and the canvas fits the device-buffer margin):
+        # one image upload + one jit per batch instead of 2 dispatches
+        # + a ~3 MB upload per window — see _make_fused_window_program
+        self.fused = fused
+        self.window_batch = max(1, window_batch)
+        self.fused_fn = _make_fused_window_program(
+            model, window, num_classes, with_stats, normalize,
+            self.window_batch)
         self.model = model
         self.n_random = n_random_pixels
         self.rng = np.random.RandomState(seed)
@@ -277,19 +428,86 @@ class WindowedSegEvaluator:
         return (max(1, math.ceil(ph * gh / wh)),
                 max(1, math.ceil(pw * gw / ww)))
 
+    def _update_fused(self, params, constants, proto_class, images,
+                      labels, stride_h: int, stride_w: int) -> dict:
+        """Single-dispatch path: the whole window grid in one jit (see
+        _make_fused_window_program).  ``images`` may already live on
+        device (the CLI's device_prefetch) — it is not bounced."""
+        wh, ww = self.window
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        offs = [(sh, sw) for sh in _window_grid(H, wh, stride_h)
+                for sw in _window_grid(W, ww, stride_w)]
+        N = len(offs)
+        wb = self.window_batch
+        n_chunks = -(-N // wb)
+        pad = n_chunks * wb - N
+        offs_a = np.asarray(offs + [(0, 0)] * pad,
+                            np.int32).reshape(n_chunks, wb, 2)
+        valid = np.zeros((n_chunks * wb,), np.float32)
+        valid[:N] = 1.0
+        valid = valid.reshape(n_chunks, wb)
+        if self.with_stats:
+            # identical draw ORDER to the per-window driver (u then v
+            # per window) so both paths sample the same purity pixels
+            u = np.zeros((n_chunks * wb, B, self.n_random), np.float32)
+            v = np.zeros_like(u)
+            for k in range(N):
+                u[k] = self.rng.random_sample((B, self.n_random))
+                v[k] = self.rng.random_sample((B, self.n_random))
+            u = u.reshape(n_chunks, wb, B, self.n_random)
+            v = v.reshape(n_chunks, wb, B, self.n_random)
+        else:
+            u = v = np.zeros((n_chunks, wb, 1, 1), np.float32)
+
+        out = self.fused_fn(params, constants, jnp.asarray(proto_class),
+                            jnp.asarray(images), jnp.asarray(labels),
+                            jnp.asarray(offs_a), jnp.asarray(valid),
+                            jnp.asarray(u), jnp.asarray(v))
+        inter = np.asarray(out["intersection"], np.int64)
+        union = np.asarray(out["union"], np.int64)
+        self.intersection += inter
+        self.union += union
+        self.correct += int(out["correct"])
+        self.total += int(out["total"])
+        out_d = {"pred": out["pred"], "intersection": inter,
+                 "union": union}
+        if self.with_stats:
+            if self.keep_stat_maps:
+                sp = np.asarray(out["stat_pred"])[:N]   # (N, B, gh, gw)
+                nr = np.asarray(out["nearest_proto"])[:N]
+                gh, gw = sp.shape[2], sp.shape[3]
+                out_d["stat_pred"] = (sp.transpose(1, 0, 2, 3)
+                                      .reshape(N * B, gh, gw))
+                out_d["nearest_proto"] = (nr.transpose(1, 0, 2, 3)
+                                          .reshape(N * B, gh, gw))
+            out_d["topk_purity"] = np.asarray(
+                out["topk_purity"])[:N].mean(axis=0)     # (B, P)
+            out_d["agree_counts"] = np.asarray(
+                out["agree_counts"])[:N].sum(axis=0)     # (B, P)
+            out_d["stat_windows"] = N
+        return out_d
+
     def update(self, params, constants, proto_class, images, labels
                ) -> dict:
-        labels = np.asarray(labels)
-        images = np.asarray(images)
         wh, ww = self.window
         stride_h, stride_w = _strides(self.window, self.overlap)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         K = self.model.cfg.num_classes
+        whole = H >= wh and W >= ww
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = (whole and
+                         B * H * W * K * 4 <= 200 * 1024 * 1024)
+        if use_fused and whole:
+            return self._update_fused(params, constants, proto_class,
+                                      images, labels, stride_h, stride_w)
+        labels = np.asarray(labels)
+        images = np.asarray(images)
         use_dev = self.device_stitch
         if use_dev is None:
             # auto: canvas within the device-buffer margin and no
             # padded (smaller-than-window) images
-            use_dev = (H >= wh and W >= ww and
+            use_dev = (whole and
                        B * H * W * K * 4 <= 200 * 1024 * 1024)
         if use_dev:
             canvas = jnp.zeros((B, H, W, K), jnp.float32)

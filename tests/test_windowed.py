@@ -135,9 +135,11 @@ def test_windowed_device_stitch_matches_host_stitch():
     pc = default_proto_class(6, 3)
 
     host = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
-                                n_random_pixels=8, device_stitch=False)
+                                n_random_pixels=8, device_stitch=False,
+                                fused=False)
     dev = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
-                               n_random_pixels=8, device_stitch=True)
+                               n_random_pixels=8, device_stitch=True,
+                               fused=False)
     oh = host.update(params, constants, pc, images, labels)
     od = dev.update(params, constants, pc, images, labels)
     np.testing.assert_array_equal(oh["intersection"], od["intersection"])
@@ -146,6 +148,26 @@ def test_windowed_device_stitch_matches_host_stitch():
     np.testing.assert_array_equal(oh["agree_counts"],
                                   np.asarray(od["agree_counts"]))
     assert host.results() == dev.results()
+
+    # the fused single-dispatch path (one jit for the whole window
+    # grid, windows sliced on device) must match the host reference
+    # too — counters, pred, stats maps, purity, agreement
+    fus = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                               n_random_pixels=8, fused=True,
+                               window_batch=3)
+    of = fus.update(params, constants, pc, images, labels)
+    np.testing.assert_array_equal(oh["intersection"], of["intersection"])
+    np.testing.assert_array_equal(oh["union"], of["union"])
+    np.testing.assert_array_equal(oh["pred"], np.asarray(of["pred"]))
+    np.testing.assert_array_equal(oh["agree_counts"],
+                                  np.asarray(of["agree_counts"]))
+    np.testing.assert_array_equal(oh["stat_pred"], of["stat_pred"])
+    np.testing.assert_array_equal(oh["nearest_proto"],
+                                  of["nearest_proto"])
+    np.testing.assert_allclose(oh["topk_purity"], of["topk_purity"],
+                               rtol=1e-5)
+    assert of["stat_windows"] == oh["stat_windows"]
+    assert host.results() == fus.results()
 
     # auto mode picks the device path for small canvases and must
     # also handle the label-resize branch (labels bigger than image)
