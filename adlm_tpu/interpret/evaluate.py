@@ -132,6 +132,32 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
     if (H % h == 0 and W % w == 0 and (H // h) * (W // w) <= 256
             and B * h * w * P <= 64 * 1024 * 1024):
         return _upsampled_nearest_integer(dist, H // h, W // w)
+
+    # TPU: fused Pallas kernel — the upsampled (B, H, W, chunk) tensor
+    # never exists in HBM (ops/upsample_argmin.py); everywhere else the
+    # chunked scan below is the implementation.  The kernel keeps one
+    # (h, w, C) prototype block VMEM-resident, so it only applies while
+    # that fits (every real shape here does: flagship 129×257 grids are
+    # ~0.5 MB/chunk-lane); ADLM_NO_PALLAS_UPSAMPLE=1 is the escape
+    # hatch back to the scan.
+    import os as _os
+    if (not _os.environ.get("ADLM_NO_PALLAS_UPSAMPLE")
+            and h * w * 8 * dist.dtype.itemsize <= 4 * 1024 * 1024):
+        from adlm_tpu.ops.upsample_argmin import upsampled_argmin_pallas
+        return jax.lax.platform_dependent(
+            dist,
+            tpu=lambda d: upsampled_argmin_pallas(d, size),
+            default=lambda d: _upsampled_argmin_scan(d, size, chunk))
+    return _upsampled_argmin_scan(dist, size, chunk)
+
+
+def _upsampled_argmin_scan(dist: jnp.ndarray, size: Tuple[int, int],
+                           chunk: int) -> jnp.ndarray:
+    """XLA chunked-scan implementation of ``upsampled_nearest`` (the
+    portable path; also the numerical reference for the Pallas kernel,
+    tests/test_upsample_argmin.py)."""
+    B, h, w, P = dist.shape
+    H, W = size
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P
     if pad:

@@ -1,0 +1,202 @@
+"""Fused bilinear-upsample + argmin-over-prototypes Pallas kernel.
+
+The reference's upsampled statistics mode bilinearly upsamples the
+(B, h, w, P) distance maps to label resolution and takes the per-pixel
+argmin over prototypes (reference segmentation/eval_valid.py:172-174).
+The XLA formulation (interpret/evaluate.py::upsampled_nearest) scans
+prototype chunks, materializing a (B, H, W, chunk) upsampled buffer in
+HBM per chunk before the running min — at the flagship shape
+(8×1024×2048 from 129×257, P=190) that is ~1.5 GB of HBM written and
+re-read, measured at ~71 ms isolated / +80 ms in context (PERF.md).
+
+This kernel keeps the upsampled values in VMEM.  Two hardware findings
+from the round-4 TPU verify drive shaped it:
+
+* Mosaic does not lower reshapes that merge the sublane/lane dims, so
+  the natural channels-last ``(h, w, C) → (h, w·C)`` collapse is off
+  the table.  Instead XLA pre-arranges the input as
+  ``(B, P-chunks, C·hp, wp)`` (prototype-major rows, 8/128-aligned
+  pads) — one fused copy in HBM, and every kernel op becomes a plain,
+  well-shaped 2D matmul.
+* Accumulating through a NON-consecutively revisited output block
+  (P-chunk as a middle grid dim) silently breaks on hardware while
+  passing in interpreter mode — Mosaic's spill/reload is not an
+  accumulator.  The running (min, argmin) therefore lives in (Hp, TW)
+  VMEM strip scratches that persist across the whole sweep; the output
+  block is written once, on the last prototype chunk.
+
+Grid (B, W-blocks, P-chunks, H-blocks), H-blocks innermost:
+
+* **x-pass** (when the H-block index is 0): ONE
+  ``(C·hp, wp) @ (wp, TW)`` MXU matmul upsamples all C prototypes'
+  columns at once into a VMEM scratch reused across the H-block steps;
+* **y-pass**: per prototype ``(TH, hp) @ (hp, TW)`` from 8-aligned
+  static row slices of that scratch;
+* **epilogue**: running (min, argmin) into the strip scratches
+  (first-occurrence tie-break: strict ``<``, ascending order).
+
+Both matmuls run at ``Precision.HIGHEST`` so the blend is exact f32 —
+bit-comparable to ``ops.resize.resize_bilinear`` (the default bf16x3
+MXU passes flip ~0.2% of near-tie argmins, measured).  Weight matrices
+are built by resizing an identity with the SAME ``jax.image.resize``
+call the XLA path uses, so the tap weights are bit-identical.
+
+Dispatch lives in ``interpret/evaluate.py::upsampled_nearest`` via
+``jax.lax.platform_dependent`` (TPU → this kernel, CPU → the chunked
+scan), mirroring ``ops/prototype.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# padded entries never win the argmin; finite so 0-weight taps stay 0
+_SENTINEL = 2e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _axis_weights(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_in, n_out) bilinear weight matrix with exactly the tap weights
+    ``jax.image.resize(method="linear", antialias=False)`` uses —
+    obtained by resizing an identity, so any future change to the
+    resize semantics propagates automatically.  Dense rows have exactly
+    two nonzeros; adding exact zeros is exact in fp, so the matmul IS
+    the 2-tap blend."""
+    eye = jnp.eye(n_in, dtype=jnp.float32)
+    return jax.image.resize(eye, (n_in, n_out), method="linear",
+                            antialias=False)
+
+
+def _kernel(d_ref, ay_ref, ax_ref, out_ref, t_ref, bs_ref, is_ref, *,
+            C: int, hp: int, TH: int, TW: int, precision):
+    """One (batch, col-block, proto-chunk, row-block) grid step."""
+    k = pl.program_id(2)
+    i = pl.program_id(3)
+    rows = pl.ds(i * TH, TH)
+
+    @pl.when(k == 0)
+    def _init():
+        bs_ref[rows, :] = jnp.full((TH, TW), jnp.inf, jnp.float32)
+        is_ref[rows, :] = jnp.zeros((TH, TW), jnp.int32)
+
+    @pl.when(i == 0)
+    def _xpass():
+        t_ref[...] = jnp.dot(d_ref[0, 0].astype(jnp.float32), ax_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+
+    best = bs_ref[rows, :]
+    idx = is_ref[rows, :]
+    ay = ay_ref[:]
+    for s in range(C):
+        up = jnp.dot(ay, t_ref[s * hp:(s + 1) * hp, :],
+                     preferred_element_type=jnp.float32,
+                     precision=precision)                  # (TH, TW)
+        take = up < best
+        idx = jnp.where(take, k * C + s, idx)
+        best = jnp.where(take, up, best)
+    bs_ref[rows, :] = best
+    is_ref[rows, :] = idx
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _emit():
+        out_ref[0] = idx
+
+
+def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
+                            th: int = 128, tw: int = 512, c: int = 8,
+                            interpret: bool = False) -> jnp.ndarray:
+    """``argmin(resize_bilinear(dist, size), -1)`` fused on TPU.
+
+    Args:
+      dist: (B, h, w, P) distance maps (f32 or bf16; the blend runs in
+        exact f32 either way).
+      size: (H, W) output resolution.
+      th, tw: output tile (rows, cols).
+      c: prototype chunk per grid step (bounded by VMEM fit).
+      interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns:
+      (B, H, W) int32 argmin indices, first-occurrence tie-break.
+    """
+    B, h, w, P = dist.shape
+    H, W = size
+    # precision follows the input dtype, mirroring upsampled_nearest's
+    # dtype dispatch: f32 maps get the exact 6-pass f32 blend
+    # (bit-equal argmins vs resize_bilinear); bf16 maps get the native
+    # single-pass MXU blend — the same accuracy class as the bf16
+    # matmul-resize the XLA path uses for them
+    precision = (jax.lax.Precision.DEFAULT
+                 if dist.dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
+    TH = min(th, _round_up(H, 8))
+    Hp = _round_up(H, TH)
+    TW = min(tw, _round_up(W, 128))
+    # the (Hp, TW) f32+i32 min/argmin strip scratches must fit VMEM
+    while Hp * TW * 8 > 4 * 1024 * 1024 and TW > 128:
+        TW //= 2
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    # (C·hp, wp) input block + (C·hp, TW) x-pass scratch ≤ ~6 MB
+    per_proto = hp * (wp * dist.dtype.itemsize + TW * 4)
+    C = max(1, min(c, (6 * 1024 * 1024) // max(per_proto, 1)))
+    Wp = _round_up(W, TW)
+    Pp = _round_up(P, C)
+
+    # XLA prep (one fused HBM copy): prototype-major, aligned pads.
+    # Pad value is the sentinel everywhere — padded prototypes must
+    # lose every argmin, and padded h/w rows/cols meet all-zero weight
+    # columns (0 · 2e30 = 0, exact).
+    dt = jnp.transpose(dist, (0, 3, 1, 2))          # (B, P, h, w)
+    dt = jnp.pad(dt, ((0, 0), (0, Pp - P), (0, hp - h), (0, wp - w)),
+                 constant_values=jnp.asarray(_SENTINEL, dist.dtype))
+    dt = dt.reshape(B, Pp // C, C * hp, wp)
+
+    # weight matrices; padded OUTPUT rows/cols get all-zero weights
+    # (their argmin lands on index 0 and is sliced away)
+    ay = jnp.zeros((Hp, hp), jnp.float32).at[:H, :h].set(
+        _axis_weights(h, H).T)
+    ax = jnp.zeros((wp, Wp), jnp.float32).at[:w, :W].set(
+        _axis_weights(w, W))
+
+    grid = (B, Wp // TW, Pp // C, Hp // TH)
+    kernel = functools.partial(_kernel, C=C, hp=hp, TH=TH, TW=TW,
+                               precision=precision)
+    idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, C * hp, wp),
+                         lambda b, j, k, i: (b, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, hp), lambda b, j, k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, TW), lambda b, j, k, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW), lambda b, j, k, i: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((C * hp, TW), jnp.float32),
+                        pltpu.VMEM((Hp, TW), jnp.float32),
+                        pltpu.VMEM((Hp, TW), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            # x-pass: 2·B·P·hp·wp·W (once per col block); y-pass:
+            # 2·B·P·H·hp·W (every (row, col) block)
+            flops=2 * B * Pp * hp * Wp * (wp + Hp),
+            bytes_accessed=(B * (Wp // TW) * Pp * hp * wp
+                            * dist.dtype.itemsize
+                            + B * Hp * Wp * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(dt, ay, ax)
+    return idx[:, :H, :W]

@@ -1,0 +1,55 @@
+"""Fused upsample+argmin Pallas kernel vs the XLA chunked scan.
+
+The kernel runs in interpreter mode here (CPU mesh); on TPU the same
+program lowers through Mosaic.  The scan (`_upsampled_argmin_scan`) is
+the numerical reference — itself golden-tested against
+``argmin(resize_bilinear(...))`` in tests/test_eval_stats.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from adlm_tpu.interpret.evaluate import _upsampled_argmin_scan
+from adlm_tpu.ops.resize import resize_bilinear
+from adlm_tpu.ops.upsample_argmin import upsampled_argmin_pallas
+
+
+@pytest.mark.parametrize("shape,size", [
+    ((2, 9, 13, 7), (33, 47)),     # ragged everything
+    ((1, 5, 5, 3), (10, 10)),      # integer scale (kernel still exact)
+    ((2, 17, 33, 21), (129, 257)), # flagship-like 2^n+1 grids
+    ((1, 9, 9, 40), (65, 65)),     # P > chunk: multi-chunk scan
+])
+def test_pallas_kernel_matches_resize_argmin(shape, size):
+    rng = np.random.RandomState(hash(shape) % (2**31))
+    d = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    want = np.asarray(jnp.argmin(resize_bilinear(d, size), axis=-1))
+    got = np.asarray(upsampled_argmin_pallas(
+        d, size, th=16, tw=128, c=8, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # and the XLA scan agrees (shared semantics across platforms)
+    scan = np.asarray(_upsampled_argmin_scan(d, size, chunk=4))
+    np.testing.assert_array_equal(scan, want)
+
+
+def test_pallas_kernel_first_occurrence_tie_break():
+    # identical maps for every prototype → strict-< running update must
+    # keep index 0 everywhere (numpy/torch argmin semantics)
+    d = jnp.asarray(np.ones((1, 4, 4, 5), np.float32))
+    got = np.asarray(upsampled_argmin_pallas(
+        d, (8, 8), th=8, tw=128, c=4, interpret=True))
+    assert (got == 0).all()
+
+
+def test_pallas_kernel_bf16_inputs():
+    rng = np.random.RandomState(3)
+    d32 = rng.rand(1, 9, 13, 17).astype(np.float32)
+    d = jnp.asarray(d32).astype(jnp.bfloat16)
+    got = np.asarray(upsampled_argmin_pallas(
+        d, (33, 47), th=16, tw=128, c=8, interpret=True))
+    # bf16 maps, f32 accumulation: compare against the bf16-input
+    # resize reference
+    want = np.asarray(jnp.argmin(
+        resize_bilinear(d.astype(jnp.float32), (33, 47)), axis=-1))
+    assert (got == want).mean() > 0.99  # bf16 rounding may flip rare ties
