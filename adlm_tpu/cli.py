@@ -93,6 +93,9 @@ def cmd_train(args):
     if args.proto_init_data:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, proto_init_data=True))
+    if args.presigmoid_ln:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, presigmoid_ln=True))
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -1282,6 +1285,15 @@ def main(argv=None):
                          "(pairs with --bn-calibrate; without it the "
                          "random prototypes' 1/d² activation gradients "
                          "vanish and CE stays at uniform)")
+    tp.add_argument("--presigmoid-ln", action="store_true",
+                    help="from-scratch trainability: per-pixel "
+                         "LayerNorm before the add-on sigmoid.  A "
+                         "random-init backbone drifts the pre-sigmoid "
+                         "scale unboundedly and the sigmoid saturates "
+                         "to exact 0/1 (zero feature gradients, "
+                         "measured); LayerNorm holds the "
+                         "standardization for the whole run.  Off by "
+                         "default (reference architecture parity)")
     tp.add_argument("--save-push-visualizations", action="store_true")
     tp.add_argument("--push-batch-size", type=int, default=1,
                     help="batch the push scan (mesh-shardable; artifact "

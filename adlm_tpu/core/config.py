@@ -59,6 +59,18 @@ class PPNetConfig:
     # exact, identical param tree — a TPU tiling experiment knob; see
     # models/layers.ConvBN and PERF.md)
     dilated_space_to_batch: bool = False
+    # from-scratch trainability: per-pixel LayerNorm immediately before
+    # the add-on sigmoid.  The pre-sigmoid tensor has no normalizer in
+    # the reference architecture (raw ASPP sum / last add-on conv) —
+    # fine with a pretrained near-stationary backbone, but training the
+    # backbone from random init drifts its scale unboundedly and the
+    # sigmoid saturates to EXACT 0/1 in f32 (measured: 100% of outputs
+    # at the rails by joint step 700, gradient to every feature
+    # parameter exactly zero, run frozen forever — a one-shot rescale
+    # at init provably cannot hold).  LayerNorm has no running stats
+    # (train == eval), so the standardization holds for the whole run
+    # by construction.  Default off: reference checkpoint-import parity.
+    presigmoid_ln: bool = False
 
     @property
     def prototype_shape(self) -> Tuple[int, int, int, int]:

@@ -48,17 +48,28 @@ def _last_layer_init(num_prototypes: int, num_classes: int,
 
 class AddOnLayers(nn.Module):
     """Add-on 1×1 conv stack between backbone and prototype layer
-    (reference model.py:97-136)."""
+    (reference model.py:97-136).
+
+    ``presigmoid_ln`` inserts a per-pixel LayerNorm immediately before
+    the final sigmoid — the from-scratch trainability knob (see
+    PPNetConfig.presigmoid_ln; default off preserves exact reference
+    architecture/checkpoint parity)."""
 
     kind: str
     in_channels: int
     proto_channels: int
     bottleneck_stride: Optional[int] = None
+    presigmoid_ln: bool = False
+
+    def _sigmoid(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.presigmoid_ln:
+            x = nn.LayerNorm(name="presigmoid_ln")(x)
+        return nn.sigmoid(x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.kind == "deeplab_simple":
-            return nn.sigmoid(x)
+            return self._sigmoid(x)
 
         idx = 0
         if self.kind == "bottleneck_pool":
@@ -86,7 +97,7 @@ class AddOnLayers(nn.Module):
                     x = nn.relu(x)
                 else:
                     assert cur_out == self.proto_channels
-                    x = nn.sigmoid(x)
+                    x = self._sigmoid(x)
                 cur_in = cur_in // 2
             return x
 
@@ -96,7 +107,7 @@ class AddOnLayers(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(self.proto_channels, (1, 1), kernel_init=_kaiming_out,
                     name="conv1")(x)
-        return nn.sigmoid(x)
+        return self._sigmoid(x)
 
 
 def build_backbone(cfg: PPNetConfig) -> nn.Module:
@@ -127,6 +138,7 @@ class PPNet(nn.Module):
             in_channels=add_on_in,
             proto_channels=c.prototype_channels,
             bottleneck_stride=c.bottleneck_stride,
+            presigmoid_ln=c.presigmoid_ln,
             name="add_on",
         )
         # torch.rand init (reference model.py:54)

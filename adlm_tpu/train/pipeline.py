@@ -539,14 +539,18 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         # step 1b: the pre-sigmoid tensor has no BN (ASPP head / last
         # add-on conv) and saturates the sigmoid to EXACT 0/1 at random
         # init — zero gradient to every feature parameter (measured:
-        # 0/114 leaves).  Fold a data-measured (x−μ)/σ into the
-        # producing convs (models/calibrate.py::standardize_presigmoid).
-        from adlm_tpu.models.calibrate import standardize_presigmoid
-        new_params = standardize_presigmoid(model, state.params,
-                                            state.constants, images,
-                                            log=logger.log)
-        state = state.replace(
-            params=jax.tree.map(jnp.asarray, new_params))
+        # 0/114 leaves).  With presigmoid_ln the LayerNorm standardizes
+        # it persistently (a one-shot rescale provably cannot hold:
+        # backbone drift re-saturated the rails by joint step 700);
+        # without it, fold a data-measured (x−μ)/σ into the producing
+        # convs (models/calibrate.py::standardize_presigmoid).
+        if not cfg.model.presigmoid_ln:
+            from adlm_tpu.models.calibrate import standardize_presigmoid
+            new_params = standardize_presigmoid(model, state.params,
+                                                state.constants, images,
+                                                log=logger.log)
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, new_params))
         logger.log("bn-calibrate: done")
 
     if (t.proto_init_data and not start_checkpoint

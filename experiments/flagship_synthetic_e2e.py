@@ -115,13 +115,17 @@ def _register_demo_experiment(smoke: bool = False):
     from adlm_tpu.core.config import get_experiment, register_experiment
 
     cfg = get_experiment("cityscapes_kld_imnet")
-    model = cfg.model
+    # presigmoid_ln: from-scratch trainability (without it the add-on
+    # sigmoid re-saturates to exact 0/1 as the random-init backbone
+    # drifts, and feature gradients are exactly zero — measured; see
+    # PPNetConfig.presigmoid_ln / PERF.md "from-scratch anatomy")
+    model = dataclasses.replace(cfg.model, presigmoid_ln=True)
     sched = dict(
         warmup_steps=1500,     # 300 windows (iter_size 5)
         joint_steps=15000,     # 3000 windows — the round-3 600-window
-        # budget measured CE pinned at uniform: from-scratch needs
-        # both a real step budget AND healthy distance gradients
-        # (--proto-init-data); see PERF.md "from-scratch anatomy"
+        # budget measured CE pinned at uniform: from-scratch needs a
+        # real step budget, healthy distance gradients
+        # (--proto-init-data) AND a persistent pre-sigmoid normalizer
         finetune_steps=1000,   # 200 windows
         joint_optimizer_lr_features=2.5e-4,  # 10x: random init
         proto_init_data=True,
