@@ -356,6 +356,36 @@ def _bench_stats_upsampled_eval(cfg, model, params, constants, pc,
     return batch * n / _best_dt(loop)
 
 
+def _bench_windowed_eval(cfg, model, params, constants, pc,
+                         window=(512, 512)):
+    """Fused windowed eval at batch 1 (the memory-bounded mode): the
+    whole 15-window grid of a 2048×1024 image in ONE jit with on-device
+    window slicing (interpret/windowed.py::_make_fused_window_program).
+    Round 3's per-window driver measured 0.91 img/s — bounded by a
+    ~3 MB upload + 2 relay dispatches per window."""
+    from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+
+    ev = WindowedSegEvaluator(model, cfg.model.num_classes, window,
+                              fused=True)
+    nprng = np.random.RandomState(7)
+    images = jnp.asarray(nprng.rand(1, H, W, 3).astype(np.float32),
+                         jnp.bfloat16)
+    labels = jnp.asarray(nprng.randint(0, 20, size=(1, H, W)), jnp.int32)
+    out = ev.update(params, constants, pc, images, labels)
+    np.asarray(out["intersection"])  # warm + sync
+    n = 6
+
+    def loop():
+        t0 = time.perf_counter()
+        outs = [ev.update(params, constants, pc, images, labels)
+                for _ in range(n)]
+        for o in outs:
+            np.asarray(o["pred"])
+        return time.perf_counter() - t0
+
+    return n / _best_dt(loop)
+
+
 def _bench_inference_b1(cfg, model, params, constants, pc):
     """Single-image (batch 1) full-res inference throughput — the
     serving-latency-bound shape.  Pipelined steady state; the ~30 ms
@@ -485,6 +515,10 @@ def _run() -> None:
         extra["push_2048x1024_ips"] = round(_bench_push(
             cfg, model, params_bf16, constants, pc), 2)
         extra["push_batch"] = 8
+        # batch 16 = the eval-optimum batch; the bf16 distance map is
+        # ~200 MB, under the relay's ~300 MB wedge line (CLAUDE.md)
+        extra["push_b16_ips"] = round(_bench_push(
+            cfg, model, params_bf16, constants, pc, batch=16), 2)
     except Exception as e:  # pragma: no cover
         print(f"# push extra metric skipped: {e}", flush=True)
     try:
@@ -492,14 +526,24 @@ def _run() -> None:
             _bench_stats_upsampled_eval(
                 cfg, model, params_bf16, constants, pc), 2)
         extra["stats_upsampled_batch"] = 8
+        extra["stats_upsampled_b16_ips"] = round(
+            _bench_stats_upsampled_eval(
+                cfg, model, params_bf16, constants, pc, batch=16), 2)
     except Exception as e:  # pragma: no cover
         print(f"# stats-upsampled extra metric skipped: {e}", flush=True)
     try:
         extra["nearest_scan_ips"] = round(_bench_nearest_scan(
             cfg, model, params_bf16, constants, pc), 2)
         extra["nearest_scan_batch"] = 8
+        extra["nearest_scan_b16_ips"] = round(_bench_nearest_scan(
+            cfg, model, params_bf16, constants, pc, batch=16), 2)
     except Exception as e:  # pragma: no cover
         print(f"# nearest-scan extra metric skipped: {e}", flush=True)
+    try:
+        extra["windowed_eval_fused_ips"] = round(_bench_windowed_eval(
+            cfg, model, params_bf16, constants, pc), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# windowed-eval extra metric skipped: {e}", flush=True)
     try:
         extra["inference_b1_ips"] = round(_bench_inference_b1(
             cfg, model, params_bf16, constants, pc), 2)
