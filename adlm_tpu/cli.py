@@ -387,6 +387,10 @@ def cmd_precompile(args):
 
     cfg = get_experiment(args.experiment)
     cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b)
+    if args.presigmoid_ln:
+        # the LN changes the param tree, hence every compiled program
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, presigmoid_ln=True))
     full_res = tuple(int(x) for x in args.full_res.split(","))
     times = precompile_protoseg(
         cfg, phases=args.phases.split(","),
@@ -1393,6 +1397,10 @@ def main(argv=None):
     pcp.add_argument("--bf16", action="store_true")
     pcp.add_argument("--fused", action="store_true")
     pcp.add_argument("--s2b", action="store_true")
+    pcp.add_argument("--presigmoid-ln", action="store_true",
+                     help="must match the run's --presigmoid-ln (the "
+                          "LN changes the param tree, hence every "
+                          "program)")
     pcp.add_argument("--eval-batch", type=int, default=8)
     pcp.add_argument("--push-batch", type=int, default=8)
     pcp.add_argument("--full-res", default="1024,2048", metavar="H,W",
