@@ -135,11 +135,11 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
 
     # TPU: fused Pallas kernel — the upsampled (B, H, W, chunk) tensor
     # never exists in HBM (ops/upsample_argmin.py); everywhere else the
-    # chunked scan below is the implementation.  The kernel keeps one
-    # (h, w, C) prototype block VMEM-resident, so it only applies while
-    # that fits (every real shape here does: flagship 129×257 grids are
-    # ~0.5 MB/chunk-lane); ADLM_NO_PALLAS_UPSAMPLE=1 is the escape
-    # hatch back to the scan.
+    # chunked scan below is the implementation.  The kernel holds a
+    # (C·hp, wp) prototype-chunk block + x-pass scratch in VMEM, so it
+    # applies while one chunk lane fits (every real shape here does:
+    # flagship 129×257 grids are ~0.5 MB/lane); ADLM_NO_PALLAS_UPSAMPLE=1
+    # is the escape hatch back to the scan.
     import os as _os
     if (not _os.environ.get("ADLM_NO_PALLAS_UPSAMPLE")
             and h * w * 8 * dist.dtype.itemsize <= 4 * 1024 * 1024):
