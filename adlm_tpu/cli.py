@@ -54,6 +54,20 @@ def _strip_valued_flags(argv, names):
     return out
 
 
+def _watchdog_relaunch_cmd(base_argv, run_dir, attempt):
+    """Child command for --auto-restart attempt N.  Only resume once
+    there is something to resume: a child that died before its first
+    _run_phase (pretrained load / bn-calibrate / initial compile)
+    never wrote resume.json, and --resume on a fresh run_dir is a hard
+    SystemExit — without the existence check the whole restart budget
+    burns on relaunches that fail in seconds."""
+    child = [sys.executable, "-m", "adlm_tpu.cli"] + list(base_argv)
+    has_resume = os.path.exists(os.path.join(run_dir, "resume.json"))
+    if attempt > 0 and has_resume and "--resume" not in child:
+        child.append("--resume")
+    return child
+
+
 def cmd_train(args):
     if getattr(args, "auto_restart", None) is not None:
         # supervisor mode: run the training as a child process under a
@@ -68,10 +82,7 @@ def cmd_train(args):
             list(args._argv), ("--auto-restart", "--watchdog-timeout"))
 
         def make_cmd(attempt):
-            child = [sys.executable, "-m", "adlm_tpu.cli"] + base
-            if attempt > 0 and "--resume" not in child:
-                child.append("--resume")
-            return child
+            return _watchdog_relaunch_cmd(base, run_dir, attempt)
 
         raise SystemExit(run_with_watchdog(
             make_cmd,

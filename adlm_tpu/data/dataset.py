@@ -199,15 +199,17 @@ class SegmentationDataset:
             label = np.pad(label, ((0, pad_h), (0, pad_w)),
                            constant_values=0)
 
-        # random crop (reference dataset.py:151-158)
+        # random crop (reference dataset.py:151-158) — draws from the
+        # PER-SAMPLE rng (same as the native path) so the stream stays
+        # a pure function of (seed, sample counter) without the C lib
         h, w = label.shape
-        sh = self.rng.randint(0, h - wh) if h > wh else 0
-        sw = self.rng.randint(0, w - ww) if w > ww else 0
+        sh = rng.randint(0, h - wh) if h > wh else 0
+        sw = rng.randint(0, w - ww) if w > ww else 0
         img = img[sh:sh + wh, sw:sw + ww]
         label = label[sh:sh + wh, sw:sw + ww]
 
         # random hflip (reference dataset.py:160-163)
-        if not self.is_eval and self.rng.random() < 0.5:
+        if not self.is_eval and rng.random() < 0.5:
             img = img[:, ::-1].copy()
             label = label[:, ::-1].copy()
 

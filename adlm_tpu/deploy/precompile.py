@@ -94,6 +94,11 @@ def precompile_protoseg(cfg: ExperimentConfig,
         "finetune": (2, int(t.finetune_steps * steps_scale),
                      t.warmup_batch_size),
     }
+    # the train loop ships casted inputs (bf16 images / uint8 labels,
+    # train/pipeline.py::ship_dtypes) — the lowered avals here must be
+    # byte-identical or every warmed program is a silent cache miss
+    from adlm_tpu.train.pipeline import ship_dtypes
+    img_dt, lab_dt = ship_dtypes(cfg)
     for name in phases:
         if name in phase_steps:
             phase, max_steps, bs = phase_steps[name]
@@ -102,8 +107,8 @@ def precompile_protoseg(cfg: ExperimentConfig,
             state = _abstract_state(model, cfg, phase, max_steps)
             step = make_train_step(model, cfg, phase, max_steps,
                                    donate=True)
-            img = _sds((t.iter_size, bs, wh, ww, 3), jnp.float32)
-            lab = _sds((t.iter_size, bs, wh, ww), jnp.int32)
+            img = _sds((t.iter_size, bs, wh, ww, 3), img_dt)
+            lab = _sds((t.iter_size, bs, wh, ww), lab_dt)
             timed(f"train_{name}",
                   lambda s=state, i=img, l=lab, f=step:
                   f.lower(s, i, l).compile())

@@ -140,14 +140,20 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
     # applies while one chunk lane fits (every real shape here does:
     # flagship 129×257 grids are ~0.5 MB/lane); ADLM_NO_PALLAS_UPSAMPLE=1
     # is the escape hatch back to the scan.
+    #
+    # The dispatch is STATIC (trace-time backend check), deliberately
+    # not lax.platform_dependent: that lowers to a lax.cond whose
+    # branch temporaries are STACK-allocated in scoped VMEM — measured
+    # on v5e, the identical pallas_call that fits standalone blew the
+    # 16 MB scoped-vmem limit by 3.2 MB inside the cond branch at the
+    # flagship batch-8 shape (and the dead scan branch still paid
+    # compile time).
     import os as _os
     if (not _os.environ.get("ADLM_NO_PALLAS_UPSAMPLE")
-            and h * w * 8 * dist.dtype.itemsize <= 4 * 1024 * 1024):
+            and h * w * 8 * dist.dtype.itemsize <= 4 * 1024 * 1024
+            and jax.default_backend() == "tpu"):
         from adlm_tpu.ops.upsample_argmin import upsampled_argmin_pallas
-        return jax.lax.platform_dependent(
-            dist,
-            tpu=lambda d: upsampled_argmin_pallas(d, size),
-            default=lambda d: _upsampled_argmin_scan(d, size, chunk))
+        return upsampled_argmin_pallas(dist, size)
     return _upsampled_argmin_scan(dist, size, chunk)
 
 

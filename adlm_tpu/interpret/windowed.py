@@ -51,6 +51,33 @@ def _strides(window: Tuple[int, int], overlap: float) -> Tuple[int, int]:
             max(int(ww * (1.0 - overlap)), 1))
 
 
+def _stitched_metrics(canvas: jnp.ndarray, norm: jnp.ndarray,
+                      labels: jnp.ndarray, num_classes: int) -> dict:
+    """Canvas→metrics epilogue shared by the fused whole-grid program
+    and the per-window evaluator's finish jit (ONE definition so the
+    two paths cannot drift): normalize the taper-weighted canvas,
+    resize to label resolution if needed, argmax, then the void-masked
+    per-class I/U and pixel-accuracy counters (same formulas as
+    interpret/evaluate.py; reference eval_valid.py:140-165)."""
+    logits = canvas / jnp.maximum(norm, 1e-8)
+    H, W = labels.shape[1], labels.shape[2]
+    if logits.shape[1:3] != (H, W):
+        logits = resize_bilinear(logits, (H, W))
+    pred = jnp.argmax(logits, axis=-1)
+    lab = labels.astype(jnp.int32)
+    valid = lab > 0
+    gt = jnp.clip(lab - 1, 0, num_classes - 1)
+    pred1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.int32)
+    gt1 = jax.nn.one_hot(gt, num_classes, dtype=jnp.int32) * \
+        valid[..., None].astype(jnp.int32)
+    return {"pred": pred,
+            "intersection": jnp.sum(pred1 * gt1, axis=(0, 1, 2)),
+            "union": jnp.sum(((pred1 + gt1) > 0) & valid[..., None],
+                             axis=(0, 1, 2)),
+            "correct": jnp.sum(valid & (pred == gt)),
+            "total": jnp.sum(valid)}
+
+
 def _make_window_program(model: PPNet, window: Tuple[int, int],
                          with_stats: bool,
                          normalize: Optional[Tuple]) -> Callable:
@@ -231,23 +258,7 @@ def _make_fused_window_program(model: PPNet, window: Tuple[int, int],
         (canvas, norm), ys = jax.lax.scan(chunk_body, (canvas0, norm0),
                                           (offsets, valid, u, v))
 
-        logits = canvas / jnp.maximum(norm, 1e-8)
-        LH, LW = labels.shape[1], labels.shape[2]
-        if logits.shape[1:3] != (LH, LW):
-            logits = resize_bilinear(logits, (LH, LW))
-        pred = jnp.argmax(logits, axis=-1)
-        lab = labels.astype(jnp.int32)
-        valid_px = lab > 0
-        gt = jnp.clip(lab - 1, 0, num_classes - 1)
-        pred1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.int32)
-        gt1 = jax.nn.one_hot(gt, num_classes, dtype=jnp.int32) * \
-            valid_px[..., None].astype(jnp.int32)
-        out = {"pred": pred,
-               "intersection": jnp.sum(pred1 * gt1, axis=(0, 1, 2)),
-               "union": jnp.sum(((pred1 + gt1) > 0) &
-                                valid_px[..., None], axis=(0, 1, 2)),
-               "correct": jnp.sum(valid_px & (pred == gt)),
-               "total": jnp.sum(valid_px)}
+        out = _stitched_metrics(canvas, norm, labels, num_classes)
         if with_stats:
             sp, nr, topk, agree = ys
             out["stat_pred"] = sp.reshape(-1, *sp.shape[2:])
@@ -395,22 +406,7 @@ class WindowedSegEvaluator:
         self._acc_fn = jax.jit(acc, donate_argnums=(0, 1))
 
         def finish(canvas, norm, labels):
-            logits = canvas / jnp.maximum(norm, 1e-8)
-            H, W = labels.shape[1], labels.shape[2]
-            if logits.shape[1:3] != (H, W):
-                logits = resize_bilinear(logits, (H, W))
-            pred = jnp.argmax(logits, axis=-1)
-            valid = labels > 0
-            gt = jnp.clip(labels.astype(jnp.int32) - 1, 0, NC - 1)
-            agree = valid & (pred == gt)
-            pred1 = jax.nn.one_hot(pred, NC, dtype=jnp.int32)
-            gt1 = jax.nn.one_hot(gt, NC, dtype=jnp.int32) * \
-                valid[..., None].astype(jnp.int32)
-            inter = jnp.sum(pred1 * gt1, axis=(0, 1, 2))
-            union = jnp.sum(((pred1 + gt1) > 0) & valid[..., None],
-                            axis=(0, 1, 2))
-            return {"pred": pred, "intersection": inter, "union": union,
-                    "correct": jnp.sum(agree), "total": jnp.sum(valid)}
+            return _stitched_metrics(canvas, norm, labels, NC)
 
         self._finish_fn = jax.jit(finish)
 

@@ -112,6 +112,27 @@ def _kernel(d_ref, ay_ref, ax_ref, out_ref, t_ref, bs_ref, is_ref, *,
         out_ref[0] = idx
 
 
+def _plan_tiles(H: int, W: int, h: int, w: int, itemsize: int,
+                th: int, tw: int, c: int):
+    """Tile plan for the fused kernel: (TH, TW, C, Hp, hp, wp).
+
+    TW must stay a multiple of 128 while shrinking to fit the (Hp, TW)
+    f32+i32 min/argmin strip scratches in VMEM — a non-128-multiple
+    lane dim in the block specs fails Mosaic lowering (e.g. a starting
+    TW of 384 must step to 256, not 192)."""
+    TH = min(th, _round_up(H, 8))
+    Hp = _round_up(H, TH)
+    TW = min(tw, _round_up(W, 128))
+    while Hp * TW * 8 > 4 * 1024 * 1024 and TW > 128:
+        TW = max(128, _round_up(TW // 2, 128))
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    # (C·hp, wp) input block + (C·hp, TW) x-pass scratch ≤ ~6 MB
+    per_proto = hp * (wp * itemsize + TW * 4)
+    C = max(1, min(c, (6 * 1024 * 1024) // max(per_proto, 1)))
+    return TH, TW, C, Hp, hp, wp
+
+
 def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
                             th: int = 128, tw: int = 512, c: int = 8,
                             interpret: bool = False) -> jnp.ndarray:
@@ -138,17 +159,8 @@ def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
     precision = (jax.lax.Precision.DEFAULT
                  if dist.dtype == jnp.bfloat16
                  else jax.lax.Precision.HIGHEST)
-    TH = min(th, _round_up(H, 8))
-    Hp = _round_up(H, TH)
-    TW = min(tw, _round_up(W, 128))
-    # the (Hp, TW) f32+i32 min/argmin strip scratches must fit VMEM
-    while Hp * TW * 8 > 4 * 1024 * 1024 and TW > 128:
-        TW //= 2
-    hp = _round_up(h, 8)
-    wp = _round_up(w, 128)
-    # (C·hp, wp) input block + (C·hp, TW) x-pass scratch ≤ ~6 MB
-    per_proto = hp * (wp * dist.dtype.itemsize + TW * 4)
-    C = max(1, min(c, (6 * 1024 * 1024) // max(per_proto, 1)))
+    TH, TW, C, Hp, hp, wp = _plan_tiles(H, W, h, w,
+                                        dist.dtype.itemsize, th, tw, c)
     Wp = _round_up(W, TW)
     Pp = _round_up(P, C)
 
@@ -197,6 +209,13 @@ def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
                             * dist.dtype.itemsize
                             + B * Hp * Wp * 4),
             transcendentals=0),
+        # the persistent (Hp, TW) strip scratches put the kernel's
+        # worst-case VMEM demand (~19 MB at the flagship batch-8
+        # stats shape, per the compiler's own accounting) above the
+        # default 16 MB scoped-vmem limit when compiled in-context —
+        # grant explicit headroom (v5e has 128 MB of VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(dt, ay, ax)
     return idx[:, :H, :W]

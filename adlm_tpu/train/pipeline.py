@@ -51,6 +51,22 @@ class TrainingHalted(Exception):
     --resume`` continues from the exact window (preemptible quota)."""
 
 
+def ship_dtypes(cfg: ExperimentConfig):
+    """Host→device wire dtypes for train windows — the single source of
+    truth shared by the train loop's ``ship()`` casts and
+    deploy/precompile.py's lowered avals (they MUST agree or every
+    precompiled train program is a silent cache miss).  bf16 images when
+    the step computes in bf16 (it casts in-jit anyway, so host-side
+    rounding is identical); uint8 labels when the ids fit."""
+    import ml_dtypes
+    img = (np.dtype(ml_dtypes.bfloat16)
+           if cfg.train.compute_dtype == "bfloat16"
+           else np.dtype(np.float32))
+    lab = (np.dtype(np.uint8) if cfg.model.num_classes < 255
+           else np.dtype(np.int32))
+    return img, lab
+
+
 def _ckpt_payload(state: ProtoSegState) -> Dict[str, Any]:
     """Full train-state payload: params/constants/proto_class/step PLUS
     the optimizer state, flattened to positionally-keyed leaves so the
@@ -148,20 +164,20 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
         n_jobs=cfg.data.dataloader_n_jobs, start_window=start_window,
         mode=cfg.data.dataloader_mode))
 
-    # shipping casts: bf16 training reads bf16 inputs (the step casts
-    # to bf16 in-jit anyway, so host-side rounding is identical) and
-    # train ids fit uint8 — together 31.5 → 18 MB per flagship window
-    # through the ~42 MB/s relay (the REAL window bound, PERF.md)
-    bf16_ship = t.compute_dtype == "bfloat16"
-    u8_labels = cfg.model.num_classes < 255
+    # shipping casts: bf16 images + uint8 labels — 31.5 → 18 MB per
+    # flagship window through the ~42 MB/s relay (the REAL window
+    # bound, PERF.md).  Dtypes come from ship_dtypes so the precompile
+    # CLI lowers byte-identical avals (same persistent-cache key).
+    img_dt, lab_dt = ship_dtypes(cfg)
 
     def ship(images, labels):
-        if bf16_ship:
-            import ml_dtypes
-            images = images.astype(ml_dtypes.bfloat16)
-        if u8_labels and labels.dtype != np.uint8:
+        # host-side casts only; _phase_loop's device_prefetch turns
+        # the numpy leaves into (async) device uploads
+        if images.dtype != img_dt:
+            images = images.astype(img_dt)
+        if lab_dt == np.uint8 and labels.dtype != np.uint8:
             labels = labels.astype(np.uint8)
-        return jnp.asarray(images), jnp.asarray(labels)
+        return images, labels
 
     try:
         state = _phase_loop(loader, state, step_fn, eval_fn, val_ds,
@@ -184,36 +200,21 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                 early_stopping_patience, stage, store, logger,
                 trace_dir=None, start_window=0, best_acc=-1.0,
                 stale=0, halt=None, ship=None):
+    from adlm_tpu.data.pipeline import device_prefetch
     from adlm_tpu.utils.profiling import StepMeter, trace
 
-    if ship is None:
-        ship = lambda im, lb: (jnp.asarray(im), jnp.asarray(lb))
-
-    def shipped(src, depth=2):
-        """Upload windows ``depth`` ahead: ``jnp.asarray`` ENQUEUES the
-        host→device copy asynchronously (~40 ms for an 18 MB flagship
-        window vs ~440 ms for the copy itself through the ~42 MB/s
-        relay, CLAUDE.md), so window n+1's upload rides under window
-        n's compute instead of serializing with it — the train-loop
-        analogue of data/pipeline.py::device_prefetch."""
-        import collections
-        q = collections.deque()
-        it = iter(src)
-        try:
-            for _ in range(depth):
-                q.append(ship(*next(it)))
-        except StopIteration:
-            pass
-        while q:
-            out = q.popleft()
-            try:
-                q.append(ship(*next(it)))
-            except StopIteration:
-                pass
-            yield out
+    def casted(src):
+        """Host-side wire casts ahead of the async upload; the 2-deep
+        device_prefetch then ENQUEUES each copy (~40 ms for an 18 MB
+        flagship window vs ~440 ms for the copy itself through the
+        ~42 MB/s relay, CLAUDE.md) so window n+1's upload rides under
+        window n's compute instead of serializing with it."""
+        for images, labels in src:
+            yield ship(images, labels) if ship is not None \
+                else (images, labels)
 
     meter = None
-    for w, (images, labels) in enumerate(shipped(loader),
+    for w, (images, labels) in enumerate(device_prefetch(casted(loader)),
                                          start=start_window):
         if meter is None:
             meter = StepMeter(images_per_step=int(np.prod(images.shape[:2])))
@@ -259,7 +260,12 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
                 break
         if halt is not None:
             halt["remaining"] -= 1
-            if halt["remaining"] <= 0 and (w + 1) < n_windows:
+            if halt["remaining"] <= 0:
+                # halting ON the phase's final window is still a halt:
+                # windows_done == n_windows marks the stage completed,
+                # so --resume enters the NEXT stage — without this the
+                # run would leak at least one unbudgeted window into
+                # the next phase (and with 1-window phases never stop)
                 store.save(stage, "last", _ckpt_payload(state))
                 _write_resume(store.run_dir, stage, w + 1, n_windows,
                               best_acc, stale)
@@ -409,19 +415,47 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
             raise SystemExit(f"--resume: no resume.json under {run_dir} "
                              f"(nothing to resume)")
         meta = _read_resume(run_dir)
+        run_complete = False
         if meta["completed"]:
             # crashed between stages: enter the NEXT position; a crash
             # during the push event re-runs it (push is deterministic)
             entry_stage = {"warmup": "nopush", "nopush": "push_event",
                            "push": None, "pruned": None}[meta["stage"]]
+            run_complete = entry_stage is None
         else:
             entry_stage = meta["stage"]
             entry_window = int(meta["windows_done"])
             entry_best = float(meta["best_acc"])
             entry_stale = int(meta["stale"])
+        if (entry_stage in STAGE_ORDER
+                and not store.exists(entry_stage, "last")):
+            # died between a stage's entry and its FIRST checkpoint
+            # save (the window before the first validation — exactly
+            # where multi-minute remote compiles sit): the stage holds
+            # no state yet, so fall back to re-entering it from its
+            # predecessor's completed state instead of crashing on a
+            # checkpoint that was never written
+            logger.log(f"resume: stage {entry_stage!r} has no "
+                       f"checkpoint yet — re-entering it from its start")
+            entry_window, entry_best, entry_stale = 0, -1.0, 0
+            if entry_stage == "warmup":
+                entry_stage = None  # full fresh-init path below
+            elif entry_stage == "nopush":
+                entry_stage = ("joint_start"
+                               if store.exists("warmup", "last")
+                               else None)
+            elif entry_stage == "push":
+                # push/last is saved by the push event itself before
+                # the finetune loop starts, so a missing checkpoint
+                # means the push never completed — re-run it
+                entry_stage = "push_event"
+            elif entry_stage == "pruned":
+                raise SystemExit(
+                    "--resume: the pruned stage has no checkpoint — "
+                    "run the prune command first")
         logger.log(f"resume: stage={entry_stage} window={entry_window} "
                    f"best_acc={entry_best:.4f} stale={entry_stale}")
-        if entry_stage is None:
+        if run_complete:
             logger.log("resume: run already complete — nothing to do")
             _, _, state = _restore_stage(meta["stage"], 2,
                                          finetune_steps, with_opt=True)
@@ -467,6 +501,13 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
         model, cfg, state = _restore_stage("warmup", 0, warmup_steps,
                                            with_opt=True)
         pos = 0.0
+    elif entry_stage == "joint_start":
+        # fallback entry: the joint phase died before its first save —
+        # re-enter it at window 0 from the completed warmup state (the
+        # joint block below re-inits the phase-1 optimizer/schedule)
+        model, cfg, state = _restore_stage("warmup", 0, warmup_steps,
+                                           with_opt=False)
+        pos = 1.0
     elif entry_stage == "nopush":
         model, cfg, state = _restore_stage("nopush", 1, joint_steps,
                                            with_opt=True)

@@ -473,3 +473,100 @@ def test_resume_mid_warmup_and_mid_finetune(tmp_path):
                         jax.tree_util.tree_leaves(dict(state_b.params))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=label)
+
+
+def test_halt_at_phase_boundary_resumes_without_stage_checkpoint(tmp_path):
+    """Two fixes in one scenario: (a) --halt-after fires ON a phase's
+    final window (previously it leaked at least one unbudgeted window
+    into the next phase), and (b) --resume re-enters a stage that has
+    no checkpoint yet (here: joint, entered via the completed-warmup
+    marker before the joint phase's first save) from its predecessor's
+    state instead of crashing on a checkpoint that was never written."""
+    import jax
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.train.pipeline import run_protoseg_training
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root)
+    cfg = _tiny_experiment("tiny_boundary_halt")
+
+    run_a = str(tmp_path / "straight")
+    state_a = run_protoseg_training(cfg, run_dir=run_a,
+                                    data_path=data_root,
+                                    val_every=1, val_batches=1)
+
+    # warmup = 2 windows; halt budget of exactly 2 must stop AT the
+    # warmup/joint boundary, not one window into joint
+    run_b = str(tmp_path / "halted")
+    run_protoseg_training(cfg, run_dir=run_b, data_path=data_root,
+                          val_every=1, val_batches=1,
+                          halt_after_windows=2)
+    meta = json.load(open(os.path.join(run_b, "resume.json")))
+    assert meta["stage"] == "warmup"
+    assert meta["windows_done"] == 2 and meta["completed"]
+    store = CheckpointStore(run_b)
+    assert store.exists("warmup", "last")
+    assert not store.exists("nopush", "last")  # joint never started
+
+    state_b = run_protoseg_training(cfg, run_dir=run_b,
+                                    data_path=data_root,
+                                    val_every=1, val_batches=1,
+                                    resume=True)
+    for a, b in zip(jax.tree_util.tree_leaves(dict(state_a.params)),
+                    jax.tree_util.tree_leaves(dict(state_b.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_before_any_checkpoint_restarts_fresh(tmp_path):
+    """A run killed before its first checkpoint save (pretrained load /
+    initial compile) leaves resume.json pointing at a stage with no
+    'last' payload; --resume must fall back to a fresh start — the
+    --auto-restart supervisor depends on this not being a hard exit."""
+    from adlm_tpu.train.pipeline import run_protoseg_training
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root)
+    cfg = _tiny_experiment("tiny_checkpointless_resume")
+
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "resume.json"), "w") as f:
+        json.dump({"stage": "warmup", "windows_done": 0, "n_windows": 2,
+                   "completed": False, "best_acc": -1.0, "stale": 0}, f)
+
+    state = run_protoseg_training(cfg, run_dir=run_dir,
+                                  data_path=data_root,
+                                  val_every=1, val_batches=1,
+                                  resume=True)
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    assert CheckpointStore(run_dir).exists("push", "last")
+    assert state is not None
+
+
+def test_augment_fallback_uses_per_sample_rng(tmp_path, monkeypatch):
+    """Without the native C lib the pure-python augment chain must draw
+    scale/crop/flip from the PER-SAMPLE rng, not the shared dataset rng
+    — otherwise thread scheduling (and any interleaved draws) silently
+    break the deterministic-resume contract off the native path."""
+    from adlm_tpu import native
+    from adlm_tpu.data.dataset import SegmentationDataset
+
+    monkeypatch.setattr(native, "available", lambda: False)
+
+    data_root = str(tmp_path / "data")
+    _write_fake_dataset(data_root, n=3, hw=(48, 56))
+    cfg = _tiny_experiment("tiny_fallback_rng")
+    ds = SegmentationDataset(cfg.data, "train", data_path=data_root)
+
+    im1, lb1 = ds.get_train_item(0, sample_seed=123)
+    _ = ds[1]          # perturb the SHARED rng between the two draws
+    _ = ds[2]
+    im2, lb2 = ds.get_train_item(0, sample_seed=123)
+    np.testing.assert_array_equal(im1, im2)
+    np.testing.assert_array_equal(lb1, lb2)
+
+    # different per-sample seeds produce different augmentations
+    diff = any(not np.array_equal(
+        im1, ds.get_train_item(0, sample_seed=123 + k)[0])
+        for k in range(1, 6))
+    assert diff

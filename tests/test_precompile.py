@@ -97,10 +97,15 @@ state = init_protoseg_state(model, cfg, 1, t.joint_steps,
                             jnp.zeros((1, wh, ww, 3), jnp.float32))
 step = make_train_step(model, cfg, 1, t.joint_steps, donate=True)
 rng = np.random.RandomState(0)
+# inputs arrive through the pipeline's ship() casts (ship_dtypes is
+# the single source of truth both sides share)
+from adlm_tpu.train.pipeline import ship_dtypes
+img_dt, lab_dt = ship_dtypes(cfg)
 images = jnp.asarray(rng.rand(t.iter_size, t.joint_batch_size, wh, ww, 3
-                              ).astype(np.float32))
+                              ).astype(img_dt))
 labels = jnp.asarray(rng.randint(0, 3, size=(t.iter_size,
-                                             t.joint_batch_size, wh, ww)))
+                                             t.joint_batch_size, wh, ww)
+                                 ).astype(lab_dt))
 state, metrics = step(state, images, labels)
 print("LOSS", float(metrics["loss"]))
 """

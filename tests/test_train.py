@@ -552,3 +552,30 @@ def test_presigmoid_ln_keeps_feature_gradients_alive():
         {"params": state.params, "constants": state.constants},
         img, train=False, return_distances=True)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_ship_dtypes_single_source_of_truth():
+    """train/pipeline.py::ship_dtypes is the one place the host→device
+    wire dtypes live; deploy/precompile.py lowers train programs from
+    it, so the warmed programs are byte-identical cache keys to what
+    the train loop actually ships (a silent mismatch means every
+    production run re-pays the multi-minute remote compile)."""
+    import dataclasses as _dc
+    import ml_dtypes
+    from adlm_tpu.train.pipeline import ship_dtypes
+
+    cfg = tiny_experiment()
+    img, lab = ship_dtypes(cfg)
+    assert img == np.dtype(np.float32)
+    assert lab == np.dtype(np.uint8)
+
+    bf16 = _dc.replace(cfg, train=_dc.replace(
+        cfg.train, compute_dtype="bfloat16"))
+    img, lab = ship_dtypes(bf16)
+    assert img == np.dtype(ml_dtypes.bfloat16)
+    assert lab == np.dtype(np.uint8)
+
+    wide = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                              num_classes=300))
+    _, lab = ship_dtypes(wide)
+    assert lab == np.dtype(np.int32)

@@ -53,3 +53,21 @@ def test_pallas_kernel_bf16_inputs():
     want = np.asarray(jnp.argmin(
         resize_bilinear(d.astype(jnp.float32), (33, 47)), axis=-1))
     assert (got == want).mean() > 0.99  # bf16 rounding may flip rare ties
+
+
+def test_tile_plan_keeps_lane_dim_128_aligned():
+    """The VMEM-fit shrink must keep TW a multiple of 128: a
+    non-128-multiple lane dimension in the block specs fails Mosaic
+    lowering on real hardware (e.g. W≈300 starts at TW=384 and must
+    step to 256, not 192)."""
+    from adlm_tpu.ops.upsample_argmin import _plan_tiles
+
+    for H, W in ((2048, 300), (1366, 384), (4096, 130), (1024, 2048),
+                 (8, 8), (513, 513)):
+        TH, TW, C, Hp, hp, wp = _plan_tiles(H, W, 129, 257, 4,
+                                            th=128, tw=512, c=8)
+        assert TW % 128 == 0 and TW >= 128, (H, W, TW)
+        assert Hp % TH == 0
+        # the strip scratches actually fit (or TW bottomed out at 128)
+        assert Hp * TW * 8 <= 4 * 1024 * 1024 or TW == 128, (H, W, TW)
+        assert C >= 1

@@ -112,3 +112,28 @@ def test_strip_valued_flags():
                                      "--watchdog-timeout"))
     assert out == ["train", "exp", "run", "--bf16",
                    "--val-every", "10"]
+
+
+def test_relaunch_only_resumes_once_resume_json_exists(tmp_path):
+    """A child that died before writing resume.json (pretrained load /
+    initial compile) must be relaunched WITHOUT --resume — --resume on
+    a fresh run_dir is a hard SystemExit, and appending it blindly
+    burns the whole restart budget in seconds."""
+    from adlm_tpu.cli import _watchdog_relaunch_cmd
+
+    base = ["train", "smoke", "run1"]
+    run_dir = str(tmp_path)
+
+    # first attempt: never resumes
+    assert "--resume" not in _watchdog_relaunch_cmd(base, run_dir, 0)
+    # restart with no resume.json yet: still no --resume
+    assert "--resume" not in _watchdog_relaunch_cmd(base, run_dir, 1)
+    # once the run has progressed far enough to write resume.json,
+    # restarts continue from it
+    with open(os.path.join(run_dir, "resume.json"), "w") as f:
+        f.write("{}")
+    cmd = _watchdog_relaunch_cmd(base, run_dir, 1)
+    assert cmd.count("--resume") == 1
+    # idempotent when the base argv already carries --resume
+    cmd = _watchdog_relaunch_cmd(base + ["--resume"], run_dir, 2)
+    assert cmd.count("--resume") == 1
