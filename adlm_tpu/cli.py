@@ -97,7 +97,8 @@ def cmd_train(args):
     from adlm_tpu.deploy.precompile import apply_train_overrides
 
     cfg = get_experiment(args.experiment)
-    cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b)
+    cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b,
+                                wire_uint8=args.wire_uint8)
     if args.bn_calibrate:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, bn_calibrate=True))
@@ -397,7 +398,8 @@ def cmd_precompile(args):
         apply_train_overrides, precompile_protoseg)
 
     cfg = get_experiment(args.experiment)
-    cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b)
+    cfg = apply_train_overrides(cfg, args.bf16, args.fused, args.s2b,
+                                wire_uint8=args.wire_uint8)
     if args.presigmoid_ln:
         # the LN changes the param tree, hence every compiled program
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
@@ -1288,6 +1290,12 @@ def main(argv=None):
                     help="lower the d=2/4 dilated convs via "
                          "space-to-batch (numerically exact; TPU "
                          "tiling experiment — see PERF.md)")
+    tp.add_argument("--wire-uint8", action="store_true",
+                    help="ship train windows as raw uint8 pixels and "
+                         "normalize in-jit: ≤0.5/255-per-pixel "
+                         "requantization, 2× less image wire traffic "
+                         "vs bf16 (the flagship window is "
+                         "transfer-bound — PERF.md)")
     tp.add_argument("--bn-calibrate", action="store_true",
                     help="from-scratch init: standardize the frozen "
                          "backbone BNs on a real batch before training "
@@ -1408,6 +1416,10 @@ def main(argv=None):
     pcp.add_argument("--bf16", action="store_true")
     pcp.add_argument("--fused", action="store_true")
     pcp.add_argument("--s2b", action="store_true")
+    pcp.add_argument("--wire-uint8", action="store_true",
+                     help="must match the run's --wire-uint8 (the "
+                          "image wire dtype changes every train "
+                          "program's cache key)")
     pcp.add_argument("--presigmoid-ln", action="store_true",
                      help="must match the run's --presigmoid-ln (the "
                           "LN changes the param tree, hence every "

@@ -181,6 +181,19 @@ class TrainConfig:
     # activation memory; combine with remat if needed.
     fused_accumulation: bool = False
 
+    # ship train windows as RAW uint8 pixels and normalize in-jit
+    # (ops/normalize.py — the same path full-res eval uses): the
+    # augmented pixel values are bilinear blends of uint8 sources, so
+    # re-quantizing costs ≤0.5/255 per pixel (≲0.9% of one std — far
+    # below the augmentation noise floor) while cutting the image wire
+    # bytes 2× vs bf16 / 4× vs f32.  The flagship joint window is
+    # HOST→DEVICE-TRANSFER-bound (PERF.md: 18 MB / 0.48 s per window vs
+    # 155 ms compute through the ~42 MB/s relay) — uint8 halves that
+    # bound.  NOT bit-parity with the reference's f32 input math; keep
+    # off for golden-trajectory comparisons.  Requires /255-scaled
+    # datasets (cells=False).
+    wire_uint8: bool = False
+
 
 @dataclass(frozen=True)
 class UNoiseConfig:
@@ -330,6 +343,40 @@ register_experiment(ExperimentConfig(
                       add_on_layers_type="deeplab_simple"),
     data=DataConfig(class_table="mds", window_size=(513, 513)),
     train=TrainConfig(loss_weight_kld=0.0),
+))
+
+# Synthetic-flagship presets (not reference configs): the flagship
+# Cityscapes model trained FROM SCRATCH on the color-keyed synthetic
+# dataset (experiments/flagship_synthetic_e2e.py) — the environment has
+# no real datasets or pretrained weights, so these are the end-to-end
+# integration runs on real TPU hardware.  From-scratch training needs
+# presigmoid_ln + 10× feature LR + data-driven prototype init (PERF.md
+# "from-scratch anatomy"); the reference cannot train from scratch at
+# all.  Registered here (not in the script) so `train --auto-restart`
+# watchdog children — fresh `python -m adlm_tpu.cli` processes — can
+# resolve the experiment name.
+_SYNTH_MODEL = dataclasses.replace(_CITYSCAPES_MODEL, presigmoid_ln=True)
+_SYNTH_TRAIN = dict(loss_weight_kld=0.25, kld_raw_label_indexing=True,
+                    joint_optimizer_lr_features=2.5e-4,
+                    proto_init_data=True)
+
+register_experiment(ExperimentConfig(
+    name="flagship_synth_demo",
+    model=_SYNTH_MODEL,
+    data=_CITYSCAPES_DATA,
+    # 10% of the reference budget (the round-4 49-minute run)
+    train=TrainConfig(warmup_steps=1500, joint_steps=15000,
+                      finetune_steps=1000, **_SYNTH_TRAIN),
+))
+
+register_experiment(ExperimentConfig(
+    name="flagship_synth_full",
+    model=_SYNTH_MODEL,
+    data=_CITYSCAPES_DATA,
+    # the FULL reference budget (reference
+    # segmentation/configs/cityscapes_kld_imnet.gin:20-24): warmup 15k
+    # + joint 150k + finetune 10k steps at batch 2 × iter_size 5
+    train=TrainConfig(**_SYNTH_TRAIN),
 ))
 
 # Small smoke-test experiment: exercises the full pipeline (all phases,

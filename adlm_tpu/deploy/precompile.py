@@ -214,15 +214,18 @@ def precompile_unoise(cfg, res: Tuple[int, int] = (256, 256),
 
 
 def apply_train_overrides(cfg: ExperimentConfig, bf16: bool, fused: bool,
-                          s2b: bool) -> ExperimentConfig:
+                          s2b: bool,
+                          wire_uint8: bool = False) -> ExperimentConfig:
     """The same config overrides cmd_train applies — keep in sync so
     precompiled programs match the run's cache keys."""
-    if bf16 or fused:
+    if bf16 or fused or wire_uint8:
         overrides = {}
         if bf16:
             overrides["compute_dtype"] = "bfloat16"
         if fused:
             overrides["fused_accumulation"] = True
+        if wire_uint8:
+            overrides["wire_uint8"] = True
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides))
     if s2b:

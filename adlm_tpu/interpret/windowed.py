@@ -355,11 +355,23 @@ class WindowedSegEvaluator:
                  seed: int = 0, normalize: Optional[Tuple] = None,
                  device_stitch: Optional[bool] = None,
                  keep_stat_maps: bool = True,
-                 fused: Optional[bool] = None, window_batch: int = 8):
+                 fused: Optional[bool] = None, window_batch: int = 8,
+                 defer_sync: bool = False):
         self.num_classes = num_classes
         self.window = window
         self.overlap = overlap
         self.with_stats = with_stats
+        # defer_sync: don't fetch the per-update counters to the host
+        # inside update() — queue the (tiny) device arrays and drain
+        # them in results()/drain().  This lets a caller enqueue several
+        # fused grid dispatches back-to-back so the ~30 ms relay
+        # dispatch latency and the device compute overlap (the same
+        # pipelined-dispatch discipline every other eval path uses —
+        # CLAUDE.md).  Counter VALUES are bit-identical either way;
+        # only the fetch time moves.  Stats maps require the immediate
+        # path (update's return value carries host arrays there).
+        self.defer_sync = defer_sync
+        self._pending = []
         # the (B, P) agree_counts / topk_purity vectors are all the CLI
         # accumulator needs; keep_stat_maps=False skips fetching and
         # stacking the per-window grid maps (they stay device-side)
@@ -459,6 +471,20 @@ class WindowedSegEvaluator:
                             jnp.asarray(images), jnp.asarray(labels),
                             jnp.asarray(offs_a), jnp.asarray(valid),
                             jnp.asarray(u), jnp.asarray(v))
+        if self.defer_sync:
+            # queue the tiny device counters; drain() / results()
+            # fetches them later so back-to-back grid dispatches
+            # pipeline through the relay.  pred stays a device array.
+            pend = {k: out[k] for k in
+                    ("intersection", "union", "correct", "total")}
+            if self.with_stats:
+                pend["topk_purity"] = out["topk_purity"]
+                pend["agree_counts"] = out["agree_counts"]
+                pend["stat_windows"] = N
+            self._pending.append(pend)
+            return {"pred": out["pred"],
+                    "intersection": out["intersection"],
+                    "union": out["union"]}
         inter = np.asarray(out["intersection"], np.int64)
         union = np.asarray(out["union"], np.int64)
         self.intersection += inter

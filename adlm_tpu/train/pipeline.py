@@ -55,16 +55,35 @@ def ship_dtypes(cfg: ExperimentConfig):
     """Host→device wire dtypes for train windows — the single source of
     truth shared by the train loop's ``ship()`` casts and
     deploy/precompile.py's lowered avals (they MUST agree or every
-    precompiled train program is a silent cache miss).  bf16 images when
-    the step computes in bf16 (it casts in-jit anyway, so host-side
+    precompiled train program is a silent cache miss).  uint8 images
+    under ``wire_uint8`` (normalization inverted on host, re-applied
+    in-jit — see TrainConfig.wire_uint8), else bf16 images when the
+    step computes in bf16 (it casts in-jit anyway, so host-side
     rounding is identical); uint8 labels when the ids fit."""
     import ml_dtypes
-    img = (np.dtype(ml_dtypes.bfloat16)
-           if cfg.train.compute_dtype == "bfloat16"
-           else np.dtype(np.float32))
+    if cfg.train.wire_uint8:
+        if cfg.data.cells:
+            raise ValueError(
+                "wire_uint8 requires /255-scaled inputs (cells=False): "
+                "the in-jit normalizer (ops/normalize.py) assumes them")
+        img = np.dtype(np.uint8)
+    elif cfg.train.compute_dtype == "bfloat16":
+        img = np.dtype(ml_dtypes.bfloat16)
+    else:
+        img = np.dtype(np.float32)
     lab = (np.dtype(np.uint8) if cfg.model.num_classes < 255
            else np.dtype(np.int32))
     return img, lab
+
+
+def wire_uint8_images(images: np.ndarray, mean, std) -> np.ndarray:
+    """Invert the loader's ``(x/255 − mean)/std`` back to raw uint8
+    pixels for the wire (TrainConfig.wire_uint8).  The augmented values
+    are bilinear blends of uint8 sources in [0, 255], so the round trip
+    through ``normalize_in_jit`` loses at most 0.5/255 per pixel."""
+    px = (images * (np.asarray(std, np.float32) * 255.0)
+          + np.asarray(mean, np.float32) * 255.0)
+    return np.clip(np.rint(px), 0.0, 255.0).astype(np.uint8)
 
 
 def _ckpt_payload(state: ProtoSegState) -> Dict[str, Any]:
@@ -166,14 +185,19 @@ def _run_phase(model: PPNet, cfg: ExperimentConfig, phase: int,
 
     # shipping casts: bf16 images + uint8 labels — 31.5 → 18 MB per
     # flagship window through the ~42 MB/s relay (the REAL window
-    # bound, PERF.md).  Dtypes come from ship_dtypes so the precompile
-    # CLI lowers byte-identical avals (same persistent-cache key).
+    # bound, PERF.md) — or uint8 images (10.5 MB) under wire_uint8.
+    # Dtypes come from ship_dtypes so the precompile CLI lowers
+    # byte-identical avals (same persistent-cache key).
     img_dt, lab_dt = ship_dtypes(cfg)
 
     def ship(images, labels):
         # host-side casts only; _phase_loop's device_prefetch turns
         # the numpy leaves into (async) device uploads
-        if images.dtype != img_dt:
+        if img_dt == np.uint8:
+            # raw pixels on the wire; loss_fn re-normalizes in-jit
+            images = wire_uint8_images(images, cfg.data.mean,
+                                       cfg.data.std)
+        elif images.dtype != img_dt:
             images = images.astype(img_dt)
         if lab_dt == np.uint8 and labels.dtype != np.uint8:
             labels = labels.astype(np.uint8)

@@ -153,6 +153,13 @@ def loss_fn(params: Any, constants: Any, model: PPNet,
     (reference module.py:141-228: per-scale losses averaged)."""
     images, labels = batch
     t = cfg.train
+    if images.dtype == jnp.uint8:
+        # wire_uint8 train windows: raw pixels on the wire, the same
+        # in-jit (x/255 − mean)/std every uint8 eval/push consumer uses
+        # (the loader's normalization was inverted host-side in
+        # train/pipeline.py::ship — see TrainConfig.wire_uint8)
+        from adlm_tpu.ops.normalize import normalize_in_jit
+        images = normalize_in_jit(images, (cfg.data.mean, cfg.data.std))
     if t.compute_dtype == "bfloat16":
         # bf16 forward/backward: params cast inside the differentiated
         # function so gradients come back in the params' own dtype (f32)

@@ -99,50 +99,35 @@ def _make_image(rng, colors):
     return np.clip(img, 0, 255).astype(np.uint8), ann
 
 
-def _register_demo_experiment(smoke: bool = False):
-    """The flagship config with a demo-scale schedule: identical model /
-    window / batch geometry (so the bench's compiled programs are
-    reused), higher feature LR (the backbone trains from random init —
-    the reference always starts from ImageNet/COCO weights, which do
-    not exist in this environment), and a few hundred joint windows.
+def _select_experiment(full_budget: bool, smoke: bool = False) -> str:
+    """Experiment name for the run.  The demo (10% budget) and full
+    (reference-budget) presets are REGISTERED IN THE PACKAGE
+    (core/config.py: flagship_synth_demo / flagship_synth_full) so
+    ``train --auto-restart`` watchdog children — fresh CLI processes —
+    can resolve them; see there for the from-scratch rationale
+    (presigmoid_ln, 10× feature LR, proto_init_data).
 
-    ``smoke`` swaps in a tiny backbone / reduced schedule so the
+    ``smoke`` registers a tiny-backbone variant in-process so the
     script's mechanics (dataset layout, CLI wiring, artifact paths)
     can be validated on CPU in minutes; the learning assertion is
-    skipped there."""
+    skipped there (auto-restart is not used in smoke mode)."""
     import dataclasses
 
     from adlm_tpu.core.config import get_experiment, register_experiment
 
-    cfg = get_experiment("cityscapes_kld_imnet")
-    # presigmoid_ln: from-scratch trainability (without it the add-on
-    # sigmoid re-saturates to exact 0/1 as the random-init backbone
-    # drifts, and feature gradients are exactly zero — measured; see
-    # PPNetConfig.presigmoid_ln / PERF.md "from-scratch anatomy")
-    model = dataclasses.replace(cfg.model, presigmoid_ln=True)
-    sched = dict(
-        warmup_steps=1500,     # 300 windows (iter_size 5)
-        joint_steps=15000,     # 3000 windows — the round-3 600-window
-        # budget measured CE pinned at uniform: from-scratch needs a
-        # real step budget, healthy distance gradients
-        # (--proto-init-data) AND a persistent pre-sigmoid normalizer
-        finetune_steps=1000,   # 200 windows
-        joint_optimizer_lr_features=2.5e-4,  # 10x: random init
-        proto_init_data=True,
-    )
-    if smoke:
-        model = dataclasses.replace(
-            model, deeplab_n_blocks=(1, 1, 1, 1), deeplab_n_features=8,
-            prototype_channels=8)
-        sched = dict(warmup_steps=10, joint_steps=10, finetune_steps=10,
-                     proto_init_data=True)
-    cfg = dataclasses.replace(
-        cfg,
-        name="flagship_synth_demo",
-        model=model,
-        train=dataclasses.replace(cfg.train, **sched))
-    register_experiment(cfg)
-    return cfg
+    name = "flagship_synth_full" if full_budget else "flagship_synth_demo"
+    if not smoke:
+        get_experiment(name)  # assert it exists in the registry
+        return name
+    cfg = get_experiment(name)
+    model = dataclasses.replace(
+        cfg.model, deeplab_n_blocks=(1, 1, 1, 1), deeplab_n_features=8,
+        prototype_channels=8)
+    sched = dict(warmup_steps=10, joint_steps=10, finetune_steps=10)
+    register_experiment(dataclasses.replace(
+        cfg, name=name + "_smoke", model=model,
+        train=dataclasses.replace(cfg.train, **sched)))
+    return name + "_smoke"
 
 
 def main():
@@ -155,6 +140,25 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny backbone + CPU: validates the script "
                          "mechanics only (no learning assertion)")
+    ap.add_argument("--full-budget", action="store_true",
+                    help="the FULL reference training budget (warmup "
+                         "15k + joint 150k + finetune 10k steps = 35k "
+                         "optimizer windows; reference "
+                         "cityscapes_kld_imnet.gin:20-24) instead of "
+                         "the 10%% demo schedule")
+    ap.add_argument("--wire-uint8", action="store_true",
+                    help="raw uint8 train windows + in-jit "
+                         "normalization (halves the transfer-bound "
+                         "window wall through the relay — PERF.md)")
+    ap.add_argument("--auto-restart", type=int, default=None,
+                    help="supervise training under the heartbeat "
+                         "watchdog with this restart budget (the "
+                         "relay-wedge recovery path, utils/watchdog.py)")
+    ap.add_argument("--watchdog-timeout", type=float, default=1200.0)
+    ap.add_argument("--val-every", type=int, default=100)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a previous run of this script "
+                         "(implies --skip-gen; passes train --resume)")
     args = ap.parse_args()
     if args.smoke:
         import jax
@@ -167,29 +171,61 @@ def main():
                            "val": args.val_images,
                            "resolution": [H, W]}}
 
-    if not args.skip_gen:
+    if not (args.skip_gen or args.resume):
         t0 = time.time()
         generate_dataset(data, args.train_images, args.val_images)
         summary["gen_s"] = round(time.time() - t0, 1)
         print(f"dataset generated in {summary['gen_s']}s", flush=True)
 
-    _register_demo_experiment(smoke=args.smoke)
+    exp = _select_experiment(args.full_budget, smoke=args.smoke)
     from adlm_tpu.cli import main as cli
+
+    def run_cli(argv):
+        # --auto-restart exits the CLI with the supervisor's final
+        # return code via SystemExit; treat 0/None as success so the
+        # script can continue to the eval/prune stages
+        try:
+            cli(argv)
+        except SystemExit as e:
+            code = e.code if isinstance(e.code, int) else 1
+            if code != 0:
+                raise RuntimeError(f"{argv[0]} exited with {code}")
 
     run = "flagship_synth"
     run_dir = os.path.join(runs, run)
     if not args.skip_train:
         t0 = time.time()
-        cli(["train", "flagship_synth_demo", run,
-             "--data-path", data, "--bf16", "--fused", "--bn-calibrate",
-             "--val-every", "100", "--val-batches", "1",
-             "--push-batch-size", "8"])
+        train_args = ["train", exp, run,
+                      "--data-path", data, "--bf16", "--fused",
+                      "--bn-calibrate",
+                      "--val-every", str(args.val_every),
+                      "--val-batches", "1", "--push-batch-size", "8"]
+        if args.wire_uint8:
+            train_args.append("--wire-uint8")
+        if args.resume:
+            train_args.append("--resume")
+        if args.auto_restart is not None:
+            train_args += ["--auto-restart", str(args.auto_restart),
+                           "--watchdog-timeout",
+                           str(args.watchdog_timeout)]
+        run_cli(train_args)
         summary["train_s"] = round(time.time() - t0, 1)
         print(f"train pipeline done in {summary['train_s']}s", flush=True)
+        if args.auto_restart is not None:
+            # operating history for PERF.md: watchdog restart count
+            # from the supervised run's resume trail
+            log_path = os.path.join(run_dir, "logs", "train.log")
+            try:
+                with open(log_path) as f:
+                    text = f.read()
+                summary["watchdog_restarts"] = text.count(
+                    "resume: stage=")
+            except OSError:
+                pass
 
     t0 = time.time()
-    cli(["eval-valid", run_dir, "push", "--data-path", data,
-         "--batch-size", "8", "--stats", "--examples", "2"])
+    run_cli(["eval-valid", run_dir, "push", "--data-path", data,
+             "--batch-size", "8", "--stats", "--examples", "2"])
     summary["eval_s"] = round(time.time() - t0, 1)
 
     miou_path = os.path.join(run_dir, "evaluation", "push",
@@ -198,12 +234,16 @@ def main():
     summary["mean_iou_push"] = miou
     # prune + pruned finetune + eval the pruned stage
     t0 = time.time()
-    cli(["prune", run_dir, "--data-path", data, "--batch-size", "8"])
-    cli(["train", "flagship_synth_demo", run, "--pruned",
-         "--data-path", data, "--bf16", "--fused",
-         "--val-every", "100", "--val-batches", "1"])
-    cli(["eval-valid", run_dir, "pruned", "--data-path", data,
-         "--batch-size", "8"])
+    run_cli(["prune", run_dir, "--data-path", data, "--batch-size", "8"])
+    pruned_args = ["train", exp, run, "--pruned",
+                   "--data-path", data, "--bf16", "--fused",
+                   "--val-every", str(args.val_every),
+                   "--val-batches", "1"]
+    if args.wire_uint8:
+        pruned_args.append("--wire-uint8")
+    run_cli(pruned_args)
+    run_cli(["eval-valid", run_dir, "pruned", "--data-path", data,
+             "--batch-size", "8"])
     summary["prune_finetune_eval_s"] = round(time.time() - t0, 1)
     summary["mean_iou_pruned"] = float(open(os.path.join(
         run_dir, "evaluation", "pruned", "mean_iou.txt")).read().strip())

@@ -579,3 +579,57 @@ def test_ship_dtypes_single_source_of_truth():
                                               num_classes=300))
     _, lab = ship_dtypes(wide)
     assert lab == np.dtype(np.int32)
+
+
+def test_wire_uint8_roundtrip_and_step_parity():
+    """wire_uint8 (TrainConfig): ship() inverts the loader's
+    normalization to raw uint8 and loss_fn re-normalizes in-jit.  The
+    round trip must stay within the 0.5/255 quantization bound, the
+    wire dtype must flow through ship_dtypes (precompile cache keys),
+    and a train step fed the uint8 window must match the f32-wire step
+    to quantization noise."""
+    import dataclasses as _dc
+
+    from adlm_tpu.train.pipeline import ship_dtypes, wire_uint8_images
+
+    cfg = tiny_experiment()
+    cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, wire_uint8=True))
+    img_dt, _ = ship_dtypes(cfg)
+    assert img_dt == np.dtype(np.uint8)
+
+    # cells datasets (no /255) are rejected: the in-jit normalizer
+    # assumes /255 scaling
+    cells = _dc.replace(cfg, data=_dc.replace(cfg.data, cells=True))
+    with pytest.raises(ValueError):
+        ship_dtypes(cells)
+
+    rng = np.random.RandomState(0)
+    mean = np.asarray(cfg.data.mean, np.float32)
+    std = np.asarray(cfg.data.std, np.float32)
+    h, w = cfg.data.window_size
+    # loader output: normalized blends of uint8 sources
+    px = rng.uniform(0.0, 255.0, size=(2, 2, h, w, 3)).astype(np.float32)
+    x = (px / 255.0 - mean) / std
+    u8 = wire_uint8_images(x, cfg.data.mean, cfg.data.std)
+    renorm = (u8.astype(np.float32) / 255.0 - mean) / std
+    bound = (0.5 + 1e-2) / 255.0 / float(np.min(std))
+    assert np.max(np.abs(renorm - x)) <= bound
+
+    # step parity: uint8 wire vs f32 wire on the same window
+    labels = rng.randint(0, cfg.model.num_classes + 1,
+                         size=(2, 2, h, w)).astype(np.uint8)
+    model = PPNet(cfg=cfg.model)
+    state0 = init_protoseg_state(model, cfg, 1, 10, jax.random.PRNGKey(0),
+                                 jnp.zeros((1, h, w, 3)))
+    step = make_train_step(model, cfg, 1, 10)
+    s_u8, m_u8 = step(state0, jnp.asarray(u8), jnp.asarray(labels))
+    s_f32, m_f32 = step(state0, jnp.asarray(x), jnp.asarray(labels))
+    assert np.isfinite(float(m_u8["loss"]))
+    np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]),
+                               atol=2e-2)
+    # parameters after one optimizer step stay in the same neighbourhood
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a, np.float32)
+                                         - np.asarray(b, np.float32)))),
+        s_u8.params, s_f32.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
