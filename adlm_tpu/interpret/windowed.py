@@ -259,6 +259,14 @@ def _make_fused_window_program(model: PPNet, window: Tuple[int, int],
                                           (offsets, valid, u, v))
 
         out = _stitched_metrics(canvas, norm, labels, num_classes)
+        # all counters as ONE (2C+2,) vector so a deferred-sync caller
+        # can drain an entire pipelined batch of grid dispatches with a
+        # single host fetch (each fetch is a ~30 ms relay round trip)
+        out["counters"] = jnp.concatenate([
+            out["intersection"].astype(jnp.int32),
+            out["union"].astype(jnp.int32),
+            out["correct"].reshape(1).astype(jnp.int32),
+            out["total"].reshape(1).astype(jnp.int32)])
         if with_stats:
             sp, nr, topk, agree = ys
             out["stat_pred"] = sp.reshape(-1, *sp.shape[2:])
@@ -427,6 +435,34 @@ class WindowedSegEvaluator:
         self.union = np.zeros(self.num_classes, np.int64)
         self.correct = 0
         self.total = 0
+        self._pending = []
+
+    def drain(self):
+        """Fold queued defer_sync updates into the host counters (the
+        single host sync point of the pipelined path).  Returns the
+        drained per-update stats aggregates ``[(topk (B,P), agree
+        (B,P), n_windows), ...]`` when stats were on, else []."""
+        if not self._pending:
+            return []
+        # one stack dispatch + one fetch for the whole queue (vs a
+        # ~30 ms relay round trip per counter per update)
+        packed = np.asarray(jnp.stack(
+            [p["counters"] for p in self._pending]), np.int64)
+        C = self.num_classes
+        self.intersection += packed[:, :C].sum(axis=0)
+        self.union += packed[:, C:2 * C].sum(axis=0)
+        self.correct += int(packed[:, 2 * C].sum())
+        self.total += int(packed[:, 2 * C + 1].sum())
+        stats = []
+        for pend in self._pending:
+            if "topk_purity" in pend:
+                N = pend["stat_windows"]
+                stats.append((np.asarray(pend["topk_purity"])[:N]
+                              .mean(axis=0),
+                              np.asarray(pend["agree_counts"])[:N]
+                              .sum(axis=0), N))
+        self._pending = []
+        return stats
 
     def _grid_extent(self, ph: int, pw: int, gh: int, gw: int
                      ) -> Tuple[int, int]:
@@ -472,11 +508,11 @@ class WindowedSegEvaluator:
                             jnp.asarray(offs_a), jnp.asarray(valid),
                             jnp.asarray(u), jnp.asarray(v))
         if self.defer_sync:
-            # queue the tiny device counters; drain() / results()
-            # fetches them later so back-to-back grid dispatches
-            # pipeline through the relay.  pred stays a device array.
-            pend = {k: out[k] for k in
-                    ("intersection", "union", "correct", "total")}
+            # queue the packed (2C+2,) device counter vector; drain()
+            # / results() fetches the whole queue in ONE host round
+            # trip so back-to-back grid dispatches pipeline through
+            # the relay.  pred stays a device array.
+            pend = {"counters": out["counters"]}
             if self.with_stats:
                 pend["topk_purity"] = out["topk_purity"]
                 pend["agree_counts"] = out["agree_counts"]
@@ -659,6 +695,8 @@ class WindowedSegEvaluator:
         return (jnp.asarray(vgh, jnp.int32), jnp.asarray(vgw, jnp.int32))
 
     def results(self) -> dict:
+        if self._pending:
+            self.drain()
         from adlm_tpu.interpret.evaluate import mean_iou_from_confusion
         miou, ious = mean_iou_from_confusion(self.intersection, self.union)
         acc = self.correct * 100.0 / max(self.total, 1)

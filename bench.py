@@ -362,25 +362,30 @@ def _bench_windowed_eval(cfg, model, params, constants, pc,
     whole 15-window grid of a 2048×1024 image in ONE jit with on-device
     window slicing (interpret/windowed.py::_make_fused_window_program).
     Round 3's per-window driver measured 0.91 img/s — bounded by a
-    ~3 MB upload + 2 relay dispatches per window."""
+    ~3 MB upload + 2 relay dispatches per window; round 4's fused
+    program measured 2.97 — bounded by the per-update counter sync and
+    an 8 MB pred fetch per image the whole-image rows never pay.
+    defer_sync queues the grid dispatches and drains counters once —
+    the SAME pipelined-dispatch + counters-only-sync discipline as
+    _bench_inference_b1 (identical counter values; only fetch timing
+    moves)."""
     from adlm_tpu.interpret.windowed import WindowedSegEvaluator
 
     ev = WindowedSegEvaluator(model, cfg.model.num_classes, window,
-                              fused=True)
+                              fused=True, defer_sync=True)
     nprng = np.random.RandomState(7)
     images = jnp.asarray(nprng.rand(1, H, W, 3).astype(np.float32),
                          jnp.bfloat16)
     labels = jnp.asarray(nprng.randint(0, 20, size=(1, H, W)), jnp.int32)
-    out = ev.update(params, constants, pc, images, labels)
-    np.asarray(out["intersection"])  # warm + sync
+    ev.update(params, constants, pc, images, labels)
+    ev.drain()  # warm + sync
     n = 6
 
     def loop():
         t0 = time.perf_counter()
-        outs = [ev.update(params, constants, pc, images, labels)
-                for _ in range(n)]
-        for o in outs:
-            np.asarray(o["pred"])
+        for _ in range(n):
+            ev.update(params, constants, pc, images, labels)
+        ev.drain()
         return time.perf_counter() - t0
 
     return n / _best_dt(loop)

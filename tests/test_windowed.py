@@ -326,3 +326,55 @@ def test_windowed_stats_exclude_pad_cells():
              topk_purity=out["topk_purity"], n_images=1)
     np.testing.assert_array_equal(a.results()["nearest_proto_counts"],
                                   b.results()["nearest_proto_counts"])
+
+
+def test_windowed_defer_sync_counters_identical():
+    """defer_sync queues the packed device counters and drains them in
+    one fetch; the accumulated results must be IDENTICAL to the
+    synchronous fused path (only the fetch timing moves), including the
+    drained stats aggregates."""
+    from adlm_tpu.interpret.windowed import WindowedSegEvaluator
+    from adlm_tpu.models.ppnet import default_proto_class
+
+    cfg = PPNetConfig(num_prototypes=6, num_classes=3,
+                      prototype_channels=8, deeplab_n_features=8,
+                      deeplab_n_blocks=(1, 1, 1, 1), img_size=65)
+    model = PPNet(cfg=cfg)
+    rng = np.random.RandomState(11)
+    images = [rng.rand(1, 96, 128, 3).astype(np.float32)
+              for _ in range(3)]
+    labels = [rng.randint(0, 4, size=(1, 96, 128)) for _ in range(3)]
+    v = model.init(jax.random.PRNGKey(11), jnp.zeros((1, 65, 65, 3)))
+    params, constants = v["params"], v.get("constants", {})
+    pc = default_proto_class(6, 3)
+
+    sync = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                                n_random_pixels=8, fused=True,
+                                window_batch=3)
+    defer = WindowedSegEvaluator(model, 3, (65, 65), with_stats=True,
+                                 n_random_pixels=8, fused=True,
+                                 window_batch=3, defer_sync=True)
+    sync_stats = []
+    for img, lab in zip(images, labels):
+        o = sync.update(params, constants, pc, img, lab)
+        sync_stats.append((o["topk_purity"], o["agree_counts"],
+                           o["stat_windows"]))
+    for img, lab in zip(images, labels):
+        defer.update(params, constants, pc, img, lab)
+    assert len(defer._pending) == 3
+    defer_stats = defer.drain()
+    assert not defer._pending
+    assert sync.results() == defer.results()
+    for (ts, as_, ns), (td, ad, nd) in zip(sync_stats, defer_stats):
+        np.testing.assert_allclose(ts, td, rtol=1e-5)
+        np.testing.assert_array_equal(as_, ad)
+        assert ns == nd
+
+    # results() drains implicitly when updates are still queued
+    defer2 = WindowedSegEvaluator(model, 3, (65, 65), fused=True,
+                                  window_batch=3, defer_sync=True)
+    sync2 = WindowedSegEvaluator(model, 3, (65, 65), fused=True,
+                                 window_batch=3)
+    defer2.update(params, constants, pc, images[0], labels[0])
+    sync2.update(params, constants, pc, images[0], labels[0])
+    assert defer2.results() == sync2.results()
