@@ -211,7 +211,9 @@ def cmd_eval_valid(args):
                           with_stats=args.stats,
                           stats_upsampled=args.stats_upsampled,
                           normalize=(cfg.data.mean, cfg.data.std)
-                          if raw else None, mesh=mesh)
+                          if raw else None, mesh=mesh,
+                          stats_exact=getattr(args, "stats_exact",
+                                              False))
     acc = ProtoStatsAccumulator(n_proto, cfg.model.num_classes,
                                 np.asarray(proto_class)) if args.stats \
         else None
@@ -248,6 +250,14 @@ def cmd_eval_valid(args):
         if args.max_images and n_images >= args.max_images:
             break
     res = ev.results()
+    if args.stats:
+        # record which statistic variant produced the prototype stats
+        # (grid / upsampled bf16-taps / upsampled exact-f32 taps) so
+        # comparisons against reference numbers are unambiguous
+        res["stats_mode"] = (
+            "grid" if (args.windowed or not args.stats_upsampled) else
+            "upsampled-exact-f32" if getattr(args, "stats_exact", False)
+            else "upsampled")
     out_dir = os.path.join(args.run_dir, "evaluation", args.stage)
     save_eval_plots(
         out_dir, res["iou_per_class"], res["mean_iou"],
@@ -1361,6 +1371,13 @@ def main(argv=None):
                             help="reference-exact statistics on "
                                  "bilinearly upsampled distance maps "
                                  "(eval_valid.py:172-214); slower")
+            ep.add_argument("--stats-exact", action="store_true",
+                            help="with --stats-upsampled on a bf16 "
+                                 "eval: force exact f32 bilinear taps "
+                                 "for the full-res nearest-prototype "
+                                 "argmin (the bf16 tap path flips "
+                                 "~0.5%% of near-tie argmins — "
+                                 "PERF.md); ~70 ms/batch extra")
             ep.add_argument("--examples", type=int, default=5,
                             help="number of qualitative prediction/"
                                  "prototype overlay examples (0 = off)")

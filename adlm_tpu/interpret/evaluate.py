@@ -331,8 +331,8 @@ def make_inference_fn(model: PPNet, num_classes: int,
                       stats_upsampled: bool = False,
                       proto_chunk: int = 16,
                       normalize: Optional[Tuple[Tuple[float, ...],
-                                                Tuple[float, ...]]] = None
-                      ) -> Callable:
+                                                Tuple[float, ...]]] = None,
+                      stats_exact: bool = False) -> Callable:
     """jitted eval step.
 
     Without stats: ``fn(params, constants, proto_class, images, labels)``
@@ -360,6 +360,16 @@ def make_inference_fn(model: PPNet, num_classes: int,
     less host→device traffic and a 4× smaller input device buffer (the
     remote relay wedges on ≳400 MB buffers; batch-16 full-res f32
     inputs cross that, uint8 stays at 100 MB).
+
+    ``stats_exact`` (upsampled stats only): force the exact f32 4-tap
+    blend for the full-res nearest-prototype argmin even when the
+    forward produced bf16 distance maps.  A bf16 eval otherwise takes
+    the bf16-tap path (Pallas kernel / bf16 resize), which flips
+    ~0.5%% of near-tie argmins vs the f32 blend at the flagship shape
+    (PERF.md) — usually an acceptable trade, but ``nearest_proto`` is
+    the reference-parity statistic (eval_valid.py:172-174), so this
+    switch buys back tap exactness for ~70 ms/batch without giving up
+    the bf16 forward.
     """
 
     def fn(params, constants, proto_class, images, labels, *uv):
@@ -413,10 +423,12 @@ def make_inference_fn(model: PPNet, num_classes: int,
                 chunk = max(1, min(proto_chunk,
                                    (64 * 1024 * 1024) // (B * H * W)))
                 stat_chunk = chunk
-                nearest = upsampled_nearest(dist, (H, W), chunk)
+                stat_dist = (dist.astype(jnp.float32) if stats_exact
+                             else dist)
+                nearest = upsampled_nearest(stat_dist, (H, W), chunk)
                 rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
                 cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
-                sample_d = _bilinear_gather(dist, rows, cols, sh, sw)
+                sample_d = _bilinear_gather(stat_dist, rows, cols, sh, sw)
             else:
                 # cheap default: everything at the model's output grid
                 sh, sw = dist.shape[1], dist.shape[2]
@@ -486,7 +498,8 @@ class SegEvaluator:
     def __init__(self, model: PPNet, num_classes: int,
                  with_stats: bool = False, stats_upsampled: bool = False,
                  n_random_pixels: int = 100, seed: int = 0,
-                 normalize=None, mesh=None, spatial: bool = True):
+                 normalize=None, mesh=None, spatial: bool = True,
+                 stats_exact: bool = False):
         self.num_classes = num_classes
         if mesh is not None:
             # batch sharded over `data`, optionally H over `model`
@@ -496,11 +509,12 @@ class SegEvaluator:
                 model, num_classes, mesh,
                 spatial=spatial and mesh.shape.get("model", 1) > 1,
                 with_stats=with_stats, stats_upsampled=stats_upsampled,
-                normalize=normalize)
+                normalize=normalize, stats_exact=stats_exact)
         else:
             self.fn = make_inference_fn(model, num_classes, with_stats,
                                         stats_upsampled,
-                                        normalize=normalize)
+                                        normalize=normalize,
+                                        stats_exact=stats_exact)
         self.with_stats = with_stats
         self.n_random = n_random_pixels
         self.rng = np.random.RandomState(seed)

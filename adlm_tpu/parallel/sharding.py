@@ -90,7 +90,8 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
                               with_stats: bool = False,
                               prototype_parallel: bool = False,
                               stats_upsampled: bool = False,
-                              normalize=None):
+                              normalize=None,
+                              stats_exact: bool = False):
     """Full-res eval fn: batch over ``data``, H over ``model`` (spatial
     sharding — the segmentation analogue of context parallelism).
 
@@ -107,7 +108,8 @@ def make_sharded_inference_fn(model: PPNet, num_classes: int, mesh: Mesh,
     from adlm_tpu.interpret.evaluate import make_inference_fn
 
     inner = make_inference_fn(model, num_classes, with_stats,
-                              stats_upsampled, normalize=normalize)
+                              stats_upsampled, normalize=normalize,
+                              stats_exact=stats_exact)
     repl = replicated(mesh)
     if spatial:
         img_shard = lab_shard = spatial_sharding(mesh)

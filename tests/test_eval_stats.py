@@ -395,3 +395,70 @@ def test_upsampled_nearest_integer_fast_path_matches_resize():
         want = jnp.argmin(resize_bilinear(dist, size), axis=-1)
         got = upsampled_nearest(dist, size)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_stats_exact_restores_f32_tap_parity():
+    """stats_exact: a bf16 eval's upsampled nearest-prototype statistic
+    must equal the exact f32 4-tap blend of its own (bf16-valued)
+    distance maps — the bf16-tap path is allowed to flip near-tie
+    argmins, the exact path is not."""
+    from adlm_tpu.interpret.evaluate import _upsampled_argmin_scan
+
+    # unit level: prototype 1 is prototype 0 nudged DOWN by less than
+    # one bf16 ulp at this magnitude.  Where bf16 quantization crosses
+    # a rounding boundary, f32 taps see 1 as the strict winner; where
+    # bf16 blends round the pair back together, the first-index
+    # tie-break hands the win to 0 — the ~0.5% near-tie flip class
+    # stats_exact exists to remove.
+    rng = np.random.RandomState(3)
+    base = rng.rand(1, 6, 8, 1).astype(np.float32)
+    d = np.concatenate([base, base - 2e-4, rng.rand(1, 6, 8, 6)
+                        .astype(np.float32) + 1.0], axis=-1)
+    d16 = jnp.asarray(d, jnp.bfloat16)
+    exact = np.asarray(_upsampled_argmin_scan(
+        d16.astype(jnp.float32), (17, 23), chunk=3))
+    got = np.asarray(upsampled_nearest(d16.astype(jnp.float32),
+                                       (17, 23), chunk=3))
+    np.testing.assert_array_equal(got, exact)
+    assert (exact == 1).any()  # f32 taps detect the sub-ulp winner
+    fast = np.asarray(upsampled_nearest(d16, (17, 23), chunk=3))
+    assert (fast != exact).any()  # bf16 taps flip some of those wins
+
+    # integration: an eval whose forward emits BF16 distance maps (the
+    # TPU fused head does; the XLA head on CPU stays f32, so stub the
+    # forward) must reproduce the exact f32 scan end to end through
+    # make_inference_fn when stats_exact is set — and the flag must be
+    # the thing that changes the outcome on the engineered ties
+    class _Bf16DistModel:
+        def __init__(self, dist, num_classes):
+            self._dist = jnp.asarray(dist, jnp.bfloat16)
+            self._k = num_classes
+
+        def apply(self, variables, images, train, return_distances):
+            B, h, w = self._dist.shape[:3]
+            logits = jnp.zeros((B, h, w, self._k), jnp.float32)
+            return logits, self._dist
+
+    H, W = 17, 23
+    stub = _Bf16DistModel(d, 3)
+    labels = np.ones((1, H, W), np.int64)
+    pc = default_proto_class(8, 3)
+    images = jnp.zeros((1, 12, 16, 3), jnp.float32)
+    u = jnp.asarray(np.full((1, 5), 0.3), jnp.float32)
+    v = jnp.asarray(np.full((1, 5), 0.6), jnp.float32)
+    chunk = max(1, min(16, (64 * 1024 * 1024) // (1 * H * W)))
+    want = np.asarray(_upsampled_argmin_scan(
+        d16.astype(jnp.float32), (H, W), chunk))
+
+    fn_exact = make_inference_fn(stub, 3, with_stats=True,
+                                 stats_upsampled=True, stats_exact=True)
+    out = fn_exact({}, {}, pc, images, jnp.asarray(labels), u, v)
+    np.testing.assert_array_equal(np.asarray(out["nearest_proto"]), want)
+
+    fn_fast = make_inference_fn(stub, 3, with_stats=True,
+                                stats_upsampled=True)
+    out_f = fn_fast({}, {}, pc, images, jnp.asarray(labels), u, v)
+    # the bf16-tap path cannot separate the engineered sub-ulp pair:
+    # index 1 wins somewhere (first-index tie-break does not save it
+    # because bilinear taps reorder the pair pixel by pixel)
+    assert (np.asarray(out_f["nearest_proto"]) != want).any()
