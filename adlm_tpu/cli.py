@@ -108,6 +108,17 @@ def cmd_train(args):
     if args.presigmoid_ln:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, presigmoid_ln=True))
+    if args.dataloader_mode or args.dataloader_jobs:
+        # loader execution knobs only — the sample stream itself is a
+        # pure function of the seed (per-(seed,counter) RNG), so these
+        # never change training results
+        dkw = {}
+        if args.dataloader_mode:
+            dkw["dataloader_mode"] = args.dataloader_mode
+        if args.dataloader_jobs:
+            dkw["dataloader_n_jobs"] = args.dataloader_jobs
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, **dkw))
     run_dir = _results_dir(args.run_name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -1306,6 +1317,15 @@ def main(argv=None):
                          "requantization, 2× less image wire traffic "
                          "vs bf16 (the flagship window is "
                          "transfer-bound — PERF.md)")
+    tp.add_argument("--dataloader-mode", default=None,
+                    choices=["thread", "process"],
+                    help="override the experiment's loader pool: "
+                         "thread (single-chip default) or process "
+                         "(spawn workers + shared-memory sample ring "
+                         "— the multi-core mesh-feeding path, PERF.md)")
+    tp.add_argument("--dataloader-jobs", type=int, default=0,
+                    help="override the experiment's loader worker "
+                         "count (0 = keep the preset's)")
     tp.add_argument("--bn-calibrate", action="store_true",
                     help="from-scratch init: standardize the frozen "
                          "backbone BNs on a real batch before training "

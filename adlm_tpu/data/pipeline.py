@@ -59,17 +59,102 @@ def device_prefetch(iterable, depth: int = 2):
 
 
 _PROC_DS: Optional[SegmentationDataset] = None
+_PROC_SHM = None  # (SharedMemory, img views, lab views) in the worker
 
 
-def _proc_worker_init(cfg, split_key: str, data_path: Optional[str]):
+class _ShmRing:
+    """Preallocated shared-memory sample slots for the process-mode
+    loader's RETURN PATH.
+
+    A ProcessPoolExecutor result pickles through a pipe: ~3.2 MB per
+    flagship sample, serialized twice and copied through the OS pipe
+    buffer — measured 41 img/s at ×2 workers vs 156 for threads ×4
+    (PERF.md round 4), i.e. the hop ate the multi-core win.  Here the
+    worker writes the augmented (wh, ww, 3) f32 window + (wh, ww) i32
+    label straight into its task's preallocated slot and returns only
+    the slot index; the parent memcpys out of the slot (~0.5 ms/sample,
+    the only remaining serial cost).  One slot per sample of a window:
+    the parent drains the whole map() before issuing the next window,
+    so slots are never reused while in flight.
+    """
+
+    def __init__(self, n_slots: int, img_shape, lab_shape):
+        from multiprocessing import shared_memory
+        self.img_shape = tuple(img_shape)
+        self.lab_shape = tuple(lab_shape)
+        self.img_nbytes = int(np.prod(self.img_shape)) * 4  # f32
+        self.lab_nbytes = int(np.prod(self.lab_shape)) * 4  # i32
+        self.slot_nbytes = self.img_nbytes + self.lab_nbytes
+        self.n_slots = n_slots
+        self.shm = shared_memory.SharedMemory(
+            create=True, size=max(1, n_slots * self.slot_nbytes))
+        self.name = self.shm.name
+
+    def views(self, slot: int):
+        off = slot * self.slot_nbytes
+        img = np.ndarray(self.img_shape, np.float32,
+                         buffer=self.shm.buf, offset=off)
+        lab = np.ndarray(self.lab_shape, np.int32,
+                         buffer=self.shm.buf,
+                         offset=off + self.img_nbytes)
+        return img, lab
+
+    def close(self, unlink: bool):
+        # view lifetimes: callers must not hold views past close()
+        self.shm.close()
+        if unlink:
+            try:
+                self.shm.unlink()
+            except FileNotFoundError:  # pragma: no cover
+                pass
+
+
+def _proc_worker_init(cfg, split_key: str, data_path: Optional[str],
+                      shm_name: Optional[str] = None,
+                      img_shape=None, lab_shape=None, n_slots: int = 0):
     """Build the dataset ONCE per loader process (spawn context — a
-    fork would inherit JAX's threads and can deadlock)."""
-    global _PROC_DS
+    fork would inherit JAX's threads and can deadlock) and attach to
+    the parent's shared-memory sample ring."""
+    global _PROC_DS, _PROC_SHM
     _PROC_DS = SegmentationDataset(cfg, split_key, data_path=data_path)
+    _PROC_SHM = None
+    if shm_name is not None:
+        from multiprocessing import shared_memory
+        shm = shared_memory.SharedMemory(name=shm_name)
+        # NOTE: no resource_tracker.unregister here — spawn children
+        # inherit the PARENT'S tracker process, so the attach's
+        # re-register is a set no-op and the parent's unlink() performs
+        # the single unregister; a child-side unregister would race it
+        # (observed as tracker KeyError noise at shutdown)
+        ring = _ShmRing.__new__(_ShmRing)
+        ring.img_shape = tuple(img_shape)
+        ring.lab_shape = tuple(lab_shape)
+        ring.img_nbytes = int(np.prod(img_shape)) * 4
+        ring.lab_nbytes = int(np.prod(lab_shape)) * 4
+        ring.slot_nbytes = ring.img_nbytes + ring.lab_nbytes
+        ring.n_slots = n_slots
+        ring.shm = shm
+        ring.name = shm_name
+        _PROC_SHM = ring
 
 
 def _proc_worker_get(index: int, seed: int):
     return _PROC_DS.get_train_item(index, seed)
+
+
+def _proc_worker_get_shm(index: int, seed: int, slot: int):
+    """Write the sample into its shared-memory slot; ship only the slot
+    index (or fall back to pickling if the item doesn't fit the ring's
+    static slab geometry — never happens for windowed train items)."""
+    img, lab = _PROC_DS.get_train_item(index, seed)
+    ring = _PROC_SHM
+    if (ring is None or img.shape != ring.img_shape
+            or lab.shape != ring.lab_shape):
+        return img, lab  # pragma: no cover — shape drift safety net
+    iv, lv = ring.views(slot)
+    np.copyto(iv, img)
+    np.copyto(lv, lab.astype(np.int32, copy=False))
+    return slot
 
 
 def sample_seed(seed: int, counter: int) -> int:
@@ -128,16 +213,25 @@ def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
         next_index()
 
     pool = None
+    ring = None
     if n_jobs > 1 and mode == "process":
         import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
+        # shared-memory return path: one slot per window sample; the
+        # worker ships a slot INDEX instead of a ~3.2 MB pickle (the
+        # hop that capped ×2 process workers at 41 img/s, PERF.md)
+        wh, ww = dataset.cfg.window_size
+        ring = _ShmRing(per_window, (wh, ww, 3), (wh, ww))
         pool = ProcessPoolExecutor(
             max_workers=n_jobs,
             mp_context=multiprocessing.get_context("spawn"),
             initializer=_proc_worker_init,
-            initargs=(dataset.cfg, dataset.split_key, dataset.data_path))
+            initargs=(dataset.cfg, dataset.split_key, dataset.data_path,
+                      ring.name, ring.img_shape, ring.lab_shape,
+                      ring.n_slots))
         get_items = lambda idxs, seeds: list(
-            pool.map(_proc_worker_get, idxs, seeds))
+            pool.map(_proc_worker_get_shm, idxs, seeds,
+                     range(len(idxs))))
     elif n_jobs > 1:
         pool = ThreadPoolExecutor(max_workers=n_jobs)
         get_items = lambda idxs, seeds: list(
@@ -152,6 +246,23 @@ def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
             seeds = [sample_seed(seed, base + j)
                      for j in range(per_window)]
             items = get_items(idxs, seeds)
+            if ring is not None:
+                # parent-side cost is one memcpy per sample out of the
+                # slot (the map() is fully drained, so every slot is
+                # quiescent); slots are reused next window
+                wh, ww = ring.img_shape[:2]
+                img_arr = np.empty((per_window, wh, ww, 3), np.float32)
+                lab_arr = np.empty((per_window, wh, ww), np.int32)
+                for j, it in enumerate(items):
+                    if isinstance(it, tuple):  # pragma: no cover
+                        img_arr[j], lab_arr[j] = it[0], it[1]
+                    else:
+                        iv, lv = ring.views(it)
+                        img_arr[j] = iv
+                        lab_arr[j] = lv
+                yield (img_arr.reshape(iter_size, batch_size, wh, ww, 3),
+                       lab_arr.reshape(iter_size, batch_size, wh, ww))
+                continue
             images = [im for im, _ in items]
             labels = [lb for _, lb in items]
             h, w = images[0].shape[:2]
@@ -162,6 +273,8 @@ def superbatch_iterator(dataset: SegmentationDataset, iter_size: int,
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
+        if ring is not None:
+            ring.close(unlink=True)
 
 
 class BatchLoader:

@@ -570,3 +570,33 @@ def test_augment_fallback_uses_per_sample_rng(tmp_path, monkeypatch):
         im1, ds.get_train_item(0, sample_seed=123 + k)[0])
         for k in range(1, 6))
     assert diff
+
+
+def test_shm_ring_slots_and_cleanup():
+    """The process-loader's shared-memory ring: slot views are disjoint
+    (writing one slot never disturbs another), round-trip values are
+    exact, and close(unlink=True) removes the segment."""
+    from multiprocessing import shared_memory
+
+    from adlm_tpu.data.pipeline import _ShmRing
+
+    ring = _ShmRing(3, (4, 5, 3), (4, 5))
+    rng = np.random.RandomState(0)
+    imgs = [rng.rand(4, 5, 3).astype(np.float32) for _ in range(3)]
+    labs = [rng.randint(0, 9, size=(4, 5)).astype(np.int32)
+            for _ in range(3)]
+    for j in range(3):
+        iv, lv = ring.views(j)
+        np.copyto(iv, imgs[j])
+        np.copyto(lv, labs[j])
+    for j in range(3):
+        iv, lv = ring.views(j)
+        np.testing.assert_array_equal(iv, imgs[j])
+        np.testing.assert_array_equal(lv, labs[j])
+    name = ring.name
+    # drop views before close: SharedMemory refuses to close an
+    # exported buffer
+    del iv, lv
+    ring.close(unlink=True)
+    with pytest.raises(FileNotFoundError):
+        shared_memory.SharedMemory(name=name)
