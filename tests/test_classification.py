@@ -150,6 +150,7 @@ def test_classification_epoch_pipeline(tmp_path):
     assert "prototype push" in logs
 
 
+@pytest.mark.slow
 def test_cls_cli_train_and_prune(tmp_path, monkeypatch):
     """cls-train / cls-prune CLI over an image-folder layout
     (reference main.py:107-189 + root run_pruning.py:113-158)."""

@@ -7,8 +7,10 @@ import numpy as np
 
 from adlm_tpu.core.mesh import MeshSpec, make_mesh
 from tests.test_pipeline import _tiny_experiment, _write_fake_dataset
+import pytest
 
 
+@pytest.mark.slow
 def test_pipeline_with_mesh(tmp_path):
     from adlm_tpu.train.pipeline import run_protoseg_training
 

@@ -1,5 +1,6 @@
 """Multi-device tests on the virtual 8-CPU mesh."""
 
+import pytest
 import os
 
 import jax
@@ -220,6 +221,7 @@ def test_sharded_unoise_steps_match_single_device():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_initialize_single_process_smoke():
     """`train --distributed` path: jax.distributed.initialize in a
     single-process group, then a dp-sharded train step over the local
@@ -357,6 +359,7 @@ print("MULTIHOST_PARITY_OK proc=%d loss=%.6f" % (pid, dist_loss),
 '''
 
 
+@pytest.mark.slow
 def test_distributed_two_process_train_step_parity(tmp_path):
     """Multi-host proper: TWO OS processes (4 forced CPU devices each)
     form one jax.distributed group; the dp-sharded ProtoSeg train step

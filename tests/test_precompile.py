@@ -8,6 +8,7 @@ process B builds the train step the way the pipeline does and executes
 it on real arrays, and the cache gains no new entries.
 """
 
+import pytest
 import json
 import os
 import subprocess
@@ -124,6 +125,7 @@ def _cache_files(cache):
                   if not f.startswith("."))
 
 
+@pytest.mark.slow
 def test_precompiled_program_is_a_cache_hit(tmp_path):
     """Warm in one process, run the pipeline-constructed step in
     another: the persistent cache must gain NO new entries (same

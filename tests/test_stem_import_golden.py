@@ -84,5 +84,6 @@ def test_vgg13_bn_import_golden():
     _import_and_compare("vgg13_bn")
 
 
+@pytest.mark.slow
 def test_densenet121_import_golden():
     _import_and_compare("densenet121", atol=5e-4)

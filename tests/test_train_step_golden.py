@@ -298,6 +298,7 @@ def test_composed_step_void_heavy():
     _compare_step(_make_cfg(), _random_labels(2, void_frac=0.95), seed=2)
 
 
+@pytest.mark.slow
 def test_composed_step_msc_multiscale():
     """PASCAL-style MSC (0.5, 0.75): per-scale losses averaged over the
     4 outputs [base, 0.5, 0.75, max] (module.py:141-228)."""
