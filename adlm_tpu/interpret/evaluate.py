@@ -92,7 +92,7 @@ def _upsampled_nearest_integer(dist: jnp.ndarray, sy: int, sx: int
 
 
 def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
-                      chunk: int = 16) -> jnp.ndarray:
+                      chunk: int = 16, exact: bool = False) -> jnp.ndarray:
     """argmin over prototypes of the bilinearly-upsampled distance maps.
 
     Equals ``argmin(resize(dist, size), -1)`` (reference
@@ -114,6 +114,15 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
     Peak memory stays O(H·W·chunk).  First-occurrence tie-break
     (numpy/torch argmin semantics): strict ``<`` against the running
     best.
+
+    ``exact=True`` forces the exact-f32-blend semantics for bf16 maps
+    WITHOUT materializing a full (B, h, w, P) f32 copy of them (403 MB
+    at the flagship batch-16 shape — past the remote relay's ~300 MB
+    device-buffer wedge threshold, CLAUDE.md): the Pallas kernel
+    already casts each VMEM block to f32 and only its matmul precision
+    changes; the scan path casts per prototype chunk inside the 4-tap
+    blend.  Both are bit-equal to running the f32 path on a pre-cast
+    map (casting is per-element and the blends read each element once).
 
     Args:
       dist: (B, h, w, P) distances at the output grid.
@@ -153,12 +162,12 @@ def upsampled_nearest(dist: jnp.ndarray, size: Tuple[int, int],
             and h * w * 8 * dist.dtype.itemsize <= 4 * 1024 * 1024
             and jax.default_backend() == "tpu"):
         from adlm_tpu.ops.upsample_argmin import upsampled_argmin_pallas
-        return upsampled_argmin_pallas(dist, size)
-    return _upsampled_argmin_scan(dist, size, chunk)
+        return upsampled_argmin_pallas(dist, size, exact=exact)
+    return _upsampled_argmin_scan(dist, size, chunk, exact)
 
 
 def _upsampled_argmin_scan(dist: jnp.ndarray, size: Tuple[int, int],
-                           chunk: int) -> jnp.ndarray:
+                           chunk: int, exact: bool = False) -> jnp.ndarray:
     """XLA chunked-scan implementation of ``upsampled_nearest`` (the
     portable path; also the numerical reference for the Pallas kernel,
     tests/test_upsample_argmin.py)."""
@@ -172,7 +181,7 @@ def _upsampled_argmin_scan(dist: jnp.ndarray, size: Tuple[int, int],
         dist = jnp.pad(dist, ((0, 0), (0, 0), (0, 0), (0, pad)),
                        constant_values=1e30)
 
-    if dist.dtype == jnp.bfloat16:
+    if dist.dtype == jnp.bfloat16 and not exact:
         def chunk_up(sl):
             return resize_bilinear(sl, size)
     else:
@@ -206,7 +215,11 @@ def _upsampled_argmin_scan(dist: jnp.ndarray, size: Tuple[int, int],
         return (jnp.where(take, cmin, best),
                 jnp.where(take, cidx, best_i))
 
-    best0 = jnp.full((B, *size), jnp.asarray(2e30, dist.dtype), dist.dtype)
+    # carry dtype = the chunk body's output dtype (f32 in the 4-tap
+    # branch even for bf16 maps under ``exact``)
+    cdt = (jnp.bfloat16 if dist.dtype == jnp.bfloat16 and not exact
+           else jnp.float32)
+    best0 = jnp.full((B, *size), jnp.asarray(2e30, cdt), cdt)
     idx0 = jnp.zeros((B, *size), jnp.int32)
     _, best_i = jax.lax.fori_loop(0, n_chunks, body, (best0, idx0))
     return best_i
@@ -292,10 +305,14 @@ def _bilinear_gather(x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     wy = (sy - y0)[..., None]
     wx = (sx - x0)[..., None]
     bidx = jnp.arange(B)[:, None]
-    v00 = x[bidx, y0, x0]
-    v01 = x[bidx, y0, x1]
-    v10 = x[bidx, y1, x0]
-    v11 = x[bidx, y1, x1]
+    # ONE batched gather for all 4 taps (TPU gathers pay a per-op
+    # fixed cost that dwarfs the extra index rows at n ~ 100)
+    n = rows.shape[-1]
+    ys = jnp.concatenate([y0, y0, y1, y1], axis=-1)      # (B, 4n)
+    xs = jnp.concatenate([x0, x1, x0, x1], axis=-1)
+    v = x[bidx, ys, xs].reshape(B, 4, n, x.shape[-1])
+    v00, v01, v10, v11 = v[:, 0], v[:, 1], v[:, 2], v[:, 3]
+    # same add order as the 4-gather formulation (bit-identical)
     return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
             v10 * wy * (1 - wx) + v11 * wy * wx)
 
@@ -368,8 +385,11 @@ def make_inference_fn(model: PPNet, num_classes: int,
     ~0.5%% of near-tie argmins vs the f32 blend at the flagship shape
     (PERF.md) — usually an acceptable trade, but ``nearest_proto`` is
     the reference-parity statistic (eval_valid.py:172-174), so this
-    switch buys back tap exactness for ~70 ms/batch without giving up
-    the bf16 forward.
+    switch buys back tap exactness without giving up the bf16 forward.
+    Since round 5 the exactness threads through as a per-block
+    precision switch (``upsampled_nearest(..., exact=True)``) — the
+    full-map f32 copy (403 MB at flagship batch 16, past the relay's
+    buffer wedge threshold) is never materialized.
     """
 
     def fn(params, constants, proto_class, images, labels, *uv):
@@ -419,16 +439,31 @@ def make_inference_fn(model: PPNet, num_classes: int,
                 stat_pred = pred
                 # clamp the chunked-scan width so the (B, H, W, chunk)
                 # resize buffer stays ≤ ~256 MB f32 (the remote-relay
-                # device-buffer limit; chunk is static at trace time)
+                # device-buffer limit; chunk is static at trace time).
+                # agreement_counts keeps its OWN chunk (below): its
+                # per-chunk intermediate is a fused compare, not a
+                # resize buffer, and a narrow chunk multiplies full-map
+                # HBM re-reads (95 passes over two 134 MB maps at
+                # batch 16 ≈ 25 GB ≈ 31 ms before this was split).
                 chunk = max(1, min(proto_chunk,
                                    (64 * 1024 * 1024) // (B * H * W)))
-                stat_chunk = chunk
-                stat_dist = (dist.astype(jnp.float32) if stats_exact
-                             else dist)
-                nearest = upsampled_nearest(stat_dist, (H, W), chunk)
+                # agreement chunk: 16 prototypes per pass keeps the
+                # fused compare's virtual (B, H, W, 16) bool block well
+                # inside fusion reach while cutting the map re-reads
+                # 8× vs riding the resize clamp (which hits 2 at
+                # batch 16)
+                stat_chunk = 16
+                # stats_exact: exact=True threads f32-blend semantics
+                # into the kernel/scan per BLOCK — the full f32 copy of
+                # bf16 maps (403 MB at flagship batch 16) never exists
+                nearest = upsampled_nearest(dist, (H, W), chunk,
+                                            exact=stats_exact)
                 rows = jnp.minimum((u * sh).astype(jnp.int32), sh - 1)
                 cols = jnp.minimum((v * sw).astype(jnp.int32), sw - 1)
-                sample_d = _bilinear_gather(stat_dist, rows, cols, sh, sw)
+                # gather-then-blend promotes bf16 taps to f32 at the
+                # weight multiply — already the exact blend of the
+                # stored values (selection commutes with casting)
+                sample_d = _bilinear_gather(dist, rows, cols, sh, sw)
             else:
                 # cheap default: everything at the model's output grid
                 sh, sw = dist.shape[1], dist.shape[2]

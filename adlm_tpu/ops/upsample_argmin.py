@@ -135,7 +135,8 @@ def _plan_tiles(H: int, W: int, h: int, w: int, itemsize: int,
 
 def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
                             th: int = 128, tw: int = 512, c: int = 8,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            exact: bool = False) -> jnp.ndarray:
     """``argmin(resize_bilinear(dist, size), -1)`` fused on TPU.
 
     Args:
@@ -145,6 +146,12 @@ def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
       th, tw: output tile (rows, cols).
       c: prototype chunk per grid step (bounded by VMEM fit).
       interpret: run in the Pallas interpreter (CPU tests).
+      exact: force the exact f32 blend for bf16 maps too.  The kernel
+        casts every VMEM block to f32 before the matmuls regardless, so
+        this only switches the matmul precision — bit-equal to feeding
+        a pre-cast f32 map, at none of the HBM cost (the f32 copy of
+        the flagship batch-16 maps is 403 MB — past the remote relay's
+        device-buffer wedge threshold).
 
     Returns:
       (B, H, W) int32 argmin indices, first-occurrence tie-break.
@@ -157,7 +164,7 @@ def upsampled_argmin_pallas(dist: jnp.ndarray, size: Tuple[int, int],
     # single-pass MXU blend — the same accuracy class as the bf16
     # matmul-resize the XLA path uses for them
     precision = (jax.lax.Precision.DEFAULT
-                 if dist.dtype == jnp.bfloat16
+                 if dist.dtype == jnp.bfloat16 and not exact
                  else jax.lax.Precision.HIGHEST)
     TH, TW, C, Hp, hp, wp = _plan_tiles(H, W, h, w,
                                         dist.dtype.itemsize, th, tw, c)

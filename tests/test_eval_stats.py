@@ -462,3 +462,21 @@ def test_stats_exact_restores_f32_tap_parity():
     # index 1 wins somewhere (first-index tie-break does not save it
     # because bilinear taps reorder the pair pixel by pixel)
     assert (np.asarray(out_f["nearest_proto"]) != want).any()
+
+
+def test_agreement_counts_chunk_invariant():
+    """agreement_counts is pure accounting — every chunk width must
+    produce identical (B, P) counts (the round-5 epilogue split gives
+    it a wide chunk independent of the resize clamp)."""
+    from adlm_tpu.interpret.evaluate import agreement_counts
+
+    rng = np.random.RandomState(5)
+    P, C = 19, 5
+    nearest = jnp.asarray(rng.randint(0, P, size=(2, 31, 47)), jnp.int32)
+    pred = jnp.asarray(rng.randint(-1, C, size=(2, 31, 47)), jnp.int32)
+    pc = jnp.asarray(rng.randint(0, C, size=(P,)), jnp.int32)
+    want = np.asarray(agreement_counts(nearest, pred, pc, chunk=1))
+    for chunk in (2, 7, 16, P, 64):
+        np.testing.assert_array_equal(
+            np.asarray(agreement_counts(nearest, pred, pc, chunk=chunk)),
+            want)

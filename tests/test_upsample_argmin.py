@@ -71,3 +71,34 @@ def test_tile_plan_keeps_lane_dim_128_aligned():
         # the strip scratches actually fit (or TW bottomed out at 128)
         assert Hp * TW * 8 <= 4 * 1024 * 1024 or TW == 128, (H, W, TW)
         assert C >= 1
+
+
+def test_exact_flag_matches_f32_cast_without_materializing():
+    """`exact=True` on bf16 maps must be bit-equal to running the f32
+    path on a pre-cast copy — for BOTH implementations (the kernel
+    casts per VMEM block, the scan per prototype chunk), so the 403 MB
+    full-map f32 copy the old stats_exact materialized is never needed.
+    Uses sub-bf16-ulp prototype pairs so the exact/fast paths provably
+    differ (same construction as test_stats_exact_restores_f32_tap_parity)."""
+    rng = np.random.RandomState(11)
+    base = rng.rand(2, 6, 8, 1).astype(np.float32)
+    d = np.concatenate([base, base - 2e-4,
+                        rng.rand(2, 6, 8, 6).astype(np.float32) + 1.0],
+                       axis=-1)
+    d16 = jnp.asarray(d, jnp.bfloat16)
+    size = (17, 23)
+    want = np.asarray(_upsampled_argmin_scan(
+        d16.astype(jnp.float32), size, chunk=3))
+
+    scan_exact = np.asarray(_upsampled_argmin_scan(
+        d16, size, chunk=3, exact=True))
+    np.testing.assert_array_equal(scan_exact, want)
+
+    kernel_exact = np.asarray(upsampled_argmin_pallas(
+        d16, size, th=8, tw=128, c=3, interpret=True, exact=True))
+    np.testing.assert_array_equal(kernel_exact, want)
+
+    # the flag is the thing that matters: the fast bf16 paths flip
+    # some engineered near-ties
+    assert (np.asarray(_upsampled_argmin_scan(d16, size, chunk=3))
+            != want).any()
