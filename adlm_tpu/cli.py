@@ -24,6 +24,11 @@ import sys
 
 import numpy as np
 
+# exit code for TrainingDiverged: tells the --auto-restart watchdog the
+# failure is deterministic (resume with identical args replays it), so
+# it must stop instead of burning its restart budget
+DIVERGED_EXIT = 86
+
 
 def _enable_compile_cache():
     import jax
@@ -108,6 +113,12 @@ def cmd_train(args):
     if args.presigmoid_ln:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, presigmoid_ln=True))
+    if args.grad_clip is not None:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, grad_clip_norm=args.grad_clip))
+    if args.joint_lr_warmup is not None:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, joint_lr_warmup_updates=args.joint_lr_warmup))
     if args.dataloader_mode or args.dataloader_jobs:
         # loader execution knobs only — the sample stream itself is a
         # pure function of the seed (per-(seed,counter) RNG), so these
@@ -130,18 +141,26 @@ def cmd_train(args):
         from adlm_tpu.core.mesh import MeshSpec, make_mesh
         mesh = make_mesh(MeshSpec(data=args.mesh_data or -1,
                                   model=args.mesh_model))
-    run_protoseg_training(
-        cfg, run_dir, data_path=args.data_path, pruned=args.pruned,
-        start_checkpoint=args.start_checkpoint,
-        val_every=args.val_every, val_batches=args.val_batches,
-        steps_scale=args.steps_scale,
-        save_push_visualizations=args.save_push_visualizations,
-        push_batch_size=args.push_batch_size,
-        pretrained_path=args.pretrained,
-        pretrained_naming="deeplab" if cfg.load_coco else "torchvision",
-        mesh=mesh, trace_dir=args.trace_dir,
-        val_augment=args.val_augment, resume=args.resume,
-        halt_after_windows=args.halt_after)
+    from adlm_tpu.train.pipeline import TrainingDiverged
+    try:
+        run_protoseg_training(
+            cfg, run_dir, data_path=args.data_path, pruned=args.pruned,
+            start_checkpoint=args.start_checkpoint,
+            val_every=args.val_every, val_batches=args.val_batches,
+            steps_scale=args.steps_scale,
+            save_push_visualizations=args.save_push_visualizations,
+            push_batch_size=args.push_batch_size,
+            pretrained_path=args.pretrained,
+            pretrained_naming="deeplab" if cfg.load_coco
+            else "torchvision",
+            mesh=mesh, trace_dir=args.trace_dir,
+            val_augment=args.val_augment, resume=args.resume,
+            halt_after_windows=args.halt_after)
+    except TrainingDiverged:
+        # distinct exit code: divergence is DETERMINISTIC on resume
+        # with identical args, so the watchdog must not burn its
+        # restart budget replaying it (utils/watchdog.py checks this)
+        raise SystemExit(DIVERGED_EXIT)
 
 
 def _eval_mesh(args):
@@ -1290,6 +1309,25 @@ def main(argv=None):
                     help="seconds without a run-log heartbeat before "
                          "the supervisor declares a stall (default "
                          "900 — above the 2-6 min remote compiles)")
+    tp.add_argument("--joint-lr-warmup", type=int, default=None,
+                    metavar="UPDATES",
+                    help="linear LR ramp over the first N optimizer "
+                         "updates of the joint phase (then the poly "
+                         "decay).  From-scratch joint entry NEEDS it: "
+                         "fresh Adam's ±lr first-step jolt saturated "
+                         "the prototype sigmoids in one update from a "
+                         "converged warmup state (experiments/"
+                         "joint_divergence_probe.py).  Default off = "
+                         "reference parity")
+    tp.add_argument("--grad-clip", type=float, default=None,
+                    metavar="NORM",
+                    help="global-norm gradient clip ahead of every "
+                         "phase optimizer (optax.clip_by_global_norm). "
+                         "Default off = reference parity (it never "
+                         "clips); long from-scratch schedules need it — "
+                         "the full-budget joint phase diverged to NaN "
+                         "without it (experiments/"
+                         "joint_divergence_probe.py)")
     tp.add_argument("--start-checkpoint", default=None)
     tp.add_argument("--pretrained", default=None,
                     help="path to a torch .pth state_dict or .npz with "

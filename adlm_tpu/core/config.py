@@ -139,6 +139,27 @@ class TrainConfig:
     poly_lr_power: float = 0.9
     iter_size: int = 5  # gradient accumulation microbatches
 
+    # Optional global-norm gradient clip applied before every phase
+    # optimizer (optax.clip_by_global_norm).  None reproduces the
+    # reference exactly (it never clips).  Long from-scratch schedules
+    # need it: the full-budget joint phase diverged to NaN from a
+    # well-converged 15k-step warmup state while the 10% demo budget
+    # survived identical LRs (round-5 divergence probe,
+    # experiments/joint_divergence_probe.py).
+    grad_clip_norm: Optional[float] = None
+
+    # Linear LR ramp over the first N OPTIMIZER UPDATES of the joint
+    # phase (then the reference poly decay).  0 = reference parity (no
+    # ramp).  Why it exists: fresh Adam's first updates move EVERY
+    # weight by ±lr regardless of gradient scale (m/√v = sign(g) at
+    # step 1), and from a well-converged 15k-step warmup state that
+    # jolt (ASPP group = 10·lr) saturated the prototype sigmoids in ONE
+    # update — CE pinned at ln(num_classes) with dead gradients, NaN 58
+    # windows later (measured: experiments/joint_divergence_probe.py).
+    # The reference never sees this because its backbone is pretrained;
+    # from-scratch joint entry needs the ramp.
+    joint_lr_warmup_updates: int = 0
+
     # Reference bug shim: the reference's KLD loop indexes
     # prototype-class-identity columns with the RAW label value, which is
     # off by one from the CE targets when ignore_void_class=True

@@ -102,9 +102,22 @@ def make_optimizer(cfg: TrainConfig, phase: int,
     elif phase == 1:
         assert max_steps is not None
         max_updates = max(max_steps // cfg.iter_size, 1)
+        ramp = cfg.joint_lr_warmup_updates
 
         def sched_for(base):
-            return poly_schedule(base, max_updates, cfg.poly_lr_power)
+            poly = poly_schedule(base, max_updates, cfg.poly_lr_power)
+            if not ramp:
+                return poly
+
+            def sched(count):
+                # linear 1/ramp → 1 over the first `ramp` updates,
+                # then the reference poly decay (see
+                # TrainConfig.joint_lr_warmup_updates for why)
+                import jax.numpy as jnp
+                scale = jnp.minimum((count + 1.0) / ramp, 1.0)
+                return scale * poly(count)
+
+            return sched
 
         wd = cfg.joint_optimizer_weight_decay
         lr_f = cfg.joint_optimizer_lr_features
@@ -125,4 +138,12 @@ def make_optimizer(cfg: TrainConfig, phase: int,
     else:
         raise ValueError(f"unknown phase {phase}")
 
-    return optax.multi_transform(groups, label_params)
+    tx = optax.multi_transform(groups, label_params)
+    if cfg.grad_clip_norm is not None:
+        # clip BEFORE the per-group transforms so one exploding window
+        # cannot poison the Adam moments (a single non-finite gradient
+        # makes every later update NaN); reference parity is the
+        # default None — the reference never clips
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                         tx)
+    return tx

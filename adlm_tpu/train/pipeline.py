@@ -51,6 +51,17 @@ class TrainingHalted(Exception):
     --resume`` continues from the exact window (preemptible quota)."""
 
 
+class TrainingDiverged(Exception):
+    """Raised when a phase's loss goes non-finite (checked at the log
+    cadence and before every checkpoint save).  The guard guarantees a
+    NaN state is NEVER checkpointed — the stage's ``last``/``best``
+    payloads stay at the most recent finite window, so a relaunch (with
+    e.g. ``--grad-clip``) resumes from healthy state instead of
+    inheriting poisoned optimizer moments.  The full-budget flagship
+    run burned 35 minutes of chip time on NaN windows (and checkpointed
+    them) before this existed."""
+
+
 def ship_dtypes(cfg: ExperimentConfig):
     """Host→device wire dtypes for train windows — the single source of
     truth shared by the train loop's ``ship()`` casts and
@@ -256,14 +267,30 @@ def _phase_loop(loader, state, step_fn, eval_fn, val_ds, batch_size,
         if (w + 1) % 50 == 0 or w == start_window:
             acc = float(metrics["n_correct"]) / max(
                 float(metrics["n_patches"]), 1)
+            loss = float(metrics["loss"])
             logger.metrics(w, stage, "train",
-                           {"loss": float(metrics["loss"]),
+                           {"loss": loss,
                             "cross_entropy": float(metrics["cross_entropy"]),
                             "kld_loss": float(metrics["kld_loss"]),
                             "l1": float(metrics["l1"]),
+                            "grad_norm": float(metrics.get("grad_norm",
+                                                           0.0)),
                             "accuracy": acc,
                             **meter.rates()})
+            if not np.isfinite(loss):
+                logger.log(f"{stage}: NON-FINITE loss at window {w} "
+                           f"(grad_norm="
+                           f"{float(metrics.get('grad_norm', 0.0))}) — "
+                           f"aborting the phase; last checkpoint is the "
+                           f"most recent finite state")
+                raise TrainingDiverged(stage)
         if (w + 1) % val_every == 0 or (w + 1) == n_windows:
+            # never checkpoint a non-finite state (a poisoned ``last``
+            # payload makes every resume NaN from the first window)
+            if not np.isfinite(float(metrics["loss"])):
+                logger.log(f"{stage}: NON-FINITE loss at validation "
+                           f"window {w} — aborting without saving")
+                raise TrainingDiverged(stage)
             val_metrics = _validate(eval_fn, state, val_ds, batch_size,
                                     val_batches)
             logger.metrics(w, stage, "val", val_metrics)
@@ -721,5 +748,12 @@ def run_protoseg_training(cfg: ExperimentConfig, run_dir: str,
     except TrainingHalted:
         logger.log("training halted (--halt-after); continue with "
                    "train --resume")
+    except TrainingDiverged as e:
+        logger.log(f"training DIVERGED in stage {e.args[0]!r}; the last "
+                   f"checkpoint holds the most recent finite state — "
+                   f"relaunch with --resume and a stability knob "
+                   f"(e.g. --grad-clip)")
+        logger.close()
+        raise
     logger.close()
     return state

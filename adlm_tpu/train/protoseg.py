@@ -231,6 +231,10 @@ def make_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
             (_, metrics), grads = grad_fn(
                 state.params, state.constants, model, state.proto_class,
                 cfg, (flat_img, flat_lab), True, n_micro)
+            # observability: the global gradient norm is the earliest
+            # divergence signal (a NaN/exploding window shows up here
+            # a full checkpoint cadence before the loss curve does)
+            metrics["grad_norm"] = optax.global_norm(grads)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -260,6 +264,7 @@ def make_train_step(model: PPNet, cfg: ExperimentConfig, phase: int,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v / n_micro for k, v in metrics.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
         # counts should stay sums, not means
         metrics["n_correct"] = metrics["n_correct"] * n_micro
         metrics["n_patches"] = metrics["n_patches"] * n_micro

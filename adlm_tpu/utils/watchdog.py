@@ -148,6 +148,13 @@ def run_with_watchdog(make_cmd: Callable[[int], List[str]],
         if rc == 0:
             log("watchdog: run completed")
             return 0
+        if rc == 86:  # cli.DIVERGED_EXIT: TrainingDiverged
+            # divergence is deterministic under --resume with the same
+            # args — restarting replays the same NaN window; surface it
+            log("watchdog: child reported divergence (exit 86) — "
+                "deterministic failure, not restarting; relaunch "
+                "manually with a stability knob (e.g. --grad-clip)")
+            return rc
         reason = "stall" if stalled else f"exit {rc}"
         if restarts_left <= 0:
             log(f"watchdog: {reason}, restart budget exhausted")

@@ -155,6 +155,9 @@ def main():
                          "watchdog with this restart budget (the "
                          "relay-wedge recovery path, utils/watchdog.py)")
     ap.add_argument("--watchdog-timeout", type=float, default=1200.0)
+    ap.add_argument("--halt-after", type=int, default=None,
+                    help="time-box: stop the train pipeline after N "
+                         "optimizer windows (resumable)")
     ap.add_argument("--val-every", type=int, default=100)
     ap.add_argument("--resume", action="store_true",
                     help="continue a previous run of this script "
@@ -202,6 +205,17 @@ def main():
                       "--val-batches", "1", "--push-batch-size", "8"]
         if args.wire_uint8:
             train_args.append("--wire-uint8")
+        if args.full_budget:
+            # the full reference budget NEEDS the joint LR ramp: from a
+            # converged 15k-step warmup state, fresh Adam's first ±lr
+            # jolt saturates the prototype sigmoids (CE pinned at ln K,
+            # NaN 58 windows later — PERF.md "Full-budget joint
+            # divergence"); the clip is a backstop far above the
+            # measured 0.2–1.3 steady grad norms
+            train_args += ["--joint-lr-warmup", "500",
+                           "--grad-clip", "10"]
+        if args.halt_after is not None:
+            train_args += ["--halt-after", str(args.halt_after)]
         if args.resume:
             train_args.append("--resume")
         if args.auto_restart is not None:
@@ -222,6 +236,16 @@ def main():
                     "resume: stage=")
             except OSError:
                 pass
+
+    if args.halt_after is not None:
+        # time-boxed partial run: the pipeline halted mid-phase (push
+        # artifacts don't exist yet) — archive what we have and stop;
+        # relaunch with --resume to continue
+        out = os.path.join(runs, "flagship_e2e_summary_partial.json")
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary), flush=True)
+        return
 
     t0 = time.time()
     run_cli(["eval-valid", run_dir, "push", "--data-path", data,

@@ -87,6 +87,7 @@ def test_full_protoseg_pipeline(tmp_path):
     assert np.asarray(state.proto_class).shape == (P,)
 
 
+@pytest.mark.slow
 def test_prune_and_eval_cli(tmp_path):
     from adlm_tpu.train.pipeline import run_protoseg_training
     from adlm_tpu.cli import main as cli_main
@@ -163,6 +164,7 @@ def test_prune_and_eval_cli(tmp_path):
     _np.testing.assert_array_equal(win, whole)
 
 
+@pytest.mark.slow
 def test_msc_pipeline_end_to_end(tmp_path):
     """PASCAL-style multi-scale (MSC) config through all phases + push."""
     import dataclasses
@@ -440,6 +442,7 @@ def test_halt_and_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_mid_warmup_and_mid_finetune(tmp_path):
     """Resume entry points at BOTH ends of the schedule: a halt inside
     warmup (window 1 of 6) and a halt inside the last-layer finetune
@@ -475,6 +478,7 @@ def test_resume_mid_warmup_and_mid_finetune(tmp_path):
                                           err_msg=label)
 
 
+@pytest.mark.slow
 def test_halt_at_phase_boundary_resumes_without_stage_checkpoint(tmp_path):
     """Two fixes in one scenario: (a) --halt-after fires ON a phase's
     final window (previously it leaked at least one unbudgeted window
@@ -600,3 +604,53 @@ def test_shm_ring_slots_and_cleanup():
     ring.close(unlink=True)
     with pytest.raises(FileNotFoundError):
         shared_memory.SharedMemory(name=name)
+
+
+def test_divergence_guard_aborts_without_saving(tmp_path):
+    """A non-finite loss must abort the phase with TrainingDiverged and
+    must NOT write a checkpoint or resume marker for the poisoned
+    window — the stage's `last` payload stays at the most recent finite
+    state (round 5: the full-budget joint phase checkpointed NaN
+    optimizer moments before this guard existed)."""
+    import pytest as _pytest
+    from adlm_tpu.train.pipeline import (TrainingDiverged, _phase_loop,
+                                         _read_resume)
+    from adlm_tpu.core.checkpoint import CheckpointStore
+    from adlm_tpu.utils.logging import RunLogger
+
+    class _NanStepFn:
+        """Finite metrics for 49 windows, NaN at window 49 (the first
+        log-cadence check)."""
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, state, images, labels):
+            self.calls += 1
+            loss = np.nan if self.calls >= 50 else 1.0
+            m = {"loss": jnp.asarray(loss),
+                 "cross_entropy": jnp.asarray(loss),
+                 "kld_loss": jnp.zeros(()), "l1": jnp.zeros(()),
+                 "grad_norm": jnp.asarray(np.inf if self.calls >= 50
+                                          else 1.0),
+                 "n_correct": jnp.asarray(1.0),
+                 "n_patches": jnp.asarray(2.0)}
+            return state, m
+
+    def loader():
+        img = np.zeros((2, 2, 8, 8, 3), np.float32)
+        lab = np.zeros((2, 2, 8, 8), np.int64)
+        for _ in range(100):
+            yield img, lab
+    loader_gen = loader()  # generators already expose .close()
+
+    run_dir = str(tmp_path / "run")
+    store = CheckpointStore(run_dir)
+    logger = RunLogger(run_dir)
+    with _pytest.raises(TrainingDiverged):
+        _phase_loop(loader_gen, object(), _NanStepFn(), None, None,
+                    batch_size=2, val_batches=None, n_windows=100,
+                    val_every=1000, early_stopping_patience=None,
+                    stage="nopush", store=store, logger=logger)
+    # nothing checkpointed, no resume marker for the NaN window
+    assert not store.exists("nopush", "last")
+    assert not store.exists("nopush", "best")

@@ -190,6 +190,7 @@ def test_eval_step_n_valid_masks_tail_images():
     assert float(full["n_patches"]) > float(masked["n_patches"])
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equals_mean_of_grads():
     """One step over [b1, b2] must equal a step with mean(g1, g2)."""
     import optax
@@ -633,3 +634,39 @@ def test_wire_uint8_roundtrip_and_step_parity():
                                          - np.asarray(b, np.float32)))),
         s_u8.params, s_f32.params)
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+def test_joint_lr_warmup_ramps_first_updates():
+    """joint_lr_warmup_updates=W scales the joint LR linearly
+    (count+1)/W over the first W optimizer updates, then hands over to
+    the unchanged reference poly decay.  Verified through the REAL
+    optimizer: with constant gradients Adam's step magnitude equals the
+    effective LR (sign-step), so successive update norms expose the
+    schedule directly."""
+    import dataclasses as _dc
+    from adlm_tpu.train.optimizer import make_optimizer
+
+    tcfg = _dc.replace(tiny_experiment().train, joint_lr_warmup_updates=4,
+                       joint_optimizer_lr_prototype_vectors=1e-2,
+                       iter_size=1)
+    tx = make_optimizer(tcfg, 1, max_steps=100)   # 100 updates
+    tx0 = make_optimizer(_dc.replace(tcfg, joint_lr_warmup_updates=0),
+                         1, max_steps=100)
+
+    params = {"prototype_vectors": jnp.ones((3, 4))}
+    grads = {"prototype_vectors": jnp.full((3, 4), 0.37)}
+    st, st0 = tx.init(params), tx0.init(params)
+    base = 1e-2
+
+    for u in range(6):
+        upd, st = tx.update(grads, st, params)
+        upd0, st0 = tx0.update(grads, st0, params)
+        got = float(jnp.max(jnp.abs(upd["prototype_vectors"])))
+        ref = float(jnp.max(jnp.abs(upd0["prototype_vectors"])))
+        ramp = min((u + 1.0) / 4.0, 1.0)
+        # the ramped update is exactly ramp × the unramped one (same
+        # Adam moments — the scale sits after scale_by_adam)
+        np.testing.assert_allclose(got, ramp * ref, rtol=1e-6)
+    # and by update 6 the two schedules coincide (poly decay only)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    assert ref < base  # poly decay engaged (count 5 of 100)

@@ -137,3 +137,23 @@ def test_relaunch_only_resumes_once_resume_json_exists(tmp_path):
     # idempotent when the base argv already carries --resume
     cmd = _watchdog_relaunch_cmd(base + ["--resume"], run_dir, 2)
     assert cmd.count("--resume") == 1
+
+
+def test_divergence_exit_is_not_restarted(tmp_path):
+    """Exit 86 (cli.DIVERGED_EXIT / TrainingDiverged) is deterministic
+    under --resume with identical args — the watchdog must surface it
+    immediately instead of burning its restart budget replaying the
+    same NaN window."""
+    script = tmp_path / "diverge.py"
+    script.write_text("import sys; sys.exit(86)")
+    calls = []
+
+    def make_cmd(attempt):
+        calls.append(attempt)
+        return [sys.executable, str(script)]
+
+    rc = run_with_watchdog(make_cmd, [], timeout_s=30, poll_s=0.1,
+                           max_restarts=5, probe=lambda: True,
+                           log=lambda *a: None)
+    assert rc == 86
+    assert calls == [0]  # no restart at all
