@@ -113,3 +113,50 @@ def test_dtypes_tree_casts():
     assert c["w"].dtype == jnp.bfloat16 and c["i"].dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(c["w"], np.float32),
                                   np.asarray(tree["w"]))
+
+
+def test_checkpoint_save_is_crash_atomic(tmp_path):
+    """A kill at ANY point inside ``save`` must leave a restorable
+    previous generation (observed on hardware round 5: orbax
+    ``force=True`` pre-deletes, so a mid-save kill lost both the old
+    and new ``warmup_last`` and resume restarted the stage from
+    window 0 — PERF.md "Watchdog operating history")."""
+    import os
+    import shutil
+
+    store = CheckpointStore(str(tmp_path / "run"))
+    gen1 = {"w": jnp.full((2, 2), 1.0)}
+    gen2 = {"w": jnp.full((2, 2), 2.0)}
+    store.save("warmup", "last", gen1)
+    path = store._path("warmup", "last")
+
+    def _w(state):
+        return float(np.asarray(state["w"])[0, 0])
+
+    # crash DURING the orbax write of gen2: only an unfinalized tmp of
+    # .next exists alongside the intact gen1 (what the old code left at
+    # `path` itself — unreadable)
+    shutil.copytree(path, path + ".next.orbax-checkpoint-tmp")
+    assert _w(store.restore("warmup", "last", target=gen1)) == 1.0
+    shutil.rmtree(path + ".next.orbax-checkpoint-tmp")
+
+    # crash AFTER gen2 finalized at .next but BEFORE the rotation:
+    # restore must promote the newer generation
+    store.save("warmup", "best", gen2)  # produce a finalized dir to copy
+    shutil.copytree(store._path("warmup", "best"), path + ".next")
+    assert _w(store.restore("warmup", "last", target=gen1)) == 2.0
+    assert not os.path.isdir(path + ".next")
+
+    # crash BETWEEN the two renames: old demoted, .next gone (promoted
+    # by the crashed process before dying) — never both missing; here
+    # simulate the worst ordering: path missing, only .old present
+    os.rename(path, path + ".old")
+    assert _w(store.restore("warmup", "last", target=gen1)) == 2.0
+    assert store.exists("warmup", "last")
+
+    # a fresh save heals leftovers and lands the new generation
+    shutil.copytree(path, path + ".old")
+    store.save("warmup", "last", gen1)
+    assert _w(store.restore("warmup", "last", target=gen1)) == 1.0
+    assert not os.path.isdir(path + ".old")
+    assert not os.path.isdir(path + ".next")
